@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Local-mode testing config; the settings that matter at cluster scale (AQE,
+skew join handling, partition-size targets, broadcast threshold) are the
+same knobs a 1000-executor deployment would set — nothing here is
+local-only except ``master``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, not the laptop:
+#  - AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+#    one static shuffle.partitions number never has to be "right".
+#  - partitionOverwriteMode=dynamic: S12 idempotent backfill (delete a date
+#    range, re-insert) becomes an atomic partition overwrite.
+#  - Arrow enabled: every Pandas-UDF boundary is columnar, not pickled rows.
+#  - session timezone pinned UTC so event-time semantics don't depend on the
+#    cluster's locale (and results compare bit-for-bit against the oracle).
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ~128 MB input splits: the parquet-scan parallelism knob that matters
+    # at 100 TB (≈ 800k tasks); harmless locally.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "boxoffice_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale you'd leave AQE's coalescing to right-size each exchange instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

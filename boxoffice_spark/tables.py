@@ -1,0 +1,58 @@
+"""Fixture-table access.
+
+The driver generates TPC-H-ish parquet at ``/root/testdata/sf*/`` (see
+TESTDATA.md). All queries load through here so the scan path is uniform:
+``spark.read.parquet`` (columnar, predicate pushdown + column pruning via
+Catalyst). At production scale these would be partitioned/bucketed external
+tables; the query code is unchanged either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a lazy DataFrame."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (SQL surface, S6/S13).
+
+    Mirrors the reference's pattern of serving all queries over a fixed set
+    of named tables (sqlite_connector.py:25-67 DDL); here the catalog entry
+    is a lazy parquet scan, so SQL text gets the same Catalyst plan as the
+    DataFrame API.
+    """
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def describe_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema introspection as data (S13 analog of sqlite_master + PRAGMA,
+    reference ai_agent.py:26-38): one row per column across all tables."""
+    rows = []
+    for name in TABLE_NAMES:
+        for f in table(spark, sf_dir, name).schema.fields:
+            rows.append((name, f.name, f.dataType.simpleString(), f.nullable))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, data_type string, is_nullable boolean"
+    )
