@@ -1,1 +1,225 @@
-"""Placeholder — populated in later milestones."""
+"""Aggregations, top-k, rollups (SURVEY.md §2.4, §2.6).
+
+All aggregations are hash aggregates with map-side partial combine; double
+sums ride the decimal path (functions/numeric.py) for bit-determinism.
+Top-k queries end in ``orderBy().limit()`` which Catalyst plans as
+TakeOrderedAndProject (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+
+@register(
+    "a_groupby_multi_agg",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {dsum_sql('l_quantity')} AS sum_qty,
+        {dsum_sql('l_extendedprice')} AS sum_base_price,
+        {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+        {davg_sql('l_quantity')} AS avg_qty,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("agg",),
+)
+def a_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 generalized to the TPC-H Q1 shape: grouped multi-aggregate
+    (reference dashboard.py:249 groupby sum; :291-294 multi-agg). One
+    shuffle on the group keys, partials map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a_group_topk",
+    oracle=f"""
+    SELECT o_custkey, {dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 10
+    """,
+    tags=("agg", "topk"),
+)
+def a_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+O3: group-by sum then top-k (reference dashboard.py:249
+    nlargest(10)). orderBy+limit -> TakeOrderedAndProject."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "a_countdistinct_stringagg",
+    oracle="""
+    SELECT
+        n.n_name AS nation,
+        count(DISTINCT c.c_mktsegment) AS n_segments,
+        string_agg(DISTINCT c.c_mktsegment, ', ' ORDER BY c.c_mktsegment) AS segment_list,
+        count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "stringagg"),
+)
+def a_countdistinct_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: count-distinct + SORTED string-agg per group (reference
+    dashboard.py:291-294 movie_count nunique + ', '.join(sorted(unique))).
+    collect_set -> array_sort -> array_join reproduces the reference's
+    deterministic ordering (SURVEY §7 hard part (c))."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ", ").alias("segment_list"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "a_watermark_max",
+    oracle="""
+    SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n_events
+    FROM events
+    """,
+    tags=("agg", "watermark"),
+)
+def a_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/T4: global watermark read (reference kobis_pipeline.py:18
+    SELECT MAX(target_dt); dashboard.py:125-128 MAX(scraped_at))."""
+    return table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts"), F.min("ts").alias("min_ts"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "a_count_rows",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    tags=("agg",),
+)
+def a_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: row count (reference len(df) logging, kobis_pipeline.py:46)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "a_grouped_distinct",
+    oracle="SELECT event_type FROM events GROUP BY event_type",
+    tags=("agg", "distinct"),
+)
+def a_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: GROUP BY used as DISTINCT (reference
+    movie_events_scraper.py:70-75)."""
+    return table(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("_n")).select("event_type")
+
+
+@register(
+    "a_post_agg_sort_topk",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY n_customers DESC, c_mktsegment
+    LIMIT 3
+    """,
+    tags=("agg", "topk"),
+)
+def a_post_agg_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: post-aggregation sort + top-3 (reference dashboard.py:296
+    sort_values.nlargest(3))."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("c_mktsegment"))
+        .limit(3)
+    )
+
+
+@register(
+    "a_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup generalization of the KPI aggregates (SURVEY §2.4 note:
+    cube/rollup are free in Spark; the reference computes each KPI level
+    with a separate pandas pass)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a_pivot_conditional",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+        {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_fulfilled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def a_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (the KPI-matrix shape the reference
+    renders per-status; expressed with explicit CASE so the oracle is plain
+    ANSI SQL — Spark's .pivot() plans the same conditional aggregate)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias("qty_open"),
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias("qty_fulfilled"),
+    )
+
+
+@register(
+    "a_approx_stats",
+    oracle=None,  # approximate results have no exact oracle (rows-only check)
+    tags=("agg", "approx"),
+)
+def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantiles (SURVEY §2.11 extension: sketch-based
+    stats are the 100 TB substitutes for exact countDistinct/percentile).
+    HLL++ and GK-quantile both merge map-side — one narrow shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.count("*").alias("n"),
+    )

@@ -9,7 +9,7 @@ tables; the query code is unchanged either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 TABLE_NAMES = [
     "region",
@@ -28,9 +28,23 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a lazy DataFrame."""
+    """Load one fixture table as a lazy DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps with *integer* division — ``ns/1000`` in double would lose
+    precision past 2^53 — matching DuckDB's own ns->us truncation so oracle
+    comparisons stay exact. Still a single pushdown-capable parquet scan.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
