@@ -1,0 +1,58 @@
+"""Fuzzy (containment-scored) title join — reference J4.
+
+The reference matches event-title fragments to movie titles by
+(1) canonicalizing both sides (strip specials, collapse/drop whitespace and
+colons — movie_events_scraper.py:57-62,86,91), (2) keeping candidates whose
+normalized form CONTAINS the normalized input, (3) scoring by
+``len(candidate) - len(input)`` and picking the minimum
+(movie_events_scraper.py:92-100). Its Python ``sort`` is stable on insertion
+order, so our window adds an explicit candidate-name tie-break to stay
+deterministic (SURVEY §7 hard part (b)).
+
+Scale shape: the input side is small (events-of-the-day vs. the full title
+dimension), so we broadcast the *inputs* and stream candidates past them —
+an O(|candidates| x |inputs|) filtered nested loop that Spark executes as a
+BroadcastNestedLoopJoin with the predicate pushed in. For a 100 TB candidate
+side, swap tier-1 for the MinHashLSH variant in operators/dedup.py
+(approxSimilarityJoin) and keep this exact pass as the small-side fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from boxoffice_spark.functions.cleaning import normalize_title
+
+
+def fuzzy_containment_join(
+    inputs: DataFrame,
+    input_id: str,
+    input_col: str,
+    candidates: DataFrame,
+    cand_col: str,
+    out_match: str = "matched_name",
+    out_score: str = "score",
+) -> DataFrame:
+    """Best containment match per input row.
+
+    Returns one row per input that matched: (input_id, input_col, out_match,
+    out_score) where score = normalized-length difference, minimized.
+    """
+    q = F.col("_q_norm")
+    cand_norm = normalize_title(F.col(cand_col))
+    inp = inputs.select(
+        F.col(input_id),
+        F.col(input_col),
+        normalize_title(F.col(input_col)).alias("_q_norm"),
+    ).filter(F.length("_q_norm") > 0)
+
+    cand = candidates.select(F.col(cand_col)).distinct().withColumn("_c_norm", cand_norm)
+
+    joined = cand.join(F.broadcast(inp), F.col("_c_norm").contains(q))
+    scored = joined.withColumn(out_score, F.length("_c_norm") - F.length(q))
+    w = W.partitionBy(input_id).orderBy(F.asc(out_score), F.asc(cand_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(input_id, input_col, F.col(cand_col).alias(out_match), out_score)
+    )

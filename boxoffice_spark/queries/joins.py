@@ -1,1 +1,216 @@
-"""Placeholder — populated in later milestones."""
+"""Join operators (SURVEY.md §2.3).
+
+Join-strategy notes for the 100 TB design point are on each query: small
+dimensions broadcast (no shuffle of the fact side), the star join shuffles
+the fact exactly once, and the fuzzy join broadcasts its small input side
+under a filtered nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.functions.numeric import dsum, dsum_sql
+from boxoffice_spark.operators.fuzzy import fuzzy_containment_join
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+# DuckDB twin of functions.cleaning.normalize_title (kept in lockstep).
+_NORM_SQL = (
+    "lower(regexp_replace(trim(regexp_replace(regexp_replace({col}, "
+    "'[^가-힣a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), '[ :_]', '', 'g'))"
+)
+
+
+@register(
+    "j_broadcast_left_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    bench=True,
+    tags=("join",),
+)
+def j_broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join fact x dimension (reference dashboard.py:287
+    boxoffice ⋈ movie genre enrichment). Dimension broadcasts: the fact side
+    never shuffles, which is the difference between O(fact) and
+    O(fact shuffle) at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j_two_key_priority",
+    oracle="""
+    SELECT
+        o.o_orderkey,
+        o.o_custkey,
+        coalesce(p1.c_name, p2.c_name) AS enriched_name,
+        CASE WHEN p1.c_name IS NOT NULL THEN 'primary' ELSE 'fallback' END AS match_tier
+    FROM orders o
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) p1
+        ON o.o_custkey = p1.c_custkey
+    LEFT JOIN customer p2 ON o.o_custkey = p2.c_custkey
+    """,
+    tags=("join", "priority"),
+)
+def j_two_key_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: two-key priority enrichment (reference
+    movie_events_scraper.py:307-367: probe dict keyed (title, goods_name),
+    fall back to (title, start, end)). Two broadcast left joins + coalesce;
+    the match_tier column records which key hit, mirroring the reference's
+    consume-matched-rows bookkeeping."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p1 = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1")
+    )
+    p2 = c.select(F.col("c_custkey").alias("k2"), F.col("c_name").alias("name2"))
+    return (
+        o.join(F.broadcast(p1), o.o_custkey == F.col("k1"), "left")
+        .join(F.broadcast(p2), o.o_custkey == F.col("k2"), "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("name1", "name2").alias("enriched_name"),
+            F.when(F.col("name1").isNotNull(), "primary").otherwise("fallback").alias("match_tier"),
+        )
+    )
+
+
+@register(
+    "j_dispatch_join",
+    oracle=f"""
+    SELECT m.handler, count(*) AS n_events, {dsum_sql('e.value')} AS total_value
+    FROM events e
+    JOIN (VALUES
+        ('click', 'web'), ('view', 'web'), ('purchase', 'commerce'),
+        ('signup', 'account'), ('error', 'ops')
+    ) AS m(event_type, handler) ON e.event_type = m.event_type
+    GROUP BY m.handler
+    """,
+    tags=("join", "dispatch"),
+)
+def j_dispatch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: key-map dispatch join (reference goods_stock_pipeline.py:60-66
+    routes rows to scrapers by theater_chain). The routing table is a
+    broadcast literal DataFrame — at scale this is how per-source handlers
+    partition a firehose without a shuffle."""
+    ev = table(spark, sf_dir, "events")
+    mapping = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "commerce"), ("signup", "account"), ("error", "ops")],
+        "event_type string, handler string",
+    )
+    return (
+        ev.join(F.broadcast(mapping), "event_type")
+        .groupBy("handler")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "j_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+    )
+    """,
+    tags=("join", "semi"),
+)
+def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers active in 1995. The dual of the
+    reference's NOT IN anti-join (movie_events_scraper.py:79)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j_star_join",
+    oracle=f"""
+    SELECT n.n_name AS nation, {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+    tags=("join", "star"),
+)
+def j_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape) — the scaled generalization of
+    the reference's fact x dim enrichment. customer/nation/region broadcast;
+    lineitem ⋈ orders is the only real shuffle. The region filter prunes
+    before the join via Catalyst predicate pushdown."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").between("1995-01-01", "1996-12-31"))
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+    )
+
+
+_FUZZY_NORM_C = _NORM_SQL.format(col="c.p_name")
+_FUZZY_NORM_Q = _NORM_SQL.format(col="i.q")
+
+
+@register(
+    "j_fuzzy_containment",
+    oracle=f"""
+    WITH cands AS (SELECT DISTINCT p_name FROM part),
+    inputs AS (
+        SELECT p_partkey AS input_id, split_part(p_name, ' ', 1) AS q
+        FROM part WHERE p_partkey % 97 = 0
+    ),
+    scored AS (
+        SELECT
+            i.input_id,
+            i.q,
+            c.p_name AS matched_name,
+            length({_FUZZY_NORM_C}) - length({_FUZZY_NORM_Q}) AS score,
+            ROW_NUMBER() OVER (
+                PARTITION BY i.input_id
+                ORDER BY length({_FUZZY_NORM_C}) - length({_FUZZY_NORM_Q}), c.p_name
+            ) AS rn
+        FROM inputs i
+        JOIN cands c ON contains({_FUZZY_NORM_C}, {_FUZZY_NORM_Q})
+        WHERE length({_FUZZY_NORM_Q}) > 0
+    )
+    SELECT input_id, q, matched_name, score FROM scored WHERE rn = 1
+    """,
+    bench=True,
+    tags=("join", "fuzzy"),
+)
+def j_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: fuzzy containment-scored join (reference
+    movie_events_scraper.py:56-128) on fixtures: match one-word queries
+    (first word of every 97th part name) to the closest full part name —
+    normalized containment, min length-difference, deterministic tie-break.
+    See operators/fuzzy.py for semantics + scale notes."""
+    part = table(spark, sf_dir, "part")
+    inputs = part.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("input_id"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("q"),
+    )
+    return fuzzy_containment_join(
+        inputs, "input_id", "q", part, "p_name", out_match="matched_name", out_score="score"
+    )

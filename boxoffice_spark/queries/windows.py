@@ -1,1 +1,175 @@
-"""Placeholder — populated in later milestones."""
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference stores API-precomputed deltas/ranks (rank_inten, audi_inten,
+sales_acc — sqlite_connector.py:27-31); here each is derived natively with
+a window, which is the correct posture at scale: the engine owns the
+derivation instead of trusting an upstream feed.
+
+Oracle note: ``events.ts`` is nanosecond-precision in parquet; Spark reads
+it truncated to microseconds (see tables.py). Every oracle over events goes
+through the ``_EVENTS_US`` CTE so both engines window over identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from boxoffice_spark.functions.numeric import davg, davg_sql
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+_EVENTS_US = """
+    SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
+    FROM events
+"""
+
+
+@register(
+    "w_latest_per_key",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    ranked AS (
+        SELECT *,
+            ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+        FROM ev
+    )
+    SELECT event_id, ts, user_id, event_type, value
+    FROM ranked WHERE rn = 1
+    """,
+    bench=True,
+    tags=("window", "latest"),
+)
+def w_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/T3: latest-row-per-group (reference dashboard.py:105-118
+    ROW_NUMBER ... PARTITION BY event_id, theater_name ORDER BY scraped_at
+    DESC, rn=1 — the 'current stock' view over the append-only log).
+    event_id breaks same-microsecond ties deterministically."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "w_lag_delta",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_orderdate,
+        o_totalprice,
+        o_totalprice - LAG(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS price_delta
+    FROM orders
+    """,
+    tags=("window", "lag"),
+)
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: day-over-day delta via lag (reference's rank_inten/audi_inten
+    columns, recomputed natively — SURVEY §2.5 W2). First row per key yields
+    null, matching the reference's NEW-entry semantics."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+@register(
+    "w_cumulative_sum",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS spend_acc
+    FROM orders
+    """,
+    tags=("window", "cumulative"),
+)
+def w_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative accumulation (the reference's sales_acc/audi_acc columns,
+    API-provided — recomputed as a running-frame window, SURVEY §2.5 note).
+    Decimal accumulator: window-sum association order differs between
+    engines (segment trees vs streaming), so double would drift."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).over(w).cast("double").alias("spend_acc"),
+    )
+
+
+@register(
+    "w_datediff_derived",
+    oracle=f"""
+    SELECT
+        o.o_orderpriority,
+        {davg_sql("date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))")} AS avg_ship_delay,
+        count(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("window", "datediff"),
+)
+def w_datediff_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: datediff derived column (reference kobisdata_extractor.py:144-149
+    elapsed_dt = target_dt - open_dt in days), aggregated into average
+    ship delay per order priority."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(davg(delay).alias("avg_ship_delay"), F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "w_rank_derive",
+    oracle="""
+    SELECT
+        o_orderkey,
+        o_orderdate,
+        o_totalprice,
+        CAST(RANK() OVER (PARTITION BY o_orderdate ORDER BY o_totalprice DESC) AS INT) AS rnk,
+        CAST(DENSE_RANK() OVER (PARTITION BY o_orderdate ORDER BY o_totalprice DESC) AS INT) AS drnk
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
+    """,
+    tags=("window", "rank"),
+)
+def w_rank_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: derive the daily rank natively rather than trusting the source's
+    rank column (reference dashboard.py:84 consumes a stored rank; SURVEY
+    §2.5 W4 mandates recomputation). rank/dense_rank are tie-stable: equal
+    prices get equal ranks, so no artificial tie-break is needed."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+    w = W.partitionBy("o_orderdate").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
