@@ -1,1 +1,294 @@
-"""Placeholder — populated in later milestones."""
+"""ETL surface: scalar-function families and upsert/backfill semantics
+(SURVEY.md §2.1 sinks, §2.8 functions).
+
+Every transformation here is a JVM-side Catalyst expression (no Python
+UDFs): the reference runs these as row-at-a-time pandas lambdas; on Spark
+they ride whole-stage codegen, which is the difference between ~1 MB/s/core
+and ~100 MB/s/core on a 100 TB text pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.functions.cleaning import (
+    coercive_cast,
+    extract_bracketed,
+    rename_snake_case,
+    stock_status,
+    strip_brackets,
+    truncate_ellipsis,
+)
+from boxoffice_spark.functions.numeric import dsum, dsum_sql
+from boxoffice_spark.operators.upsert import idempotent_backfill, merge_upsert
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import describe_tables, table
+
+
+@register(
+    "e_snake_case_rename",
+    oracle="""
+    SELECT r_regionkey AS region_key, r_name AS region_name FROM region
+    """,
+    tags=("etl", "rename"),
+)
+def e_snake_case_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: camelCase -> snake_case bulk rename (reference utils.py:4-9,
+    applied to every external API payload). Simulated by aliasing to the
+    API's camelCase and renaming back through the library helper."""
+    camel = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("regionKey"), F.col("r_name").alias("regionName")
+    )
+    return rename_snake_case(camel)
+
+
+@register(
+    "e_regex_extract_brackets",
+    oracle="""
+    SELECT
+        doc_id,
+        regexp_extract('[' || lang || '] ' || substring(text, 1, 40), '[<\\[](.*?)[>\\]]', 1) AS tag,
+        trim(regexp_replace(regexp_replace('[' || lang || '] ' || substring(text, 1, 40),
+             '\\[.*?\\]', '', 'g'), '<[^<>]+>', '', 'g')) AS title
+    FROM documents
+    """,
+    tags=("etl", "regex"),
+)
+def e_regex_extract_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3: bracket-content extraction and bracket removal (reference
+    movie_events_scraper.py:260-262 extracts the movie title from
+    '[Title] event name'; :282 strips it). Fixture docs get a synthetic
+    '[lang] text...' title to operate on."""
+    d = table(spark, sf_dir, "documents")
+    titled = d.select(
+        "doc_id",
+        F.concat(F.lit("["), F.col("lang"), F.lit("] "), F.substring("text", 1, 40)).alias("_t"),
+    )
+    return titled.select(
+        "doc_id",
+        extract_bracketed(F.col("_t")).alias("tag"),
+        strip_brackets(F.col("_t")).alias("title"),
+    )
+
+
+@register(
+    "e_case_bucketing",
+    oracle="""
+    SELECT
+        CASE WHEN value > 40 THEN '보유'
+             WHEN value > 10 THEN '소진중'
+             WHEN value > 0  THEN '소량보유'
+             ELSE '소진' END AS status,
+        count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("etl", "case"),
+)
+def e_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: threshold CASE bucketing with the reference's exact stock-status
+    thresholds and labels (movie_events_scraper.py:490-502)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(stock_status("value").alias("status")).groupBy("status").agg(F.count("*").alias("n"))
+
+
+@register(
+    "e_coercive_cast",
+    oracle=f"""
+    SELECT
+        event_type,
+        {dsum_sql("coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), 0)")} AS k_sum,
+        {dsum_sql("coalesce(try_cast(event_type AS DOUBLE), 0)")} AS bad_cast_sum,
+        count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("etl", "cast"),
+)
+def e_coercive_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/F22/F29: coercive numeric cast with ZERO-fill (reference
+    utils.py:27-39: pd.to_numeric(errors='coerce').fillna(0) — failed casts
+    become 0, not null; SURVEY §7 hard part (a)). bad_cast_sum proves the
+    zero-fill path: every event_type fails the cast and contributes 0.
+    The JSON hop is F29's get_json_object path-descent."""
+    ev = table(spark, sf_dir, "events")
+    k = coercive_cast(F.get_json_object("props", "$.k"))
+    bad = coercive_cast(F.col("event_type"))
+    return ev.groupBy("event_type").agg(
+        dsum(k).alias("k_sum"), dsum(bad).alias("bad_cast_sum"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "e_date_functions",
+    oracle="""
+    SELECT
+        o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        strftime(o_orderdate, '%Y.%m.%d') AS dotted_day,
+        CAST(year(o_orderdate) AS INT) AS order_year,
+        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    tags=("etl", "date"),
+)
+def e_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14/F17/F18: date formatting family (reference
+    kobisdata_extractor.py:121,131 '%Y-%m-%d'/'%Y%m%d';
+    movie_events_scraper.py:265-268 YYYYMMDD->YYYY.MM.DD;
+    supabase_connector.py:39-41 ISO serialization)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_format("o_orderdate", "yyyy.MM.dd").alias("dotted_day"),
+        F.year("o_orderdate").alias("order_year"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+    )
+
+
+@register(
+    "e_date_sequence_explode",
+    oracle="""
+    SELECT o_orderkey, unnest(generate_series(o_orderdate, o_orderdate + INTERVAL 3 DAY, INTERVAL 1 DAY)) AS dt
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    tags=("etl", "date", "explode"),
+)
+def e_date_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: date-range generation (reference backfill driver loops,
+    backfill_boxoffice.py:51, kobis_pipeline.py:36-40 — fetch day-by-day
+    from watermark to yesterday). sequence+explode turns the driver-side
+    Python loop into a distributed generator."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate"),
+                F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("dt"),
+    )
+
+
+@register(
+    "e_array_ops",
+    oracle="""
+    SELECT
+        doc_id,
+        len(string_split(text, ' ')) AS n_words,
+        array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+        list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        CASE WHEN length(text) > 31 THEN substring(text, 1, 31) || '...' ELSE text END AS text_short
+    FROM documents
+    """,
+    tags=("etl", "array"),
+)
+def e_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26-F28 + F10: native array ops replacing the reference's
+    JSON-string round-trips (kobisdata_extractor.py:93-113 encodes arrays
+    as JSON text; ai_agent.py:134-139 decodes + joins). Arrays are
+    first-class columns here — split/size/slice/contains are all codegen'd
+    — plus the display truncation (dashboard.py:304-306)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        truncate_ellipsis(F.col("text")).alias("text_short"),
+    )
+
+
+_UPSERT_ORACLE = """
+WITH new_rows AS (
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+tagged AS (
+    SELECT *, 0 AS _src FROM orders
+    UNION ALL
+    SELECT *, 1 AS _src FROM new_rows
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY _src DESC) AS _rn
+    FROM tagged
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM ranked WHERE _rn = 1
+"""
+
+
+@register("e_upsert_merge", oracle=_UPSERT_ORACLE, bench=True, tags=("etl", "upsert"))
+def e_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10: keyed merge-upsert, last-writer-wins (reference
+    sqlite_connector.py:76-114 ON CONFLICT DO UPDATE; supabase upsert on
+    composite keys). A synthetic 'new batch' updates every 10th order and
+    inserts fresh keys; operators/upsert.py does union + key-window. The
+    scaled path is Delta/Iceberg MERGE INTO — same logical plan shape."""
+    o = table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+
+
+@register(
+    "e_backfill_overwrite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate NOT BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-01-31'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * 0.9, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-01-31'
+    """,
+    tags=("etl", "backfill"),
+)
+def e_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: idempotent delete-then-reinsert backfill (reference
+    backfill_boxoffice.py:27-47: DELETE WHERE date BETWEEN ... then
+    re-insert). Here January 1996 is 'recomputed' with a 10% price
+    adjustment. The physical form is a dynamic partition overwrite
+    (exercised in tests/test_etl_write.py); this query is the logical
+    semantics."""
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"]
+    li = table(spark, sf_dir, "lineitem").select(*cols)
+    in_range = F.col("l_shipdate").between("1996-01-01", "1996-01-31")
+    replacement = (
+        li.filter(in_range)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 0.9)
+    )
+    return idempotent_backfill(li, replacement, in_range)
+
+
+@register("e_schema_introspection", oracle=None, tags=("etl", "catalog"))
+def e_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: schema introspection as data (reference ai_agent.py:26-38 reads
+    sqlite_master + PRAGMA table_info to ground the NL->SQL prompt). Spark
+    source of truth: DataFrame schemas. Rows-only check (DuckDB's
+    information_schema names types differently)."""
+    return describe_tables(spark, sf_dir)

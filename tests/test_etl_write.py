@@ -1,0 +1,72 @@
+"""Physical sink semantics (S8 append, S11 CSV, S12 dynamic partition
+overwrite) — exercised against a tmp dir since the query contract only
+covers logical plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from boxoffice_spark import io as bio
+from boxoffice_spark.operators.upsert import merge_upsert
+from boxoffice_spark.tables import table
+
+
+def test_append_then_count(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_sink")
+    o = table(spark, sf_dir, "orders").limit(100)
+    bio.append(o, out)
+    bio.append(o, out)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "fact")
+    li = bio.with_day_partition(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_shipdate"),
+        "l_shipdate",
+    )
+    jan = li.filter(F.col("l_shipdate").between("1996-01-01", "1996-01-31"))
+    bio.append(li, out, partition_by=["dt"])
+    total_before = spark.read.parquet(out).count()
+
+    # backfill January with adjusted prices, twice — count must not change
+    adjusted = jan.withColumn("l_extendedprice", F.col("l_extendedprice") * 0.9)
+    bio.overwrite_partitions(adjusted, out, ["dt"])
+    bio.overwrite_partitions(adjusted, out, ["dt"])
+    after = spark.read.parquet(out)
+    assert after.count() == total_before
+    # only January rows changed
+    jan_sum = (
+        after.filter(F.col("dt").between("1996-01-01", "1996-01-31"))
+        .agg(F.sum("l_extendedprice"))
+        .collect()[0][0]
+    )
+    jan_expected = adjusted.agg(F.sum("l_extendedprice")).collect()[0][0]
+    assert jan_sum == pytest.approx(jan_expected)
+    # untouched partition spot-check
+    feb_cnt = after.filter(F.col("dt").between("1996-02-01", "1996-02-29")).count()
+    assert feb_cnt == li.filter(F.col("l_shipdate").between("1996-02-01", "1996-02-29")).count()
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "csv")
+    n = table(spark, sf_dir, "nation")
+    bio.write_csv(n, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == n.count()
+    assert set(back.columns) == set(n.columns)
+
+
+def test_merge_upsert_properties(spark, sf_dir):
+    """Upsert invariants: updated keys take new values, unmatched old rows
+    survive, fresh keys insert, key-uniqueness holds."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = spark.createDataFrame(
+        [(0, -1.0), (999999999, -2.0)], "o_orderkey long, o_totalprice double"
+    )
+    merged = merge_upsert(o, new, ["o_orderkey"])
+    assert merged.count() == o.count() + 1
+    assert merged.filter("o_orderkey = 0").collect()[0].o_totalprice == -1.0
+    assert merged.filter("o_orderkey = 999999999").collect()[0].o_totalprice == -2.0
+    assert merged.groupBy("o_orderkey").count().filter("count > 1").count() == 0
