@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.windows",
     "boxoffice_spark.queries.etl",
     "boxoffice_spark.queries.incremental",
+    "boxoffice_spark.queries.streaming_checks",
     "boxoffice_spark.queries.text_pipeline",
     "boxoffice_spark.queries.similarity",
 ]

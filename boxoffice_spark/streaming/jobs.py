@@ -1,0 +1,91 @@
+"""Structured Streaming jobs (SURVEY.md §2.9 T2/T3).
+
+The reference's only true stream is the 10-minute goods_stock poll
+(goods_stock_pipeline.py:135-139) feeding an append-only log that the
+dashboard reduces to latest-state (dashboard.py:105-118). Spark-first, that
+is: file/Kafka source -> event-time window aggregation with a watermark ->
+sink; and streaming dedup for the state view.
+
+These jobs run the SAME logical plans as queries/incremental.py — the
+batch forms are the oracle-checked semantics, these are their incremental
+execution. Locally they're driven to completion synchronously with
+``availableNow`` over the fixture parquet (bounded source); on a cluster
+the trigger becomes ``processingTime='10 minutes'`` against a live source
+and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.functions.numeric import dsum
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (nanos -> microsecond timestamps,
+    same normalization as tables.table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source wants a directory; glob-filter down to events
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_completion(result: DataFrame, mode: str) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink and return
+    the materialized table. availableNow = process everything then stop
+    (the reference's catch-up semantics, T1)."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def tumbling_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T2: event-time tumbling aggregation with a late-data watermark.
+
+    Complete output mode so every window is emitted on the bounded fixture
+    (append mode would hold back windows newer than the final watermark —
+    correct for an unbounded stream, surprising for a file replay).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+    return _run_to_completion(agg, "complete")
+
+
+def streaming_dedup_first_per_key(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """T3 (streaming half): watermarked dropDuplicates per key — bounded
+    state. Streaming keeps the FIRST arrival per key; the batch
+    latest-state view (queries/incremental.py i_latest_state_view) is the
+    read-side complement, exactly like the reference's append-log +
+    window-on-read split."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    return _run_to_completion(deduped.select("user_id", "event_type", "ts", "value"), "append")
