@@ -1,1 +1,82 @@
-"""Placeholder — populated in later milestones."""
+"""Embedding similarity-search queries (SURVEY.md §2.11 / BASELINE.json
+north-star operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.operators.similarity import ann_lsh_topk, cosine, cosine_topk
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+
+@register(
+    "v_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+    bench=True,
+    tags=("similarity", "vector"),
+)
+def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 5 query vectors —
+    float32 promoted to double before arithmetic, JVM-side zip_with/
+    aggregate dot products, broadcast query side (operators/similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+@register("v_ann_lsh_topk", oracle=None, tags=("similarity", "ann"))
+def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-projection LSH buckets + exact rerank
+    (the sub-linear scale path; recall vs the exact operator asserted in
+    tests/test_llm_ops.py). Rows-only: approximate by construction."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_lsh_topk(emb, queries, k=10)
+
+
+@register(
+    "v_embedding_stats",
+    oracle="""
+    SELECT
+        label,
+        count(*) AS n_vecs,
+        CAST(sum(CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[]))), 6)
+                      AS DECIMAL(27,6))) AS DOUBLE) AS norm_sum
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "stats"),
+)
+def v_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene stats: per-label counts and L2-norm mass
+    (degenerate/zero vectors surface here before they poison ANN indexes)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.round(norm, 6).cast("decimal(27,6)")).cast("double").alias("norm_sum"),
+    )

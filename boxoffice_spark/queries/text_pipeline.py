@@ -1,1 +1,168 @@
-"""Placeholder — populated in later milestones."""
+"""Dedup + text-analysis queries over the documents corpus (SURVEY.md
+§2.11 / BASELINE.json north-star operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.functions.numeric import dsum_sql
+from boxoffice_spark.operators import dedup as D
+from boxoffice_spark.operators import textstats as TS
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+_NORM = D.NORMALIZED_SQL.format(col="text")
+_SHINGLES = "list_distinct(" + D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=2) + ")"
+
+
+@register(
+    "t_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-1 exact dedup: md5-of-normalized-text groups with keeper =
+    min(doc_id). See operators/dedup.py."""
+    return D.exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "t_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM documents
+    )
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    bench=True,
+    tags=("dedup", "jaccard"),
+)
+def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 near-dup: word-3-gram Jaccard >= 0.5 within (lang, source)
+    blocks. Exact pairwise similarity, quadratic bounded by blocking."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_cols=["lang", "source"],
+        n=3,
+        threshold=0.5,
+    )
+
+
+@register(
+    "t_simhash",
+    oracle=D.simhash_sql("documents", "doc_id", "text"),
+    tags=("dedup", "simhash"),
+)
+def t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-3 SimHash: 60-bit locality-sensitive fingerprint per doc,
+    oracle-exact across engines (md5-derived word hashes)."""
+    return D.simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("t_minhash_lsh_pairs", oracle=None, bench=True, tags=("dedup", "lsh"))
+def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-4 MinHash+LSH candidate pairs (Spark ML, approximate ->
+    rows-only). Recall vs the exact tier is asserted in
+    tests/test_llm_ops.py."""
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "t_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS declared_lang, {TS.lang_id_sql('text')} AS lang_guess
+    FROM documents
+    """,
+    tags=("text", "langid"),
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token hits with deterministic argmax
+    (operators/textstats.py). The engine contract is the deterministic
+    score->argmax shape, not model quality."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        TS.lang_id("text").alias("lang_guess"),
+    )
+
+
+@register(
+    "t_text_stats",
+    oracle=f"""
+    SELECT
+        doc_id,
+        length(text) AS n_chars_actual,
+        len(string_split({_NORM}, ' ')) AS n_words,
+        {TS.BPEISH_SQL.format(col='text')} AS n_tokens_bpeish,
+        round(CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE)
+              / greatest(length(text), 1), 6) AS punct_ratio,
+        round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE)
+                       / greatest(length(text), 1)), 6) AS quality
+    FROM documents
+    """,
+    tags=("text", "stats"),
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: char/word/BPE-ish token counts,
+    punctuation ratio, composite quality score — the standard pre-training
+    quality-filter feature set, all codegen'd."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        TS.whitespace_token_count("text").alias("n_words"),
+        TS.bpe_ish_token_count("text").alias("n_tokens_bpeish"),
+        F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
+        TS.quality_score("text").alias("quality"),
+    )
+
+
+_QUALITY_EXPR_SQL = (
+    "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) "
+    "* (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE) "
+    "/ greatest(length(text), 1))"
+)
+
+
+@register(
+    "t_quality_by_lang",
+    oracle=f"""
+    SELECT
+        lang,
+        count(*) AS n_docs,
+        {dsum_sql(_QUALITY_EXPR_SQL, 9)} AS quality_sum,
+        {dsum_sql('length(text)', 0)} AS chars_total
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "quality"),
+)
+def t_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation roll-up: per-language doc counts, total quality mass,
+    char volume — the 'what do we keep' dashboard of a data pipeline."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    d = table(spark, sf_dir, "documents")
+    len_signal = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
+    quality = len_signal * (1.0 - TS.punct_ratio("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        dsum(quality, scale=9).alias("quality_sum"),
+        dsum(F.length("text"), scale=0).alias("chars_total"),
+    )

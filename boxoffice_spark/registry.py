@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.streaming_checks",
     "boxoffice_spark.queries.text_pipeline",
     "boxoffice_spark.queries.similarity",
+    "boxoffice_spark.queries.multimodal",
 ]
 
 

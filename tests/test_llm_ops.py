@@ -1,0 +1,55 @@
+"""Cross-checks for the approximate/rows-only LLM-pipeline operators:
+approximate tiers are validated against their exact counterparts, and the
+Pandas-UDF paths for determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from boxoffice_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from boxoffice_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from boxoffice_spark.queries.multimodal import m_asset_features
+from boxoffice_spark.tables import table
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """Every strongly-similar pair (exact jaccard >= 0.8) must be found by
+    the MinHash-LSH candidate generator (8 tables at 0.5 threshold)."""
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", block_cols=[], n=3, threshold=0.8
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: missed {missed}"
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    """LSH ANN top-10 must recover most of the exact cosine top-10."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ann_lsh_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean ANN recall too low: {recalls}"
+
+
+def test_asset_features_deterministic(spark, sf_dir):
+    """mapInPandas feature extraction must be repeatable row-for-row."""
+    a = sorted(map(tuple, m_asset_features(spark, sf_dir).collect()))
+    b = sorted(map(tuple, m_asset_features(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
