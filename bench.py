@@ -1,0 +1,66 @@
+"""Benchmark harness (driver contract).
+
+Times every bench-flagged headline query from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect materialization cost in the timing). A tiny warmup query
+runs first so JVM/codegen startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = sf_name
+
+    from boxoffice_spark.registry import load_all
+    from boxoffice_spark.session import get_spark
+
+    spark = get_spark("boxoffice_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = load_all()
+    headline = {n: s for n, s in specs.items() if s.bench}
+
+    # warmup: trigger JVM, codegen, parquet footer reads
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
