@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from boxoffice_spark.tables import spread
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed int64 in both engines
 
 
@@ -73,31 +75,55 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Tier 2: pairwise word-n-gram Jaccard within blocks.
+    """Tier 2: pairwise word-n-gram Jaccard within blocks, via an
+    inverted shingle index.
 
-    Blocking bounds the quadratic term: at 100 TB, block on a cheap
-    discriminator (language x source x length-bucket) so each block fits a
-    partition; the self-join then shuffles each side once on the block key.
+    Instead of the block-quadratic self-join (compare *every* pair in a
+    block, full array_intersect each), explode to (shingle, id) postings and
+    self-join on the shingle itself: only pairs that *share* a shingle are
+    ever materialized, the common-shingle count falls out of a groupBy, and
+    ``|A ∪ B| = |A| + |B| - common``. Any pair at jaccard ≥ threshold > 0
+    shares a shingle, so the result set is identical to the quadratic form.
+    At 100 TB the shuffle is postings-sized (corpus token count), not
+    block²-sized; hot shingles are the skew risk — AQE skew-join splitting
+    plus the block keys keep postings lists bounded.
     """
-    shingled = df.select(
+    # explode(array(e)) materializes the shingle array through a Generate
+    # once per row; a plain select would let CollapseProject inline the
+    # (lambda-bearing, so not subexpression-eliminated) shingle expression
+    # into BOTH the size() and the explode() below — 2x the compute.
+    shingled = spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
-        F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n)).alias("_sh"),
+        F.explode(
+            F.array(
+                F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n))
+            )
+        ).alias("_sh"),
+    ).select(
+        *block_cols, id_col, F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    ]
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
-    jac = inter.cast("double") / union
+    a, b = shingled.alias("a"), shingled.alias("b")
+    cond = [F.col("a._g") == F.col("b._g")] + [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
+    ] + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    common = F.count("*").cast("int")
     return (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+            F.col("a._sz").alias("_sza"),
+            F.col("b._sz").alias("_szb"),
+        )
+        .agg(common.alias("_common"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_common"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -121,7 +147,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     simhash (one pass, no explode) wins on shuffle volume; this form is the
     oracle-exact reference implementation.
     """
-    words = df.select(
+    words = spread(df).select(
         F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("_w")
     ).withColumn("_h", _word_hash(F.col("_w")))
     votes = [
@@ -162,35 +188,73 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hash_tables: int = 8,
+    num_hashes: int = 32,
+    bands: int = 16,
     threshold: float = 0.5,
-    num_features: int = 1 << 18,
 ) -> DataFrame:
-    """Tier 4: MinHash + banded LSH candidate pairs (Spark ML).
+    """Tier 4: MinHash + banded LSH candidate pairs, all-Catalyst.
 
-    shingle -> HashingTF (binary) -> MinHashLSH.approxSimilarityJoin.
-    Sub-quadratic: only bucket-colliding pairs are compared, which is the
-    only tier that survives corpus-scale all-pairs dedup. Approximate ->
-    rows-only correctness check; the exact tiers above are its oracle on
-    small data.
+    shingle -> 32-permutation minhash signature (``array_min`` over
+    ``xxhash64(shingle, seed_j)`` — pure codegen, no ML pipeline / model
+    fit / per-row UDF) -> band into ``bands`` buckets of ``r`` rows ->
+    posting-list self-join on (band, bucket-hash) -> exact Jaccard rerank
+    on the (few) candidates via array_intersect.
+
+    Sub-quadratic: only bucket-colliding pairs are compared — the tier that
+    survives corpus-scale all-pairs dedup. With b=16 bands of r=2,
+    P(candidate | s=0.5) = 1-(1-s²)¹⁶ ≈ .99; false candidates are removed
+    by the exact rerank, so precision is exact and only recall is
+    probabilistic. Rows-only check; the exact tiers are its small-scale
+    oracle (tests/test_llm_ops.py asserts recall).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    r = num_hashes // bands
+    shingles = F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n))
 
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
-    feat = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            (1.0 - F.col("jaccard_dist")).alias("jaccard_est"),
+    # Signature as a codegen'd hash aggregate: explode shingles once, take
+    # min(xxhash64(shingle, seed_j)) per permutation. Higher-order-function
+    # folds (aggregate/zip_with) stay interpreted in Spark and CollapseProject
+    # re-inlines lambda-bearing expressions (they're excluded from
+    # subexpression elimination), so the "functional" formulations all
+    # re-evaluate the shingling or run row-at-a-time; min()-aggregates go
+    # through whole-stage codegen and the shuffle carries (id, shingle) once.
+    words = spread(df).select(F.col(id_col), F.explode(shingles).alias("_g"))
+    sigt = words.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_g", F.lit(j))).alias(f"_m{j}") for j in range(num_hashes)]
+    )
+    # Post-aggregation the minima are real attributes, so banding them is
+    # plain cheap projection. Postings carry only (id, band, bucket) —
+    # carrying shingle arrays through the band explode would amplify shuffle
+    # bytes by ``bands``x; the (few) candidate pairs join back to the
+    # shingled table by id for the exact rerank instead.
+    buckets = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"_m{b * r + i}") for i in range(r)])
+            for b in range(bands)
+        ]
+    )
+    postings = sigt.select(F.col(id_col), F.posexplode(buckets).alias("_band", "_bucket"))
+    a, b = postings.alias("a"), postings.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingled = spread(df).select(F.col(id_col), shingles.alias("_sh"))
+    sha = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    shb = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
     )

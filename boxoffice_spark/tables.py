@@ -48,6 +48,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a compute-bound input up to full parallelism.
+
+    Parquet splits follow row-group boundaries, so a small file (or any
+    unsplittable source) scans as ONE partition and everything downstream of
+    it — shingling, hashing, similarity scoring — serializes onto a single
+    core no matter how many the cluster has. For compute-bound operators the
+    exchange is worth it: shuffle cost is proportional to input bytes, the
+    saved compute to input rows x per-row work.
+
+    Guarded: at 100 TB a scan already yields thousands of splits
+    (maxPartitionBytes), getNumPartitions >= parallelism, and this is a
+    no-op — no accidental full-corpus reshuffle at scale.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (SQL surface, S6/S13).
 
