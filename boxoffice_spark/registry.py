@@ -47,6 +47,8 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.text_pipeline",
     "boxoffice_spark.queries.similarity",
     "boxoffice_spark.queries.multimodal",
+    "boxoffice_spark.queries.sql_surface",
+    "boxoffice_spark.queries.sources",
 ]
 
 
