@@ -1,0 +1,91 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100 TB scale-up, locked in as assertions so a refactor can't silently lose
+them (the first plan that *passes* is not necessarily the plan you *want*).
+
+- dimension joins must stay broadcast (no fact-side shuffle),
+- filters must reach the parquet scan (PushedFilters),
+- projections must prune the scan schema (ReadSchema),
+- single-shuffle aggregates must stay single-shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from boxoffice_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def physical(df) -> str:
+    # default maxMetadataStringLength=100 truncates PushedFilters/ReadSchema
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "Scan parquet" in ln or "PushedFilters" in ln]
+
+
+def test_flagship_broadcasts_dimension(spark, sf_dir):
+    plan = physical(SPECS["flagship_daily_topk_delta"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "dim join regressed to shuffle join"
+
+
+def test_broadcast_left_join_is_broadcast(spark, sf_dir):
+    plan = physical(SPECS["j_broadcast_left_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_daterange_filter_pushed_to_scan(spark, sf_dir):
+    plan = physical(SPECS["p_projection_daterange"].fn(spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("GreaterThan" in p or "LessThan" in p or "IsNotNull" in p for p in pushed), plan
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    df = SPECS["p_projection_daterange"].fn(spark, sf_dir)
+    plan = physical(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    # lineitem has 16 columns; the query needs far fewer — pruning must hold
+    assert 0 < len(read_cols) <= 8, f"scan reads too many columns: {read_cols}"
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    plan = physical(SPECS["t_exact_dedup"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    plan = physical(SPECS["w_latest_per_key"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = physical(SPECS["v_cosine_topk"].fn(spark, sf_dir))
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, "query side must broadcast, not cartesian"
+
+
+def test_no_python_udfs_in_relational_core(spark, sf_dir):
+    """The §2.2-2.8 surface must stay whole-stage-codegen JVM — any
+    BatchEvalPython/ArrowEvalPython in these plans means a Python UDF crept
+    into the hot path."""
+    for name in [
+        "flagship_daily_topk_delta",
+        "a_groupby_multi_agg",
+        "w_lag_delta",
+        "e_array_ops",
+        "t_text_stats",
+        "t_simhash",
+        "t_ngram_jaccard_pairs",
+        "t_minhash_lsh_pairs",
+        "v_cosine_topk",
+    ]:
+        plan = physical(SPECS[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} contains a Python UDF"
