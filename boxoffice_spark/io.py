@@ -35,6 +35,30 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    buckets: int = 8,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffle the data ONCE at write time so
+    every later join/aggregation on ``keys`` is co-located and plans with
+    no Exchange at all (add ``sort_by=keys`` to also pre-sort and drop the
+    SortMergeJoin's per-query sort).
+
+    This is the 100 TB answer to the reference's repeated fact-dim joins on
+    movie_cd (dashboard.py:287 runs per dashboard hit): amortize the
+    shuffle across every query that ever joins on the key. Both sides must
+    use the same bucket count. Verified shuffle-free in
+    tests/test_bucketed.py.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table_name)
+
+
 def with_day_partition(df: DataFrame, ts_col: str, part_col: str = "dt") -> DataFrame:
     """Derive the date partition column for a fact table (the reference's
     boxoffice table is keyed/partitioned by target_dt)."""
