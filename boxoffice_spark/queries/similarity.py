@@ -57,6 +57,43 @@ def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v_embedding_near_dup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM v a JOIN v b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+    """,
+    tags=("similarity", "dedup"),
+)
+def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup tier: semantic
+    dedup): pairs with cos >= 0.99, blocked on label — the cheap
+    discriminator bounding the pairwise term exactly like (lang, source)
+    blocks bound t_ngram_jaccard_pairs. At corpus scale the block key
+    becomes a coarse ANN bucket (ann_lsh_topk's hyperplane hash) and the
+    exact rerank stays identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    a = v.alias("a")
+    b = v.alias("b")
+    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+
+
+@register(
     "v_embedding_stats",
     oracle="""
     SELECT
