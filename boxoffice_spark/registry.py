@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.multimodal",
     "boxoffice_spark.queries.sql_surface",
     "boxoffice_spark.queries.sources",
+    "boxoffice_spark.queries.skew",
 ]
 
 
