@@ -60,7 +60,6 @@ def _drain_stream(out: DataFrame, max_polls: int, timeout_s: float = 120.0) -> D
     semantics this module exists to exercise), so we drive a processing-time
     trigger and stop once the source offset reaches ``max_polls`` and a
     batch has processed zero new rows."""
-    import time
     import uuid
 
     name = "s_" + uuid.uuid4().hex[:12]
@@ -71,6 +70,19 @@ def _drain_stream(out: DataFrame, max_polls: int, timeout_s: float = 120.0) -> D
         .trigger(processingTime="0 seconds")
         .start()
     )
+    _await_polls(q, max_polls, timeout_s)
+    return out.sparkSession.table(name)
+
+
+def _await_polls(q, max_polls: int, timeout_s: float = 120.0) -> None:
+    """Block until the query's completed-batch offset reaches ``max_polls``,
+    then stop it. lastProgress describes a COMPLETED batch, so reaching the
+    max offset means every poll is processed (an idle source emits no
+    further progress at all — there is never a zero-row batch to wait for).
+    """
+    import ast
+    import time
+
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         p = q.lastProgress
@@ -79,25 +91,17 @@ def _drain_stream(out: DataFrame, max_polls: int, timeout_s: float = 120.0) -> D
             if isinstance(end, str):
                 # Python-source offsets surface as repr text ("{'poll': 6}"
                 # — single quotes, NOT valid JSON), so literal_eval it.
-                import ast
-
                 try:
                     end = ast.literal_eval(end)
                 except (ValueError, SyntaxError):
                     end = None
-            poll = (end or {}).get("poll", 0) if isinstance(end, dict) else 0
-            # lastProgress describes a COMPLETED batch; once its end offset
-            # has reached max_polls every poll is processed. (No zero-row
-            # batch ever reports: an idle source emits no progress at all.)
-            if poll >= max_polls:
-                break
+            if isinstance(end, dict) and end.get("poll", 0) >= max_polls:
+                q.stop()
+                q.awaitTermination()
+                return
         time.sleep(0.2)
-    else:
-        q.stop()
-        raise TimeoutError(f"stock_poll stream failed to drain within {timeout_s}s")
     q.stop()
-    q.awaitTermination()
-    return out.sparkSession.table(name)
+    raise TimeoutError(f"stock_poll stream failed to drain within {timeout_s}s")
 
 
 def stock_poll_stream(
@@ -112,6 +116,55 @@ def stock_poll_stream(
         .option("max_polls", max_polls)
         .load()
     )
+
+
+def stream_upsert_sink(
+    spark: SparkSession,
+    path: str,
+    n_events: int = 4,
+    n_theaters: int = 3,
+    max_polls: int = 6,
+) -> DataFrame:
+    """S9 (keyed upsert sink) in streaming form: each micro-batch of the
+    poll stream MERGEs into a keyed parquet state table via foreachBatch —
+    the reference's ``ON CONFLICT(event_id, theater_name) DO UPDATE``
+    executed incrementally (supabase_connector.py:58-85's composite-key
+    upsert driven by the 10-minute cron).
+
+    foreachBatch(merge_upsert) is the parquet-only stand-in for a
+    transactional ``MERGE INTO`` (Delta/Iceberg) at scale: read current
+    state, last-writer-wins on the key, overwrite. Returns the final state
+    table (one row per key, latest poll wins).
+    """
+    from boxoffice_spark.operators.upsert import merge_upsert
+
+    keys = ["event_id", "theater_name"]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            current = s.read.parquet(path)
+        except Exception:  # first batch: nothing at rest yet
+            batch.write.mode("overwrite").parquet(path)
+            return
+        # batch may span several polls of the same key: reduce to its own
+        # latest per key before merging
+        from pyspark.sql import Window as W, functions as F
+
+        w = W.partitionBy(*keys).orderBy(F.desc("scraped_at"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merged = merge_upsert(current, latest, keys)
+        # materialize before overwriting the path being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    stream = stock_poll_stream(spark, n_events, n_theaters, max_polls)
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(processingTime="0 seconds").start()
+    _await_polls(q, max_polls)
+    return spark.read.parquet(path)
 
 
 def latest_stock_state(
