@@ -292,3 +292,69 @@ def e_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     source of truth: DataFrame schemas. Rows-only check (DuckDB's
     information_schema names types differently)."""
     return describe_tables(spark, sf_dir)
+
+
+# F7 html-unescape: &amp; last so "&amp;lt;" unescapes once, not twice —
+# the same chain runs on both engines, and html.unescape-exact fidelity
+# (numeric refs etc.) would be the Pandas-UDF fallback noted in SURVEY §7.
+_UNESCAPES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _unescape_sql(expr: str) -> str:
+    for ent, ch in _UNESCAPES:
+        quoted = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{quoted}')"
+    return expr
+
+
+@register(
+    "e_display_normalize",
+    oracle=f"""
+    WITH alias_map(raw, norm) AS (VALUES ('Brand#11', 'B-11'), ('Brand#23', 'B-23')),
+    src AS (
+        SELECT p_partkey,
+               'A &amp; B &lt;' || p_brand || '&gt; &#39;' || p_type || '&#39;' AS raw_title,
+               p_brand, p_retailprice
+        FROM part
+    )
+    SELECT p_partkey,
+           {_unescape_sql('raw_title')} AS title,
+           coalesce(m.norm, s.p_brand) AS brand_norm,
+           format('{{:,}}', CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS price_display
+    FROM src s LEFT JOIN alias_map m ON s.p_brand = m.raw
+    """,
+    tags=("etl", "display"),
+)
+def e_display_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F9/F24: display normalization — HTML-entity unescape (reference
+    movie_events_scraper.py:731-742, chained-replace built-in form), alias
+    normalization via a broadcast lookup map with identity fallback
+    (GOODS_NORMALIZATION_MAP, movie_events_scraper.py:151-188), and
+    thousands-grouped number formatting (dashboard.py:168-169,214-218)."""
+    p = table(spark, sf_dir, "part")
+    src = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("A &amp; B &lt;"), F.col("p_brand"), F.lit("&gt; &#39;"),
+            F.col("p_type"), F.lit("&#39;"),
+        ).alias("raw_title"),
+        "p_brand",
+        "p_retailprice",
+    )
+    title = F.col("raw_title")
+    for ent, ch in _UNESCAPES:
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+    alias_map = spark.createDataFrame(
+        [("Brand#11", "B-11"), ("Brand#23", "B-23")], "raw string, norm string"
+    )
+    return (
+        src.join(F.broadcast(alias_map), src.p_brand == alias_map.raw, "left")
+        .select(
+            "p_partkey",
+            title.alias("title"),
+            F.coalesce("norm", "p_brand").alias("brand_norm"),
+            F.format_number(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"), 0).alias(
+                "price_display"
+            ),
+        )
+    )

@@ -175,3 +175,33 @@ def i_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "i_sliding_window",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    expanded AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+               event_type, value
+        FROM ev CROSS JOIN (VALUES (0), (1)) AS t(k)
+    )
+    SELECT window_start, event_type, count(*) AS n_events, {dsum_sql('value')} AS value_sum
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("incremental", "window"),
+)
+def i_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h size / 30min slide): each event lands
+    in size/slide = 2 overlapping windows — the moving-average shape the
+    reference's 10-minute poll dashboard implies. Spark expands the windows
+    natively in F.window; the oracle expands them with an explicit 2-row
+    cross join on the same 30-minute grid (epoch-aligned in both engines).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
