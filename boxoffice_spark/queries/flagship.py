@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from boxoffice_spark.functions.numeric import dsum, dsum_sql
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import spread, table
+from boxoffice_spark.tables import table
 
 _ORACLE = f"""
 WITH daily AS (
@@ -47,7 +47,10 @@ ORDER BY ship_dt, rnk
 @register("flagship_daily_topk_delta", oracle=_ORACLE, bench=True, tags=("flagship", "window", "join", "agg"))
 def flagship_daily_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily top-10 brands by revenue with day-over-day delta per brand."""
-    li = spread(table(spark, sf_dir, "lineitem"))
+    # no spread() here: the broadcast join + partial agg are scan-bound and
+    # cheap per row — an extra exchange costs more than the parallelism buys
+    # (spread pays off only for compute-heavy per-row work, see tables.py)
+    li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
 
     daily = (

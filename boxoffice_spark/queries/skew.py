@@ -30,6 +30,7 @@ _EVENTS_US = """
     FROM ev e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """,
+    bench=True,
     tags=("skew", "join"),
 )
 def k_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:

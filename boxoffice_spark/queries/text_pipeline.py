@@ -116,6 +116,7 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / greatest(length(text), 1)), 6) AS quality
     FROM documents
     """,
+    bench=True,
     tags=("text", "stats"),
 )
 def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
