@@ -258,3 +258,42 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
     )
+
+
+def simhash_fast(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Map-side SimHash via mapInPandas: the shuffle-free twin of
+    :func:`simhash`.
+
+    The explode form shuffles one row per WORD (corpus token count) into a
+    60-aggregate groupBy; this one computes each doc's fingerprint inside
+    its scan partition in a single Arrow batch pass — zero shuffle, output
+    is one row per doc. Same bit semantics (md5-derived word hashes, each
+    occurrence votes, tie -> 0), so it shares the exact DuckDB oracle; at
+    100 TB this is the variant to run, with the explode form as its
+    cross-engine reference.
+    """
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def one(text: str) -> int:
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        hs = np.fromiter(
+            (int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in norm.split(" ")),
+            dtype=np.uint64,
+        )
+        votes = (((hs[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << shifts).sum())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": [one(t) for t in pdf[text_col]]})
+
+    return spread(df).select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, simhash long"
+    )

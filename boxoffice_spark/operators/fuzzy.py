@@ -56,3 +56,38 @@ def fuzzy_containment_join(
         .filter(F.col("_rn") == 1)
         .select(input_id, input_col, F.col(cand_col).alias(out_match), out_score)
     )
+
+
+def tiered_fuzzy_match(
+    inputs: DataFrame,
+    input_id: str,
+    input_col: str,
+    tiers: list[tuple[str, DataFrame, str]],
+    out_match: str = "matched_name",
+    out_score: str = "score",
+) -> DataFrame:
+    """Staged-fallback fuzzy match (reference movie_events_scraper.py:67-115:
+    probe recent titles first, fall back to the full table, then to a raw
+    substring pass). ``tiers`` is an ordered list of (tier_name, candidates,
+    cand_col); inputs that match tier k never reach tier k+1.
+
+    This is driver-side control flow over DataFrame passes, by design
+    (SURVEY §4): Catalyst can't invent the precedence, but each pass is a
+    fully optimized broadcast plan, and the anti-join that advances the
+    frontier is exactly the reference's 'consume matched rows' semantics.
+    The candidate-pruning payoff is the point at scale — the cheap early
+    tier absorbs most matches so the expensive full-corpus tier sees only
+    the residue.
+    """
+    results: list[DataFrame] = []
+    remaining = inputs
+    for tier_name, candidates, cand_col in tiers:
+        matched = fuzzy_containment_join(
+            remaining, input_id, input_col, candidates, cand_col, out_match, out_score
+        ).withColumn("tier", F.lit(tier_name))
+        results.append(matched)
+        remaining = remaining.join(matched.select(input_id), input_id, "left_anti")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

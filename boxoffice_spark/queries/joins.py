@@ -214,3 +214,56 @@ def j_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_containment_join(
         inputs, "input_id", "q", part, "p_name", out_match="matched_name", out_score="score"
     )
+
+
+_TIER_SCORED = """
+        SELECT
+            i.input_id, i.q, c.p_name AS matched_name,
+            length({nc}) - length({nq}) AS score,
+            ROW_NUMBER() OVER (
+                PARTITION BY i.input_id
+                ORDER BY length({nc}) - length({nq}), c.p_name
+            ) AS rn
+        FROM {inputs} i
+        JOIN {cands} c ON contains({nc}, {nq})
+        WHERE length({nq}) > 0
+""".format
+
+
+@register(
+    "j_fuzzy_tiered",
+    oracle=f"""
+    WITH inputs AS (
+        SELECT p_partkey AS input_id, split_part(p_name, ' ', 1) AS q
+        FROM part WHERE p_partkey % 97 = 0
+    ),
+    recent_cands AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 3 = 0),
+    full_cands AS (SELECT DISTINCT p_name FROM part),
+    t1 AS ({_TIER_SCORED(nc=_FUZZY_NORM_C, nq=_FUZZY_NORM_Q, inputs='inputs', cands='recent_cands')}),
+    m1 AS (SELECT input_id, q, matched_name, score, 'recent' AS tier FROM t1 WHERE rn = 1),
+    rest AS (SELECT * FROM inputs WHERE input_id NOT IN (SELECT input_id FROM m1)),
+    t2 AS ({_TIER_SCORED(nc=_FUZZY_NORM_C, nq=_FUZZY_NORM_Q, inputs='rest', cands='full_cands')}),
+    m2 AS (SELECT input_id, q, matched_name, score, 'full' AS tier FROM t2 WHERE rn = 1)
+    SELECT * FROM m1 UNION ALL SELECT * FROM m2
+    """,
+    tags=("join", "fuzzy", "tiered"),
+)
+def j_fuzzy_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4's staged fallback (reference movie_events_scraper.py:67-115): probe
+    a cheap 'recent' candidate tier first (every 3rd part, standing in for
+    recent box-office titles), fall back to the full dimension only for
+    unmatched inputs. operators/fuzzy.tiered_fuzzy_match."""
+    from boxoffice_spark.operators.fuzzy import tiered_fuzzy_match
+
+    part = table(spark, sf_dir, "part")
+    inputs = part.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("input_id"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("q"),
+    )
+    recent = part.filter(F.col("p_partkey") % 3 == 0)
+    return tiered_fuzzy_match(
+        inputs,
+        "input_id",
+        "q",
+        [("recent", recent, "p_name"), ("full", part, "p_name")],
+    )

@@ -167,3 +167,15 @@ def t_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(quality, scale=9).alias("quality_sum"),
         dsum(F.length("text"), scale=0).alias("chars_total"),
     )
+
+
+@register(
+    "t_simhash_fast",
+    oracle=D.simhash_sql("documents", "doc_id", "text"),
+    tags=("dedup", "simhash", "pandas-udf"),
+)
+def t_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side (mapInPandas) SimHash — zero-shuffle twin of t_simhash,
+    hash-matching the same DuckDB oracle bit for bit (operators/dedup.py
+    simhash_fast)."""
+    return D.simhash_fast(table(spark, sf_dir, "documents"), "doc_id", "text")
