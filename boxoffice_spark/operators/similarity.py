@@ -113,3 +113,80 @@ def ann_lsh_topk(
             "rank",
         )
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k neighbors via an IVF (inverted-file) index:
+    KMeans coarse quantizer -> corpus partitioned into centroid cells ->
+    each query probes its ``n_probe`` nearest cells and reranks exactly
+    (cosine) inside them.
+
+    The scan-cost contract at scale: each query touches ~n_probe/n_cells of
+    the corpus instead of all of it, and the cell assignment is a one-off
+    index build (the KMeans fit), amortized across every query batch — the
+    complementary trade to ann_lsh_topk (no training, but hash-bucket
+    recall). Rows-only; recall vs the exact operator is asserted in
+    tests/test_llm_ops.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # L2-normalize for the quantizer: on the unit sphere Euclidean cells
+    # are cosine cells (||a-b||**2 = 2 - 2*cos), so KMeans partitions align
+    # with the cosine ranking the rerank uses. The rerank itself runs on the
+    # ORIGINAL vectors (cosine is scale-invariant).
+    def _unit(col):
+        norm = F.sqrt(
+            F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        return F.transform(col, lambda x: x / norm)
+
+    feats = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("features", array_to_vector(_unit(F.col("_cv"))))
+    km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    cells = model.transform(feats).select("neighbor_id", "_cv", "cell")
+
+    # centroid table is tiny (n_cells rows) -> broadcast to score query
+    # probes JVM-side; ranking by Euclidean distance to centroid
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_qn", _unit(F.col("_qv")))
+    d2 = F.aggregate(
+        F.zip_with("_qn", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    scored = probes.join(cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -117,3 +117,19 @@ def v_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.sum(F.round(norm, 6).cast("decimal(27,6)")).cast("double").alias("norm_sum"),
     )
+
+
+@register("v_ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer + probe-nearest-cells + exact
+    cosine rerank (operators/similarity.ann_ivf_topk) — the train-once
+    index complement to the LSH variant. The synthetic fixture embeddings
+    are near-random (weak cluster structure), so the probe fraction is set
+    high (8/16 cells); clustered real embeddings sustain recall at much
+    smaller fractions. Rows-only: approximate by construction; recall vs
+    v_cosine_topk asserted in tests/test_llm_ops.py."""
+    from boxoffice_spark.operators.similarity import ann_ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_ivf_topk(emb, queries, k=10, n_probe=8)

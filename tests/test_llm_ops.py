@@ -53,3 +53,22 @@ def test_asset_features_deterministic(spark, sf_dir):
     a = sorted(map(tuple, m_asset_features(spark, sf_dir).collect()))
     b = sorted(map(tuple, m_asset_features(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF ANN top-10 must recover most of the exact cosine top-10."""
+    from boxoffice_spark.operators.similarity import ann_ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ann_ivf_topk(emb, queries, k=10, n_probe=8).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean IVF recall too low: {recalls}"
