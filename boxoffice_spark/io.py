@@ -59,6 +59,40 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files and return the new file count.
+
+    Streaming/micro-batch appends (T2's 10-minute poll) accrete one small
+    file per trigger; at 100 TB the file-count tax is paid on EVERY read
+    (footer fetches, scheduler overhead, tiny row groups defeating column
+    pruning). Compaction = read → repartition to ceil(bytes/target) →
+    atomic swap via a temp dir (readers never see a half-written dataset).
+    """
+    import math
+    import shutil
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # size via FS, not listing parquet
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def with_day_partition(df: DataFrame, ts_col: str, part_col: str = "dt") -> DataFrame:
     """Derive the date partition column for a fact table (the reference's
     boxoffice table is keyed/partitioned by target_dt)."""

@@ -1,0 +1,59 @@
+"""Data-quality audit queries (operators/quality.py) — single-pass
+constraint suites over the fixture tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.operators.quality import check_constraints, check_unique
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+
+@register(
+    "dq_orders_constraints",
+    oracle="""
+    WITH counted AS (
+        SELECT
+            count(*) AS _n,
+            sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS positive_price,
+            sum(CASE WHEN coalesce(o_orderdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS orderdate_present,
+            sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS status_domain,
+            sum(CASE WHEN coalesce(o_custkey >= 0, FALSE) THEN 0 ELSE 1 END) AS custkey_nonneg
+        FROM orders
+    )
+    SELECT rule, n_violations, _n AS n_rows, n_violations = 0 AS pass
+    FROM counted
+    UNPIVOT (n_violations FOR rule IN (positive_price, orderdate_present, status_domain, custkey_nonneg))
+    """,
+    tags=("quality",),
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan constraint suite over orders: price positivity, date
+    presence, status domain, key range — one aggregate pass for all rules."""
+    o = table(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "orderdate_present": F.col("o_orderdate").isNotNull(),
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_nonneg": F.col("o_custkey") >= 0,
+        },
+    )
+
+
+@register(
+    "dq_lineitem_key_unique",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, count(*) AS n_copies
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    HAVING count(*) > 1
+    """,
+    tags=("quality", "unique"),
+)
+def dq_lineitem_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key uniqueness audit on lineitem (empty result = the
+    (orderkey, linenumber) primary key holds)."""
+    return check_unique(table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])

@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.sql_surface",
     "boxoffice_spark.queries.sources",
     "boxoffice_spark.queries.skew",
+    "boxoffice_spark.queries.quality",
 ]
 
 

@@ -90,3 +90,21 @@ def test_partition_pruning_on_read(spark, sf_dir, tmp_path):
     assert "1996-01-15" in plan.split("PartitionFilters")[1].split("]")[0], plan
     # and the filter must NOT degrade to a post-scan data filter only
     assert read.count() == li.filter(F.col("dt") == "1996-01-15").count()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """Micro-batch appends accrete small files; compact() must rewrite to
+    the computed target count without changing the data."""
+    out = str(tmp_path / "fragmented")
+    o = table(spark, sf_dir, "orders").limit(500)
+    for _ in range(5):  # five appends -> many small files
+        bio.append(o.repartition(4), out)
+    import glob
+    before_files = len(glob.glob(out + "/*.parquet"))
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    n = bio.compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    after_files = len(glob.glob(out + "/*.parquet"))
+    assert before_files == 20
+    assert after_files == n <= 2  # tiny dataset -> one or two target files
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
