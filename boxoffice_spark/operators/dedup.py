@@ -297,3 +297,85 @@ def simhash_fast(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_
     return spread(df).select(id_col, text_col).mapInPandas(
         batches, schema=f"{id_col} long, simhash long"
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints by Hamming distance.
+
+    Pigeonhole bucketing: split the ``bits``-bit fingerprint into ``chunks``
+    equal chunks; any pair within Hamming distance < ``chunks`` must agree
+    EXACTLY on at least one chunk (max_hamming <= chunks-1 guarantees no
+    recall loss). Posting-list self-join on (chunk_index, chunk_value) —
+    the same inverted-index shape as ngram_jaccard_pairs, constant per-doc
+    postings — then an exact popcount(xor) rerank on candidates. Everything
+    codegen, oracle-exact against DuckDB's bit_count(xor(...)).
+    """
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole guarantee needs max_hamming <= chunks - 1")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, bits)
+    postings = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("_chunk", "_val"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_hamming_pairs_sql(
+    table_expr: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = 4,
+) -> str:
+    """DuckDB twin of :func:`simhash_hamming_pairs` (kept in lockstep)."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    union = "\n        UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {c} AS chunk, ((simhash >> {c * width}) & {mask}) AS val FROM sh"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH sh AS ({simhash_sql(table_expr, id_col, text_col, bits)}),
+    postings AS (
+        {union}
+    )
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM postings a JOIN postings b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -179,3 +179,16 @@ def t_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matching the same DuckDB oracle bit for bit (operators/dedup.py
     simhash_fast)."""
     return D.simhash_fast(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "t_simhash_hamming_pairs",
+    oracle=D.simhash_hamming_pairs_sql("documents", "doc_id", "text"),
+    tags=("dedup", "simhash", "hamming"),
+)
+def t_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS by Hamming distance <= 3: pigeonhole bucket
+    join on 15-bit fingerprint chunks (no recall loss for distance < 4),
+    popcount(xor) rerank — completes the tier-3 path from fingerprint to
+    dedup decision (operators/dedup.simhash_hamming_pairs)."""
+    return D.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
