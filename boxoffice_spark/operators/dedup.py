@@ -379,3 +379,68 @@ def simhash_hamming_pairs_sql(
       ON a.chunk = b.chunk AND a.val = b.val AND a.{id_col} < b.{id_col}
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+def content_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    avg_chunk: int = 64,
+    min_chunk: int = 16,
+    max_chunk: int = 256,
+) -> DataFrame:
+    """Content-defined chunking via a Gear rolling hash (the 'rolling hash
+    fingerprinting' primitive): boundaries fall where the rolling hash of
+    the last bytes masks to zero, so INSERTIONS SHIFT BOUNDARIES ONLY
+    LOCALLY — two near-identical documents share almost all chunk hashes,
+    which is what makes sub-document dedup/delta-storage work where
+    whole-doc fingerprints (exact_dedup) see two distinct blobs.
+
+    Output: (id, chunk_no, start, n_bytes, chunk_hash) over the utf-8 bytes
+    of the normalized text. Per-byte recurrence is inherently sequential —
+    not expressible in Catalyst — so this is a mapInPandas operator: the
+    loop runs once per document inside Arrow batches, partition-parallel,
+    zero shuffle. Deterministic (seeded gear table); tested for coverage,
+    determinism, and chunk sharing across planted near-dups.
+    """
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    # deterministic 256-entry gear table from md5 of the byte value
+    gear = [
+        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big") for b in range(256)
+    ]
+    boundary_mask = avg_chunk - 1  # avg_chunk must be a power of two
+
+    def chunk_one(text: str) -> list[tuple[int, int, int, str]]:
+        data = _re.sub(r"\s+", " ", text.lower()).strip().encode("utf-8")
+        out, start, h = [], 0, 0
+        for i, byte in enumerate(data):
+            h = ((h << 1) + gear[byte]) & 0xFFFFFFFFFFFFFFFF
+            size = i + 1 - start
+            if (size >= min_chunk and (h & boundary_mask) == 0) or size >= max_chunk:
+                piece = data[start : i + 1]
+                out.append((len(out), start, size, hashlib.md5(piece).hexdigest()))
+                start, h = i + 1, 0
+        if start < len(data):
+            piece = data[start:]
+            out.append((len(out), start, len(piece), hashlib.md5(piece).hexdigest()))
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for chunk_no, start, n, hx in chunk_one(text):
+                    rows.append((did, chunk_no, start, n, hx))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "chunk_no", "start", "n_bytes", "chunk_hash"]
+            )
+
+    return spread(df).select(id_col, text_col).mapInPandas(
+        batches,
+        schema=f"{id_col} long, chunk_no int, start int, n_bytes int, chunk_hash string",
+    )

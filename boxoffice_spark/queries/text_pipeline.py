@@ -192,3 +192,16 @@ def t_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount(xor) rerank — completes the tier-3 path from fingerprint to
     dedup decision (operators/dedup.simhash_hamming_pairs)."""
     return D.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("t_content_chunks", oracle=None, tags=("dedup", "rolling-hash", "pandas-udf"))
+def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content-defined chunking (Gear CDC) — sub-document
+    fingerprints whose boundaries survive local edits, the primitive under
+    chunk-level dedup/delta storage. Rows-only (sequential per-byte
+    recurrence has no SQL twin); coverage/determinism/sharing asserted in
+    tests/test_llm_ops.py."""
+    return D.content_chunks(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        avg_chunk=32, min_chunk=8, max_chunk=128,  # fixture docs are short (~300B)
+    )

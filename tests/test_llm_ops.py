@@ -72,3 +72,42 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.6, f"mean IVF recall too low: {recalls}"
+
+
+def test_content_chunks_cover_and_share(spark, sf_dir):
+    """CDC chunks must tile each document exactly (contiguous, full
+    coverage), be deterministic, and near-duplicate documents must share
+    most chunk hashes (the property whole-doc fingerprints lack)."""
+    import re
+
+    from boxoffice_spark.operators.dedup import content_chunks, ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = content_chunks(
+        docs, "doc_id", "text", avg_chunk=32, min_chunk=8, max_chunk=128
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_no)
+        norm = re.sub(r"\s+", " ", texts[did].lower()).strip().encode("utf-8")
+        assert rows[0].start == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.start == prev.start + prev.n_bytes  # contiguous tiling
+        assert rows[-1].start + rows[-1].n_bytes == len(norm)  # full coverage
+
+    # near-dups (exact jaccard >= 0.8) share the majority of chunk hashes
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", block_cols=[], threshold=0.8).collect()
+    assert pairs
+    checked = 0
+    for p in pairs:
+        ha = {r.chunk_hash for r in by_doc[p.id_a]}
+        hb = {r.chunk_hash for r in by_doc[p.id_b]}
+        if min(len(ha), len(hb)) < 3:
+            continue  # doc fit in 1-2 chunks; the edit IS the chunk
+        checked += 1
+        overlap = len(ha & hb) / min(len(ha), len(hb))
+        assert overlap >= 0.5, f"near-dup pair shares too few chunks: {overlap}"
+    assert checked > 0
