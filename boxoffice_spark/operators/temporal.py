@@ -1,0 +1,164 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+The reference has no explicit as-of/range joins (SURVEY.md §2.3 "No
+sort-merge, range, as-of, interval ... joins exist"); its as-of flavor
+appears implicitly as "latest stock per theater" (reference
+dashboard.py:131-140 latest-scrape filter). These operators make the shape
+explicit and scalable, because a naive SQL formulation of either one is a
+per-key cross join — quadratic in the hot key — which is exactly what dies
+first at 100 TB.
+
+Strategies
+----------
+``asof_join``: the union trick. Tag both sides, union them, sort each key
+partition by (ts, side, tie), and carry the right payload forward with
+``last(ignorenulls=True)`` over a running window. Cost = ONE shuffle of each
+side on the join keys + one partition-local sort — the same cost class as a
+sort-merge equi-join, with no pairwise comparison blowup. State per row is
+O(1) (the running "most recent right payload"), so skewed keys degrade
+linearly, not quadratically.
+
+``interval_join``: with equi keys, Spark's sort-merge join handles the range
+predicate as a residual filter — one shuffle per side. Without keys, a
+naive formulation is a full cross join; instead we discretize time into
+fixed-width bins: each point lands in exactly one bin, each interval
+explodes to the bins it covers, the join becomes an equi-join on the bin id,
+and the exact containment predicate filters bin-edge false positives.
+Output is exact; the bin width only trades shuffle fan-out (wide bins = more
+false pairs filtered, narrow bins = more interval replication).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tie_col: str | None = None,
+    right_prefix: str = "r_",
+    tolerance_secs: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts <= left_ts`` (direction="backward", inclusive) or the
+    smallest ``right_ts >= left_ts`` ("forward") within the same ``on``
+    keys. Always left-outer: unmatched left rows keep null right columns.
+
+    ``tie_col`` names a right column that breaks equal-timestamp ties
+    deterministically (the max ``tie_col`` row wins); required for a
+    deterministic result if (on, right_ts) is not unique in ``right``.
+    ``tolerance_secs`` nulls out matches further than that many seconds
+    from the left timestamp.
+
+    All right columns except the keys come back prefixed with
+    ``right_prefix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(on)
+    l_payload = [c for c in left.columns if c not in keys and c != left_ts]
+    r_payload = [c for c in right.columns if c not in keys]
+    overlap = {right_prefix + c for c in r_payload} & set(keys + l_payload)
+    if overlap:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(overlap)}")
+
+    r_types = {c: right.schema[c].dataType for c in r_payload}
+    l_types = {c: left.schema[c].dataType for c in l_payload}
+    tie_type = right.schema[tie_col].dataType if tie_col else None
+
+    def null_as(dt, name: str) -> Column:
+        return F.lit(None).cast(dt).alias(name)
+
+    lt = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in l_payload],
+        *[null_as(r_types[c], right_prefix + c) for c in r_payload],
+        *([null_as(tie_type, "__tie")] if tie_col else []),
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[null_as(l_types[c], c) for c in l_payload],
+        *[F.col(c).alias(right_prefix + c) for c in r_payload],
+        *([F.col(tie_col).alias("__tie")] if tie_col else []),
+    )
+    u = lt.unionByName(rt)
+
+    # Backward: scan keys in ts order; at equal ts the right row (side 0)
+    # precedes the left row so the inclusive match is visible; among equal
+    # (ts, side) right rows the max tie_col is scanned last and wins.
+    # Forward mirrors the scan (ts desc), same tie rules.
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
+    order = [ts_order, F.asc("__side")] + ([F.asc("__tie")] if tie_col else [])
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    carried = [F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c) for c in r_payload]
+    out = (
+        u.select(*keys, "__ts", "__side", *l_payload, *carried)
+        .filter(F.col("__side") == 1)
+        .withColumnRenamed("__ts", left_ts)
+        .drop("__side")
+    )
+
+    if tolerance_secs is not None:
+        matched_ts = F.col(right_prefix + right_ts)
+        gap = F.abs(F.col(left_ts).cast("long") - matched_ts.cast("long"))
+        keep = matched_ts.isNotNull() & (gap <= F.lit(tolerance_secs))
+        out = out.select(
+            *keys,
+            left_ts,
+            *l_payload,
+            *[
+                F.when(keep, F.col(right_prefix + c)).alias(right_prefix + c)
+                for c in r_payload
+            ],
+        )
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bin_secs: int | None = None,
+) -> DataFrame:
+    """Inner-join each point row to every interval row whose half-open
+    window ``[start_col, end_col)`` contains ``point_ts``.
+
+    With equi keys (``on``) this is a plain join — Catalyst plans a
+    sort-merge on the keys and applies the range predicate as a residual
+    filter, so each side shuffles exactly once. Without keys, ``bin_secs``
+    is required and the join is discretized: equi-join on the time bin,
+    then the exact containment filter. Each (point, interval) pair meets in
+    exactly one bin (the point's), so no dedup pass is needed.
+    """
+    containment = (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    if on:
+        return points.join(intervals, list(on), "inner").filter(containment)
+
+    if bin_secs is None:
+        raise ValueError("keyless interval_join requires bin_secs")
+    p = points.withColumn("__bin", F.floor(F.col(point_ts).cast("long") / bin_secs))
+    # cover [start, end] bins inclusive; the containment filter drops the
+    # (at most one) spurious edge bin when end sits exactly on a boundary
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / bin_secs),
+                F.floor(F.col(end_col).cast("long") / bin_secs),
+            )
+        ),
+    )
+    return p.join(i, "__bin", "inner").filter(containment).drop("__bin")

@@ -1,0 +1,157 @@
+"""Temporal join queries: as-of and interval (range) joins.
+
+The reference's only temporal join shape is implicit — "latest stock per
+theater" (reference dashboard.py:131-140) is an as-of to *now*. These
+queries make the general operators explicit (operators/temporal.py) over the
+events fixture: last-purchase attachment, attribution windows, and a
+keyless sliding-window count. Each is a shape a naive SQL engine executes
+as a per-key cross join; the point of the operator layer is that none of
+these do (see the strategy notes in operators/temporal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from boxoffice_spark.functions.numeric import dsum, dsum_sql
+from boxoffice_spark.operators.temporal import asof_join, interval_join
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+
+@register(
+    "j_asof_last_purchase",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+    SELECT
+        l.event_id, l.user_id, l.ts,
+        r.event_id AS purchase_id,
+        r.ts AS purchase_ts,
+        r.value AS purchase_value,
+        (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS secs_since_purchase
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    bench=True,
+    tags=("join", "asof", "temporal"),
+)
+def j_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to every click the same user's most recent
+    purchase at or before the click (null if none yet). Executed with the
+    union+running-window trick — one shuffle per side on user_id, no
+    per-key cross product (operators/temporal.asof_join). The oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", tie_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+        F.expr("(unix_micros(ts) - unix_micros(r_ts)) div 1000000").alias(
+            "secs_since_purchase"
+        ),
+    )
+
+
+@register(
+    "j_attribution_window",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts, event_type
+               FROM events WHERE event_type IN ('click', 'view'))
+    SELECT
+        p.purchase_id, p.user_id, p.purchase_ts,
+        count(CASE WHEN e.event_type = 'click' THEN 1 END) AS clicks_1h,
+        count(CASE WHEN e.event_type = 'view' THEN 1 END) AS views_1h
+    FROM p LEFT JOIN e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.purchase_ts - INTERVAL 1 HOUR
+     AND e.ts < p.purchase_ts
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "range", "temporal"),
+)
+def j_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with equi keys: per purchase, how many clicks/views
+    the same user produced in the hour before it (attribution window).
+    Sort-merge on user_id with the range predicate as a residual filter —
+    one shuffle per side; every purchase is kept (left semantics), zero
+    counts included."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    e = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_type"
+    )
+    hits = interval_join(e, p, point_ts="ts", start_col="win_start", end_col="win_end", on=["user_id"])
+    counts = hits.groupBy("purchase_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks_1h"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views_1h"),
+    )
+    return (
+        p.select("purchase_id", "user_id", "purchase_ts")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.coalesce("clicks_1h", F.lit(0)).alias("clicks_1h"),
+            F.coalesce("views_1h", F.lit(0)).alias("views_1h"),
+        )
+    )
+
+
+@register(
+    "j_sliding_interval_count",
+    oracle=f"""
+    WITH w AS (
+        SELECT ts AS win_start, ts + INTERVAL 7 DAY AS win_end
+        FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-29',
+                                            INTERVAL 2 DAY)) AS ts)
+    )
+    SELECT w.win_start, count(*) AS n_events,
+           {dsum_sql('e.value', 4)} AS total_value
+    FROM w JOIN events e ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY 1
+    """,
+    tags=("join", "range", "temporal", "binned"),
+)
+def j_sliding_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join, binned: overlapping 7-day windows sliding
+    every 2 days, counting events per window. With no equi key a naive
+    plan is windows x events cross join; the operator discretizes time
+    into 1-day bins so the join is an equi-join on bin id (each event
+    replicated once, each window ~8x) and the containment filter is exact
+    (operators/temporal.interval_join)."""
+    wins = spark.sql(
+        """
+        SELECT win_start, win_start + INTERVAL 7 DAY AS win_end
+        FROM (SELECT explode(sequence(to_timestamp('2024-01-01'),
+                                      to_timestamp('2024-01-29'),
+                                      INTERVAL 2 DAY)) AS win_start)
+        """
+    )
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    hits = interval_join(
+        ev, wins, point_ts="ts", start_col="win_start", end_col="win_end", bin_secs=86400
+    )
+    return hits.groupBy("win_start").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), scale=4).alias("total_value"),
+    )

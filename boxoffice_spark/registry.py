@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.sources",
     "boxoffice_spark.queries.skew",
     "boxoffice_spark.queries.quality",
+    "boxoffice_spark.queries.temporal",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Semantic + plan tests for the temporal join operators.
+
+Semantics on hand-built frames (direction, ties, tolerance, emptiness);
+plan audits locking in the scale properties: the as-of join is ONE shuffle
+and ZERO join operators (union + running window), and neither interval
+join form ever degrades to a cartesian/nested-loop product.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from boxoffice_spark.operators.temporal import asof_join, interval_join
+from boxoffice_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),
+            (2, "k1", _ts("2024-01-01 12:00:00")),
+            (3, "k2", _ts("2024-01-01 09:00:00")),
+        ],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k1", _ts("2024-01-01 09:30:00"), 1.0),
+            (11, "k1", _ts("2024-01-01 10:00:00"), 2.0),  # tie with lid=1
+            (12, "k1", _ts("2024-01-01 11:00:00"), 3.0),
+            (13, "k3", _ts("2024-01-01 08:00:00"), 4.0),
+        ],
+        "rid long, k string, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_unmatched_null(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: (r.r_rid, r.r_v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", tie_col="rid"
+        ).collect()
+    }
+    assert out[1] == (11, 2.0)  # equal timestamp matches (inclusive)
+    assert out[2] == (12, 3.0)  # latest at-or-before 12:00
+    assert out[3] == (None, None)  # k2 has no right rows at all
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            direction="forward", tie_col="rid",
+        ).collect()
+    }
+    assert out[1] == 11  # equal ts still matches forward
+    assert out[2] is None  # nothing at/after 12:00
+    assert out[3] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            tie_col="rid", tolerance_secs=1800,
+        ).collect()
+    }
+    assert out[1] == 11  # 0s gap
+    assert out[2] is None  # nearest is 1h old > 30min tolerance
+
+
+def test_asof_equal_ts_tie_breaks_to_max_tie_col(spark):
+    left, _ = _frames(spark)
+    right = left.sparkSession.createDataFrame(
+        [
+            (20, "k1", _ts("2024-01-01 10:00:00"), 1.0),
+            (21, "k1", _ts("2024-01-01 10:00:00"), 2.0),
+        ],
+        "rid long, k string, ts timestamp, v double",
+    )
+    out = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left.filter("lid = 1"), right, on=["k"], left_ts="ts", right_ts="ts", tie_col="rid"
+        ).collect()
+    }
+    assert out[1] == 21
+
+
+def test_keyless_interval_join_matches_naive(spark):
+    points = spark.range(0, 500).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 97).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    intervals = spark.range(0, 20).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3000).alias("s"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3000 + 7000).alias("e"),
+        F.col("id").alias("iid"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, point_ts="ts", start_col="s", end_col="e", bin_secs=1000
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_asof_plan_one_shuffle_no_join(spark, sf_dir):
+    df = SPECS["j_asof_last_purchase"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"asof must not plan a join operator ({op}):\n{plan}"
+
+
+def test_interval_plans_never_cartesian(spark, sf_dir):
+    for name in ("j_attribution_window", "j_sliding_interval_count"):
+        plan = SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian product:\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a nested loop:\n{plan}"
