@@ -444,3 +444,63 @@ def content_chunks(
         batches,
         schema=f"{id_col} long, chunk_no int, start int, n_bytes int, chunk_hash string",
     )
+
+
+def chunk_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 3,
+    min_containment: float = 0.5,
+    max_postings: int = 1000,
+    **chunk_kwargs,
+) -> DataFrame:
+    """Sub-document near-dup pairs from shared CDC chunk fingerprints
+    (content_chunks): two documents pair when they share >= min_shared
+    distinct chunk hashes AND the shared count covers >= min_containment
+    of the smaller document's chunks. Catches partial-overlap/containment
+    duplicates that whole-doc fingerprints (simhash/minhash over the full
+    text) dilute away.
+
+    Scale shape = an inverted index join: (doc, chunk_hash) postings
+    self-joined on chunk_hash. The quadratic risk is a boilerplate chunk
+    shared by millions of docs — those postings lists are capped at
+    max_postings docs and dropped (a chunk that common is boilerplate, not
+    dedup signal; same cap strategy as the LSH bucket join). One shuffle
+    on chunk_hash for the join, one on the pair for the count.
+    """
+    chunks = (
+        content_chunks(df, id_col, text_col, **chunk_kwargs)
+        .select(id_col, "chunk_hash")
+        .distinct()
+    )
+    per_doc = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    hot = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_postings)
+        .select("chunk_hash")
+    )
+    pruned = chunks.join(hot, "chunk_hash", "left_anti")
+
+    a = pruned.select(F.col(id_col).alias("id_a"), "chunk_hash")
+    b = pruned.select(F.col(id_col).alias("id_b"), "chunk_hash")
+    shared = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
+    na = per_doc.select(F.col(id_col).alias("id_a"), F.col("n_chunks").alias("n_a"))
+    nb = per_doc.select(F.col(id_col).alias("id_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        shared.join(na, "id_a")  # per_doc is O(docs) — shuffle join, not broadcast
+        .join(nb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared_chunks") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "shared_chunks", "containment")
+    )

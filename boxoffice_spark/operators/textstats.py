@@ -115,3 +115,81 @@ def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of normalized text (engine-portable; the
     rolling-hash variant at scale would be xxhash64)."""
     return F.md5(normalized_text(col))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals per document: word counts, the
+    mass of the single most frequent word, and the fraction of bigram
+    occurrences that are repeats. High values flag boilerplate/spam —
+    the standard repetition filters in LLM-data curation (alongside the
+    length/punct signals in quality_score).
+
+    Two explode->count aggregations (words, bigrams) joined on the doc id.
+    Everything is Generate + hash-aggregate inside whole-stage codegen —
+    no Python, no window over the full token stream; each aggregation
+    shuffles once on (doc, token) and once on doc, all partial-agg
+    friendly. Docs with a single word have no bigrams: dup_bigram_frac is
+    null there (left join), never a divide-by-zero.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_of(text_col)).alias("word")
+    )
+    wc = words.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    per_word = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("max_c"),
+    )
+
+    arr = df.select(F.col(id_col), words_of(text_col).alias("a"))
+    bigrams = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")
+        ).alias("g"),
+    )
+    bgc = bigrams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    per_bg = bgc.groupBy(id_col).agg(
+        F.sum("c").alias("total_bg"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bg"),
+    )
+
+    return (
+        per_word.join(per_bg, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.round(F.col("max_c") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(F.col("dup_bg") / F.col("total_bg"), 6).alias("dup_bigram_frac"),
+        )
+    )
+
+
+REPETITION_SQL = """
+WITH w AS (
+    SELECT {id_col}, unnest(string_split({norm}, ' ')) AS word FROM {table}
+), wc AS (
+    SELECT {id_col}, word, count(*) AS c FROM w GROUP BY 1, 2
+), per_word AS (
+    SELECT {id_col}, sum(c) AS n_words, count(*) AS n_distinct_words, max(c) AS max_c
+    FROM wc GROUP BY 1
+), arr AS (
+    SELECT {id_col}, string_split({norm}, ' ') AS a FROM {table}
+), bg AS (
+    SELECT {id_col}, a[i] || ' ' || a[i + 1] AS g
+    FROM arr, unnest(generate_series(1, len(a) - 1)) AS t(i)
+), bgc AS (
+    SELECT {id_col}, g, count(*) AS c FROM bg GROUP BY 1, 2
+), per_bg AS (
+    SELECT {id_col}, sum(c) AS total_bg, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+    FROM bgc GROUP BY 1
+)
+SELECT
+    p.{id_col},
+    CAST(p.n_words AS BIGINT) AS n_words,
+    CAST(p.n_distinct_words AS BIGINT) AS n_distinct_words,
+    round(CAST(p.max_c AS DOUBLE) / CAST(p.n_words AS DOUBLE), 6) AS top_word_frac,
+    round(CAST(b.dup_bg AS DOUBLE) / CAST(b.total_bg AS DOUBLE), 6) AS dup_bigram_frac
+FROM per_word p LEFT JOIN per_bg b USING ({id_col})
+"""

@@ -205,3 +205,31 @@ def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text",
         avg_chunk=32, min_chunk=8, max_chunk=128,  # fixture docs are short (~300B)
     )
+
+
+@register(
+    "t_repetition_stats",
+    oracle=TS.REPETITION_SQL.format(id_col="doc_id", norm=_NORM, table="documents"),
+    bench=True,
+    tags=("text", "quality", "repetition"),
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (top-word mass,
+    duplicate-bigram fraction) — the repetition axis of LLM-data quality
+    filtering, complementing t_text_stats' length/punct axis. All
+    codegen: explode -> two-level hash aggregation, no Python
+    (operators/textstats.repetition_stats)."""
+    return TS.repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("t_chunk_dup_pairs", oracle=None, tags=("dedup", "rolling-hash"))
+def t_chunk_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document near-dup pairs via shared CDC chunk fingerprints with
+    capped inverted-index postings (operators/dedup.chunk_dup_pairs).
+    Rows-only: built on content_chunks (sequential rolling hash, no SQL
+    twin); recall vs the exact-Jaccard pairs is asserted in
+    tests/test_llm_ops.py."""
+    return D.chunk_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        avg_chunk=32, min_chunk=8, max_chunk=128,
+    )

@@ -111,3 +111,33 @@ def test_content_chunks_cover_and_share(spark, sf_dir):
         overlap = len(ha & hb) / min(len(ha), len(hb))
         assert overlap >= 0.5, f"near-dup pair shares too few chunks: {overlap}"
     assert checked > 0
+
+
+def test_chunk_dup_pairs_matches_bruteforce(spark, sf_dir):
+    """The inverted-index pair join must equal the brute-force definition:
+    all doc pairs sharing >= 3 distinct chunk hashes with containment
+    (shared / smaller doc's chunk count) >= 0.5."""
+    from itertools import combinations
+
+    from boxoffice_spark.operators.dedup import chunk_dup_pairs, content_chunks
+
+    docs = table(spark, sf_dir, "documents")
+    kw = dict(avg_chunk=32, min_chunk=8, max_chunk=128)
+    got = {
+        (r.id_a, r.id_b): (r.shared_chunks, r.containment)
+        for r in chunk_dup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+
+    sets: dict[int, set[str]] = {}
+    for r in content_chunks(docs, "doc_id", "text", **kw).collect():
+        sets.setdefault(r.doc_id, set()).add(r.chunk_hash)
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        shared = len(sets[a] & sets[b])
+        if shared >= 3 and shared / min(len(sets[a]), len(sets[b])) >= 0.5:
+            expected[(a, b)] = shared
+    assert expected, "fixtures should contain at least one chunk-level near-dup"
+    assert set(got) == set(expected)
+    for pair, (shared, containment) in got.items():
+        assert shared == expected[pair]
+        assert 0.0 < containment <= 1.0

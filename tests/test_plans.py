@@ -82,6 +82,7 @@ def test_no_python_udfs_in_relational_core(spark, sf_dir):
         "w_lag_delta",
         "e_array_ops",
         "t_text_stats",
+        "t_repetition_stats",
         "t_simhash",
         "t_ngram_jaccard_pairs",
         "t_minhash_lsh_pairs",
