@@ -29,3 +29,14 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 streaming: watermarked dropDuplicatesWithinWatermark per
     (user_id, event_type) — bounded-state streaming dedup."""
     return streaming_dedup_first_per_key(spark, sf_dir)
+
+
+@register("s_stream_attribution_join", oracle=None, tags=("streaming", "join"))
+def s_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks x purchases within the
+    attribution hour) — bounded join state via dual watermarks + an
+    event-time-bounded condition. Batch twin = the pair set under
+    j_attribution_window; equality asserted in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_stream_attribution_join
+
+    return stream_stream_attribution_join(spark, sf_dir)

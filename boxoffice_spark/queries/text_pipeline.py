@@ -233,3 +233,41 @@ def t_chunk_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text",
         avg_chunk=32, min_chunk=8, max_chunk=128,
     )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    {D.simhash_hamming_pairs_sql("documents", "doc_id", "text")}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+    SELECT a AS node, a AS comp FROM edges
+    UNION
+    SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "t_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+)
+def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the SimHash Hamming
+    pair graph — the 'keep one per cluster' decision step after pair
+    generation. Iterative min-label propagation (driver loop of
+    distributed joins, operators/graph.py); the oracle is the same
+    transitive closure as a DuckDB recursive CTE."""
+    from boxoffice_spark.operators.graph import connected_components
+
+    pairs = D.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

@@ -89,3 +89,48 @@ def streaming_dedup_first_per_key(
     ev = _events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["user_id", "event_type"])
     return _run_to_completion(deduped.select("user_id", "event_type", "ts", "value"), "append")
+
+
+def stream_stream_attribution_join(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: click events joined to the
+    purchase they precede (same user, within the hour before it) — the
+    incremental execution of queries/temporal.j_attribution_window's hit
+    set. Both sides carry a watermark and the join condition bounds
+    event-time distance, so Spark can expire buffered rows: state per key
+    is O(events inside the watermark horizon), not O(stream). On a real
+    cluster the same plan runs against two live sources; here the bounded
+    fixture replay drains with availableNow.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+            AND click_ts < purchase_ts
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return _run_to_completion(joined, "append")

@@ -27,3 +27,38 @@ def test_streaming_dedup_one_row_per_key(spark, sf_dir):
     total = out.count()
     distinct_keys = out.select("user_id", "event_type").distinct().count()
     assert total == distinct_keys > 0
+
+
+def test_stream_stream_join_equals_batch_pairs(spark, sf_dir):
+    """The watermarked stream-stream attribution join must produce exactly
+    the batch interval-join pair set (same logical condition, incremental
+    execution with bounded state)."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.streaming.jobs import stream_stream_attribution_join
+    from boxoffice_spark.tables import table
+
+    streamed = {
+        (r.purchase_id, r.click_id)
+        for r in stream_stream_attribution_join(spark, sf_dir).collect()
+    }
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
