@@ -1,0 +1,72 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+``df.sample()`` / ``rand()`` are the WRONG tool at 100 TB: Spark re-executes
+failed/speculated tasks, and RNG-based sampling re-draws on re-execution —
+the same job can emit different samples mid-run, and no two runs agree.
+Hash sampling decides membership from the ROW CONTENT: keep a row iff a
+salted md5 of its key falls under the rate threshold. Deterministic under
+retries, reproducible across runs and engines, and changing the salt yields
+a fresh independent sample. Pure codegen expressions — the decision happens
+inside the parquet scan's filter, no shuffle at all.
+
+The threshold compare is done on the hex string itself (md5 prefix <
+8-hex-digit threshold, lexicographic) — portable to any engine with md5()
+and string compare, no 64-bit hex parsing required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _threshold_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform [0,1)-ish bucket as the first 8 hex chars of a salted md5."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 8)
+
+
+HASH_BUCKET_SQL = "substr(md5('{salt}' || {key}), 1, 8)"
+
+
+def hash_sample(df: DataFrame, key: str, rate: float, salt: str = "s1") -> DataFrame:
+    """Deterministic Bernoulli sample: keep each row iff its salted content
+    hash falls under ``rate``. Same rows every run, every retry."""
+    return df.filter(hash_bucket(key, salt) < F.lit(_threshold_hex(rate)))
+
+
+def hash_sample_sql(key: str, rate: float, salt: str = "s1") -> str:
+    """DuckDB twin of the :func:`hash_sample` predicate (WHERE clause)."""
+    return f"{HASH_BUCKET_SQL.format(salt=salt, key=key)} < '{_threshold_hex(rate)}'"
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "s1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 50% of English docs,
+    10% of everything else — the standard language/source rebalancing pass
+    in corpus curation). One codegen CASE for the threshold; still zero
+    shuffle."""
+    thr: Column = F.lit(_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == value, F.lit(_threshold_hex(rate))).otherwise(thr)
+    return df.filter(hash_bucket(key, salt) < thr)
+
+
+def stratified_hash_sample_sql(
+    key: str, stratum: str, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "s1",
+) -> str:
+    """DuckDB twin of :func:`stratified_hash_sample` (WHERE clause)."""
+    whens = " ".join(
+        f"WHEN {stratum} = '{v}' THEN '{_threshold_hex(r)}'"
+        for v, r in sorted(rates.items())
+    )
+    case = f"CASE {whens} ELSE '{_threshold_hex(default_rate)}' END"
+    return f"{HASH_BUCKET_SQL.format(salt=salt, key=key)} < {case}"

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from boxoffice_spark.functions.numeric import dsum_sql
 from boxoffice_spark.operators import dedup as D
+from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -270,4 +271,48 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "t_hash_sample",
+    oracle=(
+        "SELECT doc_id, lang, source FROM documents WHERE "
+        + SMP.hash_sample_sql("text", 0.3)
+    ),
+    tags=("sampling", "deterministic"),
+)
+def t_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% Bernoulli sample by salted content hash — the
+    retry-safe replacement for rand()-based sampling (task re-execution
+    re-draws RNG samples; content hashing never does). Zero shuffle, pure
+    scan-side filter (operators/sampling.hash_sample)."""
+    d = table(spark, sf_dir, "documents")
+    return SMP.hash_sample(d, "text", 0.3).select("doc_id", "lang", "source")
+
+
+_STRATA_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+@register(
+    "t_stratified_sample",
+    oracle=(
+        "SELECT lang, count(*) AS n_kept FROM documents WHERE "
+        + SMP.stratified_hash_sample_sql(
+            "text", "lang", {"en": 0.5, "de": 0.25, "zh": 0.1}, default_rate=0.05
+        )
+        + " GROUP BY 1"
+    ),
+    tags=("sampling", "stratified"),
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling rates (corpus rebalancing:
+    keep 50% en, 25% de, 10% zh, 5% rest), reported as kept-count per
+    language. One codegen CASE threshold, no shuffle before the count
+    (operators/sampling.stratified_hash_sample)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        SMP.stratified_hash_sample(d, "text", "lang", _STRATA_RATES, default_rate=0.05)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
     )

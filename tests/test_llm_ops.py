@@ -141,3 +141,23 @@ def test_chunk_dup_pairs_matches_bruteforce(spark, sf_dir):
     for pair, (shared, containment) in got.items():
         assert shared == expected[pair]
         assert 0.0 < containment <= 1.0
+
+
+def test_hash_sample_deterministic_and_salt_independent(spark, sf_dir):
+    """Hash sampling must return the identical row set on every run (the
+    retry-safety property rand() lacks), hit the target rate within
+    binomial noise, and different salts must draw near-independent
+    samples."""
+    from boxoffice_spark.operators.sampling import hash_sample
+
+    docs = table(spark, sf_dir, "documents")
+    a1 = {r.doc_id for r in hash_sample(docs, "text", 0.3).select("doc_id").collect()}
+    a2 = {r.doc_id for r in hash_sample(docs, "text", 0.3).select("doc_id").collect()}
+    assert a1 == a2 and a1  # bit-identical across runs
+
+    n = docs.count()
+    assert 0.3 * n * 0.6 < len(a1) < 0.3 * n * 1.4  # rate within noise
+
+    b = {r.doc_id for r in hash_sample(docs, "text", 0.3, salt="other").select("doc_id").collect()}
+    overlap = len(a1 & b) / len(a1)
+    assert 0.1 < overlap < 0.5, f"salted samples should be ~independent, overlap={overlap}"
