@@ -205,3 +205,61 @@ def i_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
     )
+
+
+@register(
+    "i_hierarchical_rollup",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+               count(*) AS n_events, sum(CAST(value AS DECIMAL(27,4))) AS vdec
+        FROM ev GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
+               sum(n_events) AS n_events, sum(vdec) AS vdec
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events, CAST(vdec AS DOUBLE) AS value_sum
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS grain, bucket_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events, CAST(vdec AS DOUBLE) AS value_sum
+    FROM daily
+    """,
+    tags=("incremental", "rollup", "hypertable"),
+)
+def i_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY level is computed
+    FROM the hourly aggregate, not from raw events — counts and decimal
+    sums are algebraic, so coarser grains re-aggregate O(24) hourly rows
+    per key instead of rescanning the fact table. At 100 TB this is the
+    difference between a dashboard query over a few thousand rollup rows
+    and a full fact scan; the decimal stays un-cast until the final
+    projection so the two-level sum is exact (no double re-accumulation).
+    Events are scanned ONCE: the union's two branches share the hourly
+    aggregate subplan (ReusedExchange, asserted in tests/test_plans.py).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("vdec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("vdec").alias("vdec"))
+
+    def finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("vdec").cast("double").alias("value_sum"),
+        )
+
+    return finish(hourly, "hour").unionByName(finish(daily, "day"))

@@ -90,3 +90,12 @@ def test_no_python_udfs_in_relational_core(spark, sf_dir):
     ]:
         plan = physical(SPECS[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} contains a Python UDF"
+
+
+def test_hierarchical_rollup_reuses_hourly_aggregate(spark, sf_dir):
+    """The daily grain must re-aggregate the hourly exchange, not rescan
+    events: ReusedExchange ties the union's two branches to one shuffle."""
+    df = SPECS["i_hierarchical_rollup"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes exchange reuse at runtime, on THIS df's execution
+    plan = physical(df)
+    assert "ReusedExchange" in plan, plan
