@@ -193,3 +193,66 @@ SELECT
     round(CAST(b.dup_bg AS DOUBLE) / CAST(b.total_bg AS DOUBLE), 6) AS dup_bigram_frac
 FROM per_word p LEFT JOIN per_bg b USING ({id_col})
 """
+
+
+def tfidf_top_terms(docs, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-k terms by TF-IDF — the standard keyword/topic
+    signal for corpus curation (and the relevance core of BM25-style
+    retrieval; the reference's dashboard keyword filters,
+    src/dashboard.py:96-118, are a degenerate single-term form).
+
+    idf is the LINEAR rarity ratio ``n_docs / df`` rather than the
+    conventional ``ln(n_docs / df)``: the score stays in exact 64-bit
+    integer arithmetic (``tf * n_docs * 10000 div df``), so ranking is
+    bit-identical across engines — log idf compresses the same ordering
+    monotonically for equal tf, and swapping it in is a one-line change
+    where cross-engine determinism isn't a constraint.
+
+    Scale shape: tokenize -> (doc, term) count [one shuffle] -> the
+    document-frequency table derives FROM the tf aggregate (vocabulary is
+    sublinear in corpus size; Zipf head dominates) and joins back as a
+    broadcast; n_docs is a broadcast one-row aggregate. At vocabularies
+    too big to broadcast (~>1e8 terms), switch the df join to a shuffle
+    hash join on term — everything else is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_of(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_x1e4", F.expr("(tf * n_docs * 10000) div df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_x1e4"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score_x1e4", "rnk")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+    SELECT {id_col} AS doc_id, unnest(string_split({norm}, ' ')) AS term FROM {table}
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM {table}
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           (tf.tf * n.n_docs * 10000) // dfreq.df AS score_x1e4
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT scored.*, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_x1e4 DESC, term) AS INT) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score_x1e4, rnk FROM ranked WHERE rnk <= {k}
+"""

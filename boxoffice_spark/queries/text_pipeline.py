@@ -316,3 +316,16 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle=TS.TFIDF_SQL.format(table="documents", id_col="doc_id", norm=_NORM, k=3),
+    tags=("text", "tfidf", "keywords"),
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (integer-exact linear idf;
+    see operators/textstats.tfidf_top_terms for the scale shape — the
+    document-frequency side re-aggregates the tf exchange and broadcasts
+    back, so the corpus is tokenized once)."""
+    return TS.tfidf_top_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
