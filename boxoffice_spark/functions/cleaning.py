@@ -90,3 +90,28 @@ STOCK_DEFAULT = "소진"
 def stock_status(col: Column | str) -> Column:
     """quantity -> status label with the reference's thresholds (F21)."""
     return bucketize(col, STOCK_THRESHOLDS, STOCK_DEFAULT)
+
+
+# PII redaction patterns — written in the common Java-regex/RE2 subset so
+# the Spark expression and the DuckDB oracle compile the SAME pattern.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 -]{7,13}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails then phone-like digit runs (curation-standard PII scrub;
+    order matters — the email pattern would otherwise leave digit runs the
+    phone pattern then half-masks). Pure codegen `regexp_replace` chain:
+    a full-corpus scrub stays JVM-side with zero shuffles."""
+    c = F.col(col) if isinstance(col, str) else col
+    masked = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+
+
+def redact_pii_sql(col: str) -> str:
+    """DuckDB twin of :func:`redact_pii` (plain concat — the regexes contain
+    ``{2,}`` which str.format would eat)."""
+    return (
+        "regexp_replace(regexp_replace(" + col + ", '" + EMAIL_RE + "', '<EMAIL>', 'g'), "
+        "'" + PHONE_RE + "', '<PHONE>', 'g')"
+    )

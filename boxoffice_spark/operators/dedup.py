@@ -95,10 +95,14 @@ def ngram_jaccard_pairs(
     shingled = spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
+        # materialize the word split through a Generate so the n-gram
+        # lambda reads a column instead of re-splitting per element
+        F.explode(F.array(F.split(normalized_text(text_col), " "))).alias("_w"),
+    ).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
         F.explode(
-            F.array(
-                F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n))
-            )
+            F.array(F.array_distinct(_word_ngrams_col(F.col("_w"), n)))
         ).alias("_sh"),
     ).select(
         *block_cols, id_col, F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
@@ -504,3 +508,94 @@ def chunk_dup_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "shared_chunks", "containment")
     )
+
+
+def contamination_report(
+    df: DataFrame, id_col: str, text_col: str, eval_pred: Column, n: int = 8
+) -> DataFrame:
+    """Train/eval decontamination report: for each EVAL document, the
+    fraction of its distinct word-``n``-gram shingles that also occur
+    anywhere in the TRAIN split (``~eval_pred``) — the standard benchmark-
+    contamination check run before pretraining (n-gram overlap against held-
+    out eval sets; cf. the 13-gram checks popularized by GPT-3/Dolma).
+
+    Scale shape: shingles are reduced to 60-bit hashes before the join, so
+    the shuffle carries 8-byte keys instead of n-word strings; the train
+    side is a distinct-aggregate (map-side partial dedup) and the probe is
+    a LEFT SEMI join — Spark keeps only the key column and short-circuits
+    on first match. At 100 TB the train shingle set is the big side: both
+    sides shuffle-partition on the hash (no broadcast), which is exactly
+    the Dolma/RedPajama decontamination layout; a Bloom-filter pre-pass
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) can thin the
+    probe side for free when the eval set is small.
+    """
+    # Two Generate barriers (explode(array(e)) — see ngram_jaccard_pairs):
+    # first materializes the word split so the n-gram lambda reads a column
+    # instead of re-splitting the document per element (O(len), not
+    # O(len^2)); second materializes the shingle array so each consumer
+    # branch reads it rather than re-deriving the lambda expression.
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            eval_pred.alias("_is_eval"),
+            F.explode(F.array(F.split(normalized_text(text_col), " "))).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "_is_eval",
+            F.explode(
+                F.array(F.array_distinct(_word_ngrams_col(F.col("_w"), n)))
+            ).alias("_sh"),
+        )
+    )
+    ev = base.filter("_is_eval")
+    evh = ev.select("doc_id", F.explode("_sh").alias("_g")).select(
+        "doc_id", _word_hash(F.col("_g")).alias("h")
+    )
+    train = (
+        base.filter(~F.col("_is_eval"))
+        .select(F.explode("_sh").alias("_g"))
+        .select(_word_hash(F.col("_g")).alias("h"))
+        .distinct()
+    )
+    hits = evh.join(train, "h", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    totals = ev.select("doc_id", F.size("_sh").cast("long").alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.greatest("n_shingles", F.lit(1)), 6
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+CONTAMINATION_SQL = """
+WITH base AS (
+    SELECT {id_col} AS doc_id, ({eval_pred}) AS is_eval,
+           list_distinct({ngrams}) AS sh
+    FROM {table}
+), evh AS (
+    SELECT doc_id, {hash_g} AS h
+    FROM (SELECT doc_id, unnest(sh) AS g FROM base WHERE is_eval)
+), train AS (
+    SELECT DISTINCT {hash_g} AS h
+    FROM (SELECT unnest(sh) AS g FROM base WHERE NOT is_eval)
+), totals AS (
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM base WHERE is_eval
+), hits AS (
+    SELECT doc_id, count(*) AS n_hit FROM evh
+    WHERE h IN (SELECT h FROM train) GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(hi.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(coalesce(hi.n_hit, 0) AS DOUBLE) / greatest(t.n_shingles, 1), 6)
+           AS contamination_frac
+FROM totals t LEFT JOIN hits hi USING (doc_id)
+"""

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from boxoffice_spark.functions import cleaning as CL
 from boxoffice_spark.functions.numeric import dsum_sql
 from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
@@ -321,6 +322,7 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_tfidf_top_terms",
     oracle=TS.TFIDF_SQL.format(table="documents", id_col="doc_id", norm=_NORM, k=3),
+    bench=True,
     tags=("text", "tfidf", "keywords"),
 )
 def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,3 +331,75 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency side re-aggregates the tf exchange and broadcasts
     back, so the corpus is tokenized once)."""
     return TS.tfidf_top_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+_CONTAM_NGRAMS = D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=4)
+
+
+@register(
+    "t_decontamination",
+    oracle=D.CONTAMINATION_SQL.format(
+        table="documents",
+        id_col="doc_id",
+        eval_pred="source = 'src0'",
+        ngrams=_CONTAM_NGRAMS,
+        hash_g=D.WORD_HASH_SQL.format(w="g"),
+    ),
+    bench=True,
+    tags=("dedup", "decontamination"),
+)
+def t_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per eval-split document (source
+    'src0'), the fraction of its distinct 5-word shingles that appear
+    anywhere in the train split (every other source). Hash-keyed semi
+    join; see operators/dedup.contamination_report for the scale shape.
+    n=5 is tuned to this corpus (the planted near-dup docs light up, the
+    rest stay clean); production decontamination uses n=8..13."""
+    d = table(spark, sf_dir, "documents")
+    return D.contamination_report(d, "doc_id", "text", F.col("source") == "src0", n=5)
+
+
+_PII_AUG_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "tel +82 10-55' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234'"
+)
+
+
+@register(
+    "t_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{CL.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{CL.PHONE_RE}')) AS INT) AS n_phones,
+           right({CL.redact_pii_sql('t')}, 60) AS redacted_tail
+    FROM aug
+    """,
+    tags=("text", "pii"),
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: the fixture text carries no PII, so a
+    deterministic contact line (email + intl phone) is appended per doc and
+    then masked by functions/cleaning.redact_pii — pattern-count columns
+    prove detection, the redacted tail proves the exact replacement. Full
+    scan, zero shuffles, all codegen."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +82 10-55"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-1234"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(CL.EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(CL.PHONE_RE)).alias("n_phones"),
+        CL.redact_pii("t").alias("_red"),
+    ).select(
+        "doc_id", "n_emails", "n_phones", F.expr("right(_red, 60)").alias("redacted_tail")
+    )

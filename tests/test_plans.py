@@ -99,3 +99,13 @@ def test_hierarchical_rollup_reuses_hourly_aggregate(spark, sf_dir):
     df.collect()  # AQE finalizes exchange reuse at runtime, on THIS df's execution
     plan = physical(df)
     assert "ReusedExchange" in plan, plan
+
+
+def test_decontamination_probe_is_semi_join(spark, sf_dir):
+    """The eval->train shingle probe must be a LEFT SEMI join on the 60-bit
+    hash (carries only the key, short-circuits on first match) — never an
+    inner join that would duplicate eval rows per train occurrence, and
+    never a broadcast of the train side (the big side at 100 TB)."""
+    plan = physical(SPECS["t_decontamination"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
