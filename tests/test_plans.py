@@ -101,6 +101,14 @@ def test_hierarchical_rollup_reuses_hourly_aggregate(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_pii_redact_is_zero_shuffle_scan(spark, sf_dir):
+    """The PII scrub is a pure per-row rewrite — a full-corpus pass must
+    stay map-side (no Exchange) and JVM-side (no Python UDF operators)."""
+    plan = physical(SPECS["t_pii_redact"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_decontamination_probe_is_semi_join(spark, sf_dir):
     """The eval->train shingle probe must be a LEFT SEMI join on the 60-bit
     hash (carries only the key, short-circuits on first match) — never an
