@@ -44,7 +44,14 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def _word_ngrams_col(words: Column, n: int) -> Column:
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    # Spark's sequence(start, stop) DESCENDS when start > stop —
+    # sequence(1, 0) = [1, 0], unlike DuckDB generate_series(1, 0) = [] —
+    # so a doc with fewer than n words would evaluate slice(words, 0, n)
+    # and throw INVALID_PARAMETER_VALUE.START. Guard to an empty array,
+    # matching the (empty-series) DuckDB oracle semantics.
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
 
 

@@ -11,7 +11,8 @@ first at 100 TB.
 Strategies
 ----------
 ``asof_join``: the union trick. Tag both sides, union them, sort each key
-partition by (ts, side, tie), and carry the right payload forward with
+partition by (ts, side, tie), and carry the right payload forward — as a
+single struct, so the attached row stays atomic — with
 ``last(ignorenulls=True)`` over a running window. Cost = ONE shuffle of each
 side on the join keys + one partition-local sort — the same cost class as a
 sort-merge equi-join, with no pairwise comparison blowup. State per row is
@@ -30,7 +31,7 @@ false pairs filtered, narrow bins = more interval replication).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 
 def asof_join(
@@ -74,12 +75,20 @@ def asof_join(
     def null_as(dt, name: str) -> Column:
         return F.lit(None).cast(dt).alias(name)
 
+    # The right payload travels as ONE struct, not independent columns: a
+    # per-column last(ignorenulls) would back-fill a NULL field of the
+    # matched row from an OLDER right row, stitching together a "row" that
+    # never existed. Carrying the struct keeps the attached row atomic,
+    # genuine NULL fields included.
+    r_struct_type = T.StructType(
+        [T.StructField(right_prefix + c, r_types[c]) for c in r_payload]
+    )
     lt = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in l_payload],
-        *[null_as(r_types[c], right_prefix + c) for c in r_payload],
+        null_as(r_struct_type, "__r"),
         *([null_as(tie_type, "__tie")] if tie_col else []),
     )
     rt = right.select(
@@ -87,7 +96,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[null_as(l_types[c], c) for c in l_payload],
-        *[F.col(c).alias(right_prefix + c) for c in r_payload],
+        F.struct(*[F.col(c).alias(right_prefix + c) for c in r_payload]).alias("__r"),
         *([F.col(tie_col).alias("__tie")] if tie_col else []),
     )
     u = lt.unionByName(rt)
@@ -100,12 +109,22 @@ def asof_join(
     order = [ts_order, F.asc("__side")] + ([F.asc("__tie")] if tie_col else [])
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
 
-    carried = [F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c) for c in r_payload]
     out = (
-        u.select(*keys, "__ts", "__side", *l_payload, *carried)
+        u.select(
+            *keys,
+            "__ts",
+            "__side",
+            *l_payload,
+            F.last("__r", ignorenulls=True).over(w).alias("__r"),
+        )
         .filter(F.col("__side") == 1)
+        .select(
+            *keys,
+            "__ts",
+            *l_payload,
+            *[F.col(f"__r.{right_prefix}{c}").alias(right_prefix + c) for c in r_payload],
+        )
         .withColumnRenamed("__ts", left_ts)
-        .drop("__side")
     )
 
     if tolerance_secs is not None:

@@ -128,8 +128,11 @@ def repetition_stats(df, id_col: str, text_col: str):
     Everything is Generate + hash-aggregate inside whole-stage codegen —
     no Python, no window over the full token stream; each aggregation
     shuffles once on (doc, token) and once on doc, all partial-agg
-    friendly. Docs with a single word have no bigrams: dup_bigram_frac is
-    null there (left join), never a divide-by-zero.
+    friendly. Docs with a single word have no bigrams: the bigram index
+    sequence is guarded to an empty array there (Spark's sequence(0, -1)
+    DESCENDS to [0, -1] and a[1] would throw INVALID_ARRAY_INDEX), so
+    dup_bigram_frac is null (left join), never a crash or divide-by-zero —
+    matching DuckDB's empty generate_series(1, 0).
     """
     words = df.select(
         F.col(id_col), F.explode(words_of(text_col)).alias("word")
@@ -145,7 +148,11 @@ def repetition_stats(df, id_col: str, text_col: str):
     bigrams = arr.select(
         F.col(id_col),
         F.explode(
-            F.expr("transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN "
+                "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1])) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
         ).alias("g"),
     )
     bgc = bigrams.groupBy(id_col, "g").agg(F.count("*").alias("c"))

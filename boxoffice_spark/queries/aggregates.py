@@ -216,10 +216,17 @@ def a_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct + quantiles (SURVEY §2.11 extension: sketch-based
     stats are the 100 TB substitutes for exact countDistinct/percentile).
-    HLL++ and GK-quantile both merge map-side — one narrow shuffle."""
+    HLL++ and GK-quantile both merge map-side — one narrow shuffle.
+
+    Quantiles come back as three SCALAR columns (one percentile_approx
+    sketch, element_at-unpacked), not an array: the driver canonicalizer
+    sorts cells with pandas and crashes on list-valued columns."""
     li = table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
+        F.element_at(q, 3).alias("price_p99"),
         F.count("*").alias("n"),
     )

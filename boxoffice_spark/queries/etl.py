@@ -285,12 +285,42 @@ def e_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idempotent_backfill(li, replacement, in_range)
 
 
-@register("e_schema_introspection", oracle=None, tags=("etl", "catalog"))
+@register(
+    "e_schema_introspection",
+    # DuckDB names types differently (BIGINT vs bigint, VARCHAR vs string);
+    # the oracle maps its information_schema type names onto Spark's
+    # simpleString vocabulary. The one semantic (not spelling) divergence is
+    # events.ts: the engine ingests the TIMESTAMP(NANOS) column as a UTC
+    # session timestamp (tables.table), while plain parquet timestamps stay
+    # timestamp_ntz — the CASE mirrors that documented ingestion rule.
+    oracle="""
+    SELECT
+        table_name,
+        column_name,
+        CASE
+            WHEN table_name = 'events' AND column_name = 'ts' THEN 'timestamp'
+            WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp_ntz'
+            WHEN data_type = 'BIGINT' THEN 'bigint'
+            WHEN data_type = 'INTEGER' THEN 'int'
+            WHEN data_type = 'DOUBLE' THEN 'double'
+            WHEN data_type = 'FLOAT' THEN 'float'
+            WHEN data_type = 'VARCHAR' THEN 'string'
+            WHEN data_type = 'BOOLEAN' THEN 'boolean'
+            WHEN data_type = 'DATE' THEN 'date'
+            WHEN data_type = 'FLOAT[]' THEN 'array<float>'
+            ELSE lower(data_type)
+        END AS data_type,
+        (is_nullable = 'YES') AS is_nullable
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                         'orders', 'lineitem', 'events', 'documents', 'embeddings')
+    """,
+    tags=("etl", "catalog"),
+)
 def e_schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: schema introspection as data (reference ai_agent.py:26-38 reads
     sqlite_master + PRAGMA table_info to ground the NL->SQL prompt). Spark
-    source of truth: DataFrame schemas. Rows-only check (DuckDB's
-    information_schema names types differently)."""
+    source of truth: DataFrame schemas."""
     return describe_tables(spark, sf_dir)
 
 

@@ -143,6 +143,53 @@ def test_chunk_dup_pairs_matches_bruteforce(spark, sf_dir):
         assert 0.0 < containment <= 1.0
 
 
+def test_short_docs_do_not_crash_ngram_ops(spark):
+    """Docs with fewer words than n must yield EMPTY shingle lists (DuckDB
+    generate_series semantics), not crash: Spark's sequence(1, 0) descends
+    to [1, 0] and slice(words, 0, n) throws without the guard."""
+    from boxoffice_spark.operators.dedup import (
+        contamination_report,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, ""), (4, "one two three four"), (5, "one two three four")],
+        "doc_id long, text string",
+    )
+    grams = {r.doc_id: r.g for r in docs.select("doc_id", word_ngrams("text", 3).alias("g")).collect()}
+    assert grams[1] == [] and grams[2] == []
+    # "" splits to [""] -> 1 word < 3 -> empty
+    assert grams[3] == []
+    assert grams[4] == ["one two three", "two three four"]
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", block_cols=[], n=3, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(4, 5)}
+
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", n=3).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} == {(4, 5)}
+
+    rep = contamination_report(
+        docs, "doc_id", "text", eval_pred=F.col("doc_id") >= 4, n=5
+    ).collect()
+    assert len(rep) == 2  # runs without INVALID_PARAMETER_VALUE on short docs
+
+
+def test_single_word_docs_do_not_crash_repetition_stats(spark):
+    """sequence(0, -1) descends in Spark; the bigram transform must be
+    guarded so one-word docs get null dup_bigram_frac, matching DuckDB's
+    empty generate_series."""
+    from boxoffice_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello hello world")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert out[1].n_words == 1 and out[1].dup_bigram_frac is None
+    assert out[2].n_words == 3 and out[2].top_word_frac == round(2 / 3, 6)
+
+
 def test_hash_sample_deterministic_and_salt_independent(spark, sf_dir):
     """Hash sampling must return the identical row set on every run (the
     retry-safety property rand() lacks), hit the target rate within

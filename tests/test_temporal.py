@@ -101,6 +101,27 @@ def test_asof_equal_ts_tie_breaks_to_max_tie_col(spark):
     assert out[1] == 21
 
 
+def test_asof_null_payload_field_not_backfilled_from_older_row(spark):
+    """The matched right row must come back ATOMIC: when its v is NULL, the
+    output v must be NULL too — not back-filled from an older right row
+    (the per-column last(ignorenulls) Frankenstein bug)."""
+    left = spark.createDataFrame(
+        [(1, "k1", _ts("2024-01-01 12:00:00"))], "lid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k1", _ts("2024-01-01 09:00:00"), 7.0),  # older, v NOT null
+            (11, "k1", _ts("2024-01-01 11:00:00"), None),  # matched, v IS null
+        ],
+        "rid long, k string, ts timestamp, v double",
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", tie_col="rid"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].r_rid == 11 and rows[0].r_v is None
+
+
 def test_keyless_interval_join_matches_naive(spark):
     points = spark.range(0, 500).select(
         F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 97).alias("ts"),
