@@ -81,6 +81,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     n: int = 3,
     threshold: float = 0.5,
+    max_postings: int = 1000,
 ) -> DataFrame:
     """Tier 2: pairwise word-n-gram Jaccard within blocks, via an
     inverted shingle index.
@@ -92,8 +93,17 @@ def ngram_jaccard_pairs(
     ``|A ∪ B| = |A| + |B| - common``. Any pair at jaccard ≥ threshold > 0
     shares a shingle, so the result set is identical to the quadratic form.
     At 100 TB the shuffle is postings-sized (corpus token count), not
-    block²-sized; hot shingles are the skew risk — AQE skew-join splitting
-    plus the block keys keep postings lists bounded.
+    block²-sized.
+
+    Hot shingles are the remaining skew risk: a boilerplate shingle shared
+    by k docs of one block emits k² join rows, and AQE only splits
+    partitions — it cannot bound a single shingle's pair output. So a
+    shingle whose within-block document frequency exceeds ``max_postings``
+    is dropped from the index before the self-join (the same cap
+    ``chunk_dup_pairs`` applies to chunk hashes). That common a shingle is
+    boilerplate, not dedup signal. Trade-off: a pair whose overlap rests
+    only on dropped shingles scores lower (sizes stay full, so jaccard
+    never over-counts) — a bounded recall cost for a hard k² bound.
     """
     # explode(array(e)) materializes the shingle array through a Generate
     # once per row; a plain select would let CollapseProject inline the
@@ -114,6 +124,17 @@ def ngram_jaccard_pairs(
     ).select(
         *block_cols, id_col, F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
     )
+    # Shingles are array_distinct'd per doc, so count(*) per (block, _g) is
+    # the shingle's within-block document frequency. The anti-join shuffles
+    # on the same (block, _g) keys the self-join below uses, so AQE reuses
+    # the partitioning.
+    hot = (
+        shingled.groupBy(*block_cols, "_g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_postings)
+        .select(*block_cols, "_g")
+    )
+    shingled = shingled.join(hot, [*block_cols, "_g"], "left_anti")
     a, b = shingled.alias("a"), shingled.alias("b")
     cond = [F.col("a._g") == F.col("b._g")] + [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
@@ -202,6 +223,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_postings: int = 1000,
 ) -> DataFrame:
     """Tier 4: MinHash + banded LSH candidate pairs, all-Catalyst.
 
@@ -244,6 +266,19 @@ def minhash_lsh_pairs(
         ]
     )
     postings = sigt.select(F.col(id_col), F.posexplode(buckets).alias("_band", "_bucket"))
+    # Bucket-size cap (chunk_dup_pairs' max_postings pattern): a (band,
+    # bucket) holding > max_postings docs would emit O(size²) candidate
+    # rows in the self-join below. A bucket that hot means the band's
+    # minhashes are degenerate across a huge doc population (boilerplate /
+    # near-empty docs) — drop it; other bands still vote, so the banded-OR
+    # recall guarantee degrades gracefully instead of the join exploding.
+    hot = (
+        postings.groupBy("_band", "_bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_postings)
+        .select("_band", "_bucket")
+    )
+    postings = postings.join(hot, ["_band", "_bucket"], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     cand = (
         a.join(

@@ -208,3 +208,42 @@ def test_hash_sample_deterministic_and_salt_independent(spark, sf_dir):
     b = {r.doc_id for r in hash_sample(docs, "text", 0.3, salt="other").select("doc_id").collect()}
     overlap = len(a1 & b) / len(a1)
     assert 0.1 < overlap < 0.5, f"salted samples should be ~independent, overlap={overlap}"
+
+
+def test_hot_shingle_cap_bounds_ngram_pairs(spark):
+    """A boilerplate shingle shared by every doc must not quadratically
+    blow up the inverted-index join: shingles over the doc-frequency cap
+    are dropped, so the all-pairs-via-boilerplate output disappears while
+    genuine near-dups (which also share rare shingles) survive."""
+    n_docs = 400
+    rows = [
+        (i, f"shared boiler plate header t{i} unique u{i * 7} tail v{i * 13}")
+        for i in range(n_docs)
+    ]
+    rows.append((n_docs, rows[0][1] + " extra"))  # planted true near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold 0.1: the two boilerplate shingles alone put EVERY pair over
+    # it (jaccard ~0.2), so without the cap this emits ~n_docs^2/2 pairs.
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", block_cols=[], n=3, threshold=0.1, max_postings=50
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, n_docs) in found, "planted near-dup lost to the cap"
+    assert len(found) < 20, f"cap failed to bound boilerplate pairs: {len(found)}"
+
+
+def test_hot_bucket_cap_bounds_lsh_pairs(spark):
+    """An LSH bucket holding a huge identical-doc population is dropped
+    (its pairs belong to the exact tier), while a distinct near-dup pair in
+    its own buckets is still emitted."""
+    n_same = 300
+    same = [(i, "identical boilerplate body repeated verbatim across docs") for i in range(n_same)]
+    near = [
+        (10_000, "a genuinely distinctive document about parquet shuffles and joins"),
+        (10_001, "a genuinely distinctive document about parquet shuffles and join"),
+    ]
+    df = spark.createDataFrame(same + near, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", max_postings=50).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (10_000, 10_001) in found, "near-dup pair lost to the bucket cap"
+    assert len(found) < 20, f"bucket cap failed: {len(found)} pairs from identical block"
