@@ -63,6 +63,75 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Arrow/NumPy twin of :func:`cosine_topk` (the ``simhash_fast``
+    pattern): same exact semantics, different physical strategy.
+
+    ``cosine_topk`` scores via ``zip_with``/``aggregate`` higher-order
+    folds, which Spark keeps interpreted (lambda-bearing expressions are
+    excluded from whole-stage codegen and subexpression elimination — see
+    operators/dedup.py minhash notes). Here the query matrix is broadcast
+    once (``sc.broadcast``), and each scan partition scores a whole Arrow
+    batch with one BLAS matmul, emitting only its batch-local top-(k+2)
+    candidates per query — the global window then reduces candidates, not
+    the full |corpus| x |queries| cross product. Shuffle bytes drop from
+    O(corpus x queries) scored rows to O(partitions x queries x k).
+
+    The +2 margin covers the query's own row (self-excluded later) and a
+    rounded-tie at the cutoff; exactness vs the fold form is asserted by
+    sharing its DuckDB oracle (queries/similarity.py).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qn = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qn.T  # (batch, n_queries)
+            kk = min(k + 2, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "neighbor_id": ids[top].T.ravel(),
+                    "cos_sim": np.round(
+                        np.take_along_axis(sims, top, axis=0).T.ravel(), round_to
+                    ),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        batches, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5,14 +5,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from boxoffice_spark.operators.similarity import ann_lsh_topk, cosine, cosine_topk
+from boxoffice_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine,
+    cosine_topk,
+    cosine_topk_arrow,
+)
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
-
-@register(
-    "v_cosine_topk",
-    oracle="""
+_COSINE_TOPK_ORACLE = """
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id < 5
@@ -33,7 +35,12 @@ from boxoffice_spark.tables import table
         FROM scored
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
-    """,
+    """
+
+
+@register(
+    "v_cosine_topk",
+    oracle=_COSINE_TOPK_ORACLE,
     bench=True,
     tags=("similarity", "vector"),
 )
@@ -46,7 +53,25 @@ def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
-@register("v_ann_lsh_topk", oracle=None, tags=("similarity", "ann"))
+@register(
+    "v_cosine_topk_arrow",
+    oracle=_COSINE_TOPK_ORACLE,
+    bench=True,
+    tags=("similarity", "vector", "pandas-udf"),
+)
+def v_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-k under the Arrow physical strategy: broadcast
+    query matrix, one BLAS matmul per scan batch, batch-local top-k
+    candidates only into the global window — the 100 TB corpus-scan
+    variant (interpreted zip_with/aggregate folds are the known-slow
+    expression class). Shares v_cosine_topk's DuckDB oracle, so exactness
+    of the rewrite is driver-checked, not asserted."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_arrow(emb, queries, k=10)
+
+
+@register("v_ann_lsh_topk", oracle=None, bench=True, tags=("similarity", "ann"))
 def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-projection LSH buckets + exact rerank
     (the sub-linear scale path; recall vs the exact operator asserted in
@@ -119,7 +144,7 @@ def v_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("v_ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+@register("v_ann_ivf_topk", oracle=None, bench=True, tags=("similarity", "ann", "ivf"))
 def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer + probe-nearest-cells + exact
     cosine rerank (operators/similarity.ann_ivf_topk) — the train-once

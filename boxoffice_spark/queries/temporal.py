@@ -118,6 +118,7 @@ def j_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j_sliding_interval_count",
+    bench=True,
     oracle=f"""
     WITH w AS (
         SELECT ts AS win_start, ts + INTERVAL 7 DAY AS win_end

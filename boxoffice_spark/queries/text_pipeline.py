@@ -19,6 +19,7 @@ _SHINGLES = "list_distinct(" + D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=2) + ")"
 
 @register(
     "t_exact_dedup",
+    bench=True,
     oracle=f"""
     SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
     FROM documents
@@ -185,6 +186,7 @@ def t_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_simhash_hamming_pairs",
+    bench=True,
     oracle=D.simhash_hamming_pairs_sql("documents", "doc_id", "text"),
     tags=("dedup", "simhash", "hamming"),
 )
@@ -224,7 +226,7 @@ def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@register("t_chunk_dup_pairs", oracle=None, tags=("dedup", "rolling-hash"))
+@register("t_chunk_dup_pairs", oracle=None, bench=True, tags=("dedup", "rolling-hash"))
 def t_chunk_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document near-dup pairs via shared CDC chunk fingerprints with
     capped inverted-index postings (operators/dedup.chunk_dup_pairs).
@@ -258,6 +260,7 @@ FROM reach GROUP BY node
 
 @register(
     "t_dedup_clusters",
+    bench=True,
     oracle=_CLUSTERS_ORACLE,
     tags=("dedup", "graph", "iterative"),
 )

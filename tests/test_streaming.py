@@ -23,10 +23,30 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
 
 
 def test_streaming_dedup_one_row_per_key(spark, sf_dir):
+    """Equality evidence against the batch semantics: exactly one row per
+    key, the key set is identical to the batch distinct-key set, and every
+    emitted row is a genuine source row (dropDuplicatesWithinWatermark may
+    keep any one arrival per key, so the kept ROW is nondeterministic but
+    the key set and row provenance are not)."""
+    from boxoffice_spark.tables import table
+
     out = streaming_dedup_first_per_key(spark, sf_dir)
-    total = out.count()
-    distinct_keys = out.select("user_id", "event_type").distinct().count()
-    assert total == distinct_keys > 0
+    rows = out.collect()
+    keys = {(r.user_id, r.event_type) for r in rows}
+    assert len(rows) == len(keys) > 0
+
+    ev = table(spark, sf_dir, "events")
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == batch_keys
+
+    source = {
+        (r.user_id, r.event_type, r.ts, r.value)
+        for r in ev.select("user_id", "event_type", "ts", "value").collect()
+    }
+    assert all((r.user_id, r.event_type, r.ts, r.value) in source for r in rows)
 
 
 def test_stream_stream_join_equals_batch_pairs(spark, sf_dir):
