@@ -16,6 +16,55 @@ physical write becomes a dynamic partition overwrite
 (``spark.sql.sources.partitionOverwriteMode=dynamic``, set in session.py)
 so only touched partitions rewrite. The io.write helpers below do that for
 parquet.
+
+Scaled path: Delta ``MERGE INTO`` (design note)
+-----------------------------------------------
+
+No Delta runtime ships in this sandbox, so the window-merge above is the
+executable form; this section is the production mapping a reviewer can
+follow 1:1.
+
+**Statement.** ``merge_upsert(old, new, keys)`` becomes::
+
+    MERGE INTO target t
+    USING updates s
+      ON  t.k1 = s.k1 AND t.k2 = s.k2          -- composite keys verbatim
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+``WHEN MATCHED UPDATE SET *`` is exactly last-writer-wins (the window
+merge's ``_src DESC, rn=1``); the reference's single-key
+(``event_id``, sqlite_connector.py:84-100) and composite-key
+(``(movie_cd, target_dt)``, supabase_connector.py:61) conflict targets
+are both just the ON conjunction.
+
+**Source dedup precondition.** MERGE throws on multiple source matches
+per target row; the window merge silently keeps one. Production form
+pre-dedupes the batch with the SAME window (key, ``_src`` → latest
+ingest_ts) before MERGE — semantics stay identical and deterministic.
+
+**Physical plan.** Delta MERGE = inner join (touched-file pruning) +
+rewrite of only matched files. With partition columns in the ON clause
+(``target_dt``), partition pruning bounds the join to the touched dates —
+the same reason ``idempotent_backfill`` maps to ``replaceWhere``::
+
+    df.write.format("delta").mode("overwrite")
+      .option("replaceWhere", "target_dt BETWEEN :lo AND :hi").save(path)
+
+which is atomic delete-then-reinsert (backfill_boxoffice.py:27-47) — re-run
+⇒ same table state, readers never see the gap.
+
+**Schema evolution.** ``spark.databricks.delta.schema.autoMerge.enabled``
++ ``UPDATE/INSERT *`` widens the target when upstream adds columns (the
+reference's pandas path inherits this implicitly from DataFrame writes);
+the window merge gets the same via ``unionByName(allowMissingColumns)``.
+
+**Idempotency.** MERGE on the full key is naturally idempotent
+(re-applying a batch rewrites rows to the same values); append-only
+retries need the dedup precondition above. Streaming form: this module's
+semantics inside ``foreachBatch`` + ``txnAppId``/``txnVersion`` for
+exactly-once (streaming/stateful.stream_upsert_sink carries the
+batch_id for the same purpose).
 """
 
 from __future__ import annotations
