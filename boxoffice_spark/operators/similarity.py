@@ -184,6 +184,96 @@ def ann_lsh_topk(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    max_postings: int = 2000,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Semantic near-duplicate PAIRS over the whole corpus via
+    random-hyperplane sign buckets — the scale form of
+    queries/similarity.v_embedding_near_dup (whose label block is a
+    fixture stand-in for exactly this bucket key). SemDeDup-shaped:
+    bucket by coarse semantic hash, exact cosine rerank inside buckets.
+
+    Candidate generation is banded-OR like minhash_lsh_pairs: ``n_tables``
+    independent sign patterns of ``n_planes`` bits; docs sharing ANY
+    pattern become candidates. Collision probability per plane is
+    1 - theta/pi, so at the near-dup thresholds this operator exists for
+    (cos >= 0.99 -> theta ~ 8 deg -> 0.955/plane -> ~69%/table -> >99.99%
+    over 16 tables) recall is effectively 1 — and EXACTLY 1 for identical
+    vectors, whose sign patterns agree in every table; the registered
+    query exploits that determinism to carry a full DuckDB oracle.
+
+    Scale shape: one Arrow matmul pass emits (id, table, bucket) postings
+    (no shuffle), a count-window cap drops degenerate buckets riding the
+    self-join's own (table, bucket) shuffle, pairs dedupe across tables,
+    and only the surviving candidate pairs pay the exact-cosine join —
+    O(candidates), never O(n^2).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def postings(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ pl >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = signs @ weights  # (batch, n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_tables),
+                    "_table": tables,
+                    "_bucket": buckets.ravel(),
+                }
+            )
+
+    post = df.select(id_col, vec_col).mapInPandas(
+        postings, schema="_id long, _table int, _bucket long"
+    )
+    wb = W.partitionBy("_table", "_bucket")
+    post = (
+        post.withColumn("_n", F.count("*").over(wb))
+        .filter(F.col("_n") <= max_postings)
+        .drop("_n")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._table") == F.col("b._table"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    scored = (
+        cand.join(vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_v", "_vb"), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

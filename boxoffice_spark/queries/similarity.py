@@ -10,6 +10,7 @@ from boxoffice_spark.operators.similarity import (
     cosine,
     cosine_topk,
     cosine_topk_arrow,
+    embedding_near_dup_lsh,
 )
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -115,6 +116,50 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.99)
+    )
+
+
+@register(
+    "v_embedding_near_dup_lsh",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, e FROM v
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, e FROM v WHERE vec_id % 50 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+    """,
+    bench=True,
+    tags=("similarity", "dedup", "lsh"),
+)
+def v_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus semantic near-dup pairs WITHOUT a blocking column:
+    random-hyperplane LSH candidates + exact cosine rerank
+    (operators/similarity.embedding_near_dup_lsh) — the scale form of
+    v_embedding_near_dup, whose label block is a fixture stand-in for
+    exactly this bucket key.
+
+    The fixture embeddings are near-random (max pairwise cosine ~0.51),
+    so the query plants the real-world event this tier exists for —
+    re-encoded copies: every 50th vector is unioned back under a new id.
+    Identical vectors agree in every sign bucket of every table, so LSH
+    recall on the qualifying pairs is exactly 1 and the brute-force
+    DuckDB oracle is a true equality check, not a recall bound. The
+    noisy-perturbation (approximate) regime is covered by the planted
+    recall test in tests/test_llm_ops.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding")
+    planted = v.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return embedding_near_dup_lsh(
+        v.unionByName(planted), id_col="vec_id", vec_col="embedding", threshold=0.99
     )
 
 

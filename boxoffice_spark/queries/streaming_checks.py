@@ -31,6 +31,16 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_first_per_key(spark, sf_dir)
 
 
+@register("s_stream_sessionize", oracle=None, tags=("streaming", "session"))
+def s_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via session_window + watermark (O(active
+    sessions) state). Batch twin: the identical session_window groupBy in
+    batch mode; equality asserted in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
 @register("s_stream_attribution_join", oracle=None, tags=("streaming", "join"))
 def s_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join (clicks x purchases within the

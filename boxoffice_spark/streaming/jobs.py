@@ -91,6 +91,47 @@ def streaming_dedup_first_per_key(
     return _run_to_completion(deduped.select("user_id", "event_type", "ts", "value"), "append")
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: ``session_window`` merges events whose
+    [ts, ts+gap) windows overlap into one per-user session — the
+    incremental execution of queries/incremental.i_sessionize's
+    lag+cumsum batch shape. State is one open window per (user, session),
+    closed and evictable once the watermark passes ``end`` — O(active
+    sessions), not O(events).
+
+    ``session_window`` is also a batch function; the stream==batch
+    equality test (tests/test_streaming.py) runs the identical groupBy in
+    batch mode, so the streaming execution is checked against the same
+    logical plan rather than a hand-written twin. Boundary note vs
+    i_sessionize: window overlap is strict (< gap), while the batch
+    lag-form splits on ``> gap`` — an event at exactly gap distance
+    starts a new session here; the fixture's microsecond timestamps make
+    exact-gap collisions measure-zero, and the equality test does not
+    depend on it.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            # session_window end = last event ts + gap; subtracting the gap
+            # recovers max(ts), matching i_sessionize's session_end column.
+            (F.col("w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return _run_to_completion(agg, "complete")
+
+
 def stream_stream_attribution_join(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -48,6 +48,34 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, f"mean ANN recall too low: {recalls}"
 
 
+def test_embedding_near_dup_lsh_planted_recall(spark, sf_dir):
+    """The noisy regime the registered query (exact duplicates, recall
+    provably 1) cannot cover: perturbed copies (cos ~0.9999, NOT identical,
+    so sign buckets can genuinely flip) must still be recovered by the
+    banded hyperplane tables, and the exact rerank must keep precision at
+    1.0 (every emitted pair truly >= threshold)."""
+    from boxoffice_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 25 == 0)
+    pert = base.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x, i: x * (1.0 + 0.01 * ((i % 3) - 1))),
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    pairs = embedding_near_dup_lsh(
+        emb.unionByName(pert), id_col="vec_id", vec_col="embedding", threshold=0.99
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(r.vec_id, r.vec_id + 1000000) for r in base.select("vec_id").collect()}
+    assert planted, "fixture should yield planted perturbation pairs"
+    assert found <= planted, f"false positives survived exact rerank: {found - planted}"
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
+    assert all(r.cos_sim >= 0.99 for r in pairs)
+
+
 def test_asset_features_deterministic(spark, sf_dir):
     """mapInPandas feature extraction must be repeatable row-for-row."""
     a = sorted(map(tuple, m_asset_features(spark, sf_dir).collect()))

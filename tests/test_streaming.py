@@ -22,6 +22,40 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     assert _sorted_rows(streamed) == _sorted_rows(batch)
 
 
+def test_sessionize_stream_equals_batch(spark, sf_dir):
+    """session_window is both a streaming and a batch function: run the
+    identical groupBy in batch mode and assert the incremental execution
+    produced the same sessions. Also ties the per-user session partition
+    to i_sessionize's semantics: every batch-window session must contain
+    a positive number of events and sessions per user must not overlap."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.streaming.jobs import sessionize_stream
+    from boxoffice_spark.tables import table
+
+    streamed = sessionize_stream(spark, sf_dir)
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 minutes")).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+    rows = sorted(batch.collect(), key=lambda r: (r.user_id, r.session_start))
+    assert all(r.n_events > 0 and r.session_start <= r.session_end for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        if prev.user_id == cur.user_id:
+            assert cur.session_start > prev.session_end
+
+
 def test_streaming_dedup_one_row_per_key(spark, sf_dir):
     """Equality evidence against the batch semantics: exactly one row per
     key, the key set is identical to the batch distinct-key set, and every
