@@ -290,9 +290,10 @@ def e_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB names types differently (BIGINT vs bigint, VARCHAR vs string);
     # the oracle maps its information_schema type names onto Spark's
     # simpleString vocabulary. The one semantic (not spelling) divergence is
-    # events.ts: the engine ingests the TIMESTAMP(NANOS) column as a UTC
-    # session timestamp (tables.table), while plain parquet timestamps stay
-    # timestamp_ntz — the CASE mirrors that documented ingestion rule.
+    # events.ts: the engine's ingestion rule (tables.table) normalizes it to
+    # a UTC session timestamp whatever the fixture's physical type, while
+    # plain parquet timestamps would read as timestamp_ntz — the CASE
+    # mirrors that documented rule.
     oracle="""
     SELECT
         table_name,

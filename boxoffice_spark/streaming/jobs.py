@@ -18,26 +18,37 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from boxoffice_spark.functions.numeric import dsum
 
-_EVENTS_SCHEMA = (
+_EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+_EVENTS_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
 )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table (nanos -> microsecond timestamps,
-    same normalization as tables.table)."""
+    """Streaming scan of the events table, applying the same ``ts``
+    ingestion rule as tables.table (session-UTC TIMESTAMP whatever the
+    fixture's physical type). The file-stream source needs a user-supplied
+    schema, so one cheap batch schema probe (footer read, no data scan)
+    picks the matching stream schema + conversion."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos = isinstance(probe, T.LongType)
     # the file-stream source wants a directory; glob-filter down to events
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_completion(result: DataFrame, mode: str) -> DataFrame:

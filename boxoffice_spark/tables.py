@@ -30,20 +30,33 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a lazy DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps with *integer* division — ``ns/1000`` in double would lose
-    precision past 2^53 — matching DuckDB's own ns->us truncation so oracle
-    comparisons stay exact. Still a single pushdown-capable parquet scan.
+    Ingestion rule: ``events.ts`` is normalized to a session-timezone
+    TIMESTAMP (session tz is pinned UTC, session.py) regardless of how the
+    fixture was written, so event-time operators (``unix_micros`` deltas,
+    windowing, streaming watermarks) see one type across fixture
+    generations:
+
+    - parquet TIMESTAMP(MICROS) without the UTC flag reads as
+      ``timestamp_ntz`` -> cast to TIMESTAMP (wall-clock reinterpreted in
+      the UTC session, so values are unchanged and match DuckDB's naive
+      read exactly);
+    - parquet TIMESTAMP(NANOS) under ``nanosAsLong`` reads as raw int64 ->
+      integer ``div 1000`` (not double division, which loses precision past
+      2^53) then ``timestamp_micros`` — the same ns->us truncation DuckDB
+      applies.
+
+    Either way it is a single pushdown-capable parquet scan.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
