@@ -1,0 +1,197 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — MOSS,
+SIGMOD 2003): the local fingerprinting algorithm behind plagiarism /
+near-dup detection with a positional guarantee the sketch tiers
+(simhash/minhash, operators/dedup.py) don't give: any shared substring of
+length >= w + k - 1 between two documents is certain to share at least one
+selected fingerprint.
+
+Algorithm, per document: hash every k-char gram of the normalized text,
+slide a w-gram window over the hash sequence, and in each window select the
+minimum hash (rightmost occurrence on ties). The distinct (position, hash)
+selections are the document's fingerprints — expected density 2/(w+1) of
+the gram count, so the index is a small fraction of corpus size.
+
+Everything is Catalyst higher-order functions over per-document arrays —
+zero Python, zero shuffle to fingerprint (the only shuffles are the
+pair-generation groupBys in :func:`winnow_dup_pairs`). Hashes are
+md5-prefix (15 hex chars = 60 bits, positive int64 in both engines), the
+same engine-portable idiom as dedup._word_hash, so every stage is
+oracle-comparable bit-for-bit against DuckDB.
+
+Scale notes (100 TB): fingerprinting is embarrassingly parallel and
+scan-local; cost is O(grams x w) per doc from the window min (lambda
+expressions are interpreted and not subexpression-eliminated — see
+operators/dedup.py:216). For the typical k=7/w=4 that is ~4 comparisons
+per char and stays cheap; for large w, the mapInPandas twin pattern
+(dedup.simhash_fast) with a NumPy sliding-window argmin is the drop-in.
+Pair generation reuses the capped inverted-index layout of
+ngram_jaccard_pairs / chunk_dup_pairs: postings above ``max_postings``
+are boilerplate, not signal, and are dropped before the self-join so no
+single hot fingerprint can emit k² join rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from boxoffice_spark.tables import spread
+
+DEFAULT_K = 7  # k-gram length (chars of normalized text)
+DEFAULT_W = 4  # winnowing window (grams); guarantee length = w + k - 1
+
+
+def _fingerprint_array(k: int, w: int) -> str:
+    """SQL expr: array<struct<pos:int, fp:bigint>> of winnowed selections
+    over ``_norm``. Window size shrinks to the gram count for short docs
+    (< w grams -> one window over all grams); docs shorter than k chars
+    fingerprint to an empty array."""
+    grams = (
+        f"CASE WHEN length(_norm) >= {k} THEN "
+        f"transform(sequence(1, length(_norm) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10) AS bigint)) "
+        f"ELSE cast(array() AS array<bigint>) END"
+    )
+    # rightmost-min selection: filter window offsets to those equal to the
+    # window min, take the largest -> robust Winnowing's tie rule, which
+    # keeps fingerprints consistent across overlapping windows.
+    wins = (
+        "CASE WHEN size(_h) >= 1 THEN array_distinct(transform("
+        "sequence(1, size(_h) - least({w}, size(_h)) + 1), "
+        "i -> named_struct("
+        "'pos', i - 1 + array_max(filter(sequence(1, least({w}, size(_h))), "
+        "j -> element_at(_h, i + j - 1) = array_min(slice(_h, i, least({w}, size(_h)))))), "
+        "'fp', array_min(slice(_h, i, least({w}, size(_h)))))"
+        ")) ELSE cast(array() AS array<struct<pos:int,fp:bigint>>) END"
+    ).format(w=w)
+    return grams, wins
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, w: int = DEFAULT_W
+) -> DataFrame:
+    """One row per selected fingerprint: (id, pos, fp). ``pos`` is the
+    1-based gram offset of the selected hash — positions let a caller
+    verify extent overlap, exactly MOSS's match-report shape."""
+    from boxoffice_spark.operators.dedup import normalized_text
+
+    grams, wins = _fingerprint_array(k, w)
+    return (
+        spread(df)
+        # Generate barriers (explode(array(...))) so each lambda stage reads
+        # a materialized column instead of re-inlining the previous
+        # (non-subexpression-eliminated) lambda expression per element.
+        .select(F.col(id_col), F.explode(F.array(normalized_text(text_col))).alias("_norm"))
+        .select(F.col(id_col), F.explode(F.array(F.expr(grams))).alias("_h"))
+        .select(F.col(id_col), F.explode(F.expr(wins)).alias("_s"))
+        .select(F.col(id_col), F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )
+
+
+# DuckDB twin. Lists are 1-based; h[i:j] is inclusive slicing; struct
+# literals + list lambdas mirror the Spark higher-order form. list_distinct
+# on structs is avoided (engine-version-sensitive) — distinctness is taken
+# at row level after unnest, which the Spark side's array_distinct already
+# guarantees per doc.
+WINNOW_SQL = """
+WITH src AS (
+    SELECT {id_col} AS {id_alias}, {norm} AS norm FROM {table}
+), grams AS (
+    SELECT {id_alias},
+           CASE WHEN length(norm) >= {k} THEN
+               list_transform(generate_series(1, length(norm) - {k} + 1),
+                   i -> CAST(('0x' || substring(md5(substring(norm, i, {k})), 1, 15)) AS BIGINT))
+           ELSE CAST([] AS BIGINT[]) END AS h
+    FROM src
+), sized AS (
+    SELECT {id_alias}, h, least({w}, len(h)) AS wp FROM grams WHERE len(h) >= 1
+), wins AS (
+    SELECT {id_alias},
+           list_transform(generate_series(1, len(h) - wp + 1),
+               i -> {{'pos': i - 1 + list_max(list_filter(generate_series(1, wp),
+                             j -> h[i + j - 1] = list_min(h[i:i+wp-1]))),
+                     'fp': list_min(h[i:i+wp-1])}}) AS sels
+    FROM sized
+), flat AS (
+    SELECT {id_alias}, unnest(sels) AS s FROM wins
+)
+SELECT DISTINCT {id_alias}, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM flat
+"""
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    threshold: float = 0.25,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint Jaccard, via the capped
+    inverted-index layout (operators/dedup.py:127 count-window cap): only
+    pairs sharing a fingerprint are materialized, a fingerprint in more
+    than ``max_postings`` docs is boilerplate and dropped, and
+    ``|A ∪ B| = |A| + |B| - common`` closes the Jaccard without a second
+    pass. Deterministic given (k, w) — oracle-exact, unlike MinHash."""
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    sized = fps.withColumn("_sz", F.count("*").over(W.partitionBy(id_col)))
+    capped = (
+        sized.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("_df") <= max_postings)
+        .drop("_df")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sz").alias("_sza"),
+            F.col("b._sz").alias("_szb"),
+        )
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+WINNOW_PAIRS_SQL = """
+WITH fp_rows AS (
+    SELECT DISTINCT {id_alias}, fp FROM ({winnow})
+), sized AS (
+    SELECT {id_alias}, fp, count(*) OVER (PARTITION BY {id_alias}) AS sz FROM fp_rows
+), capped AS (
+    SELECT * FROM (
+        SELECT sized.*, count(*) OVER (PARTITION BY fp) AS dfreq FROM sized
+    ) WHERE dfreq <= {max_postings}
+), pairs AS (
+    SELECT a.{id_alias} AS id_a, b.{id_alias} AS id_b,
+           a.sz AS sza, b.sz AS szb, count(*) AS n_shared
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.{id_alias} < b.{id_alias}
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(n_shared AS INT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / (sza + szb - n_shared), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(n_shared AS DOUBLE) / (sza + szb - n_shared), 6) >= {threshold}
+"""

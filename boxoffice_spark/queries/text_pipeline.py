@@ -10,6 +10,7 @@ from boxoffice_spark.functions.numeric import dsum_sql
 from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
+from boxoffice_spark.operators import winnow as WN
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -406,3 +407,130 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_emails", "n_phones", F.expr("right(_red, 60)").alias("redacted_tail")
     )
+
+
+_WINNOW_ORACLE = WN.WINNOW_SQL.format(
+    id_col="doc_id",
+    id_alias="doc_id",
+    norm=_NORM,
+    table="documents",
+    k=WN.DEFAULT_K,
+    w=WN.DEFAULT_W,
+)
+
+
+@register(
+    "t_winnow_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    bench=True,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: k-gram hashes, per-window rightmost
+    min — guarantees any shared substring of length >= w+k-1 shares a
+    fingerprint (operators/winnow.py). Positions included, MOSS-style."""
+    return WN.winnow_fingerprints(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "t_winnow_dup_pairs",
+    oracle=WN.WINNOW_PAIRS_SQL.format(
+        id_alias="doc_id",
+        winnow=_WINNOW_ORACLE,
+        max_postings=1000,
+        threshold=0.25,
+    ),
+    bench=True,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def t_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint Jaccard >= 0.25 via the
+    capped inverted index — deterministic (oracle-exact), sub-quadratic,
+    with the positional guarantee sketch tiers lack."""
+    return WN.winnow_dup_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "t_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5({_NORM}) AS fingerprint, doc_id % 10 = 0 AS incoming
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT fingerprint FROM fp WHERE NOT incoming
+    )
+    SELECT n.fingerprint, min(n.doc_id) AS keeper_id, count(*) AS n_batch_copies
+    FROM fp n
+    WHERE n.incoming AND n.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    GROUP BY 1
+    """,
+    bench=True,
+    tags=("dedup", "incremental"),
+)
+def t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only the incoming batch's documents whose
+    fingerprint is unseen in the existing corpus, deduping within the batch
+    too (keeper = min doc_id). The daily-ingest shape of corpus curation:
+    the corpus side is only ever probed via LEFT ANTI on a 16-byte key —
+    one shuffle each side, no corpus broadcast, no corpus rewrite. Here the
+    'incoming batch' is doc_id % 10 == 0, the corpus the rest."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(D.normalized_text("text")).alias("fingerprint"),
+        (F.col("doc_id") % 10 == 0).alias("incoming"),
+    )
+    corpus = d.filter(~F.col("incoming")).select("fingerprint")
+    batch = d.filter(F.col("incoming"))
+    return (
+        batch.join(corpus, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+    )
+
+
+@register(
+    "t_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ), vocab AS (
+        SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+        FROM toks WHERE term <> '' GROUP BY 1
+    )
+    SELECT term, term_count, doc_freq,
+           CAST(row_number() OVER (ORDER BY term_count DESC, term) AS INT) AS rnk
+    FROM vocab
+    ORDER BY rnk LIMIT 100
+    """,
+    tags=("text", "vocab"),
+)
+def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 by term frequency with document
+    frequency — the tokenizer-training / stopword-mining shape. One
+    shuffle on (doc, term) folds both counts: count + count-distinct-doc
+    per term fall out of the same partial-aggregated groupBy because the
+    (doc_id, term) pre-aggregation already holds one row per distinct
+    pair. The final top-k is a TakeOrdered over the vocabulary (sublinear
+    in corpus size; Zipf head dominates)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(TS.words_of("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("c").alias("term_count"), F.count("*").alias("doc_freq")
+    )
+    # top-k FIRST (TakeOrderedAndProject — distributed, no global sort),
+    # THEN rank: the row_number window runs over only k rows, so the
+    # single-partition global window never sees the full vocabulary.
+    top = vocab.orderBy(F.desc("term_count"), F.asc("term")).limit(100)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("term_count"), F.asc("term")))
+    return top.withColumn("rnk", rnk).orderBy("rnk")

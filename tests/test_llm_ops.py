@@ -275,3 +275,72 @@ def test_hot_bucket_cap_bounds_lsh_pairs(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (10_000, 10_001) in found, "near-dup pair lost to the bucket cap"
     assert len(found) < 20, f"bucket cap failed: {len(found)} pairs from identical block"
+
+
+def test_winnow_guarantee_and_edge_docs(spark):
+    """Winnowing's defining property: two documents sharing a substring of
+    length >= w + k - 1 MUST share at least one fingerprint — plus the
+    short-doc edges (below k chars -> no fingerprints; between k and k+w
+    grams -> one shrunken window, no crash)."""
+    from boxoffice_spark.operators.winnow import winnow_fingerprints
+
+    shared = "a very distinctive shared passage of text"  # >> w + k - 1 chars
+    rows = [
+        (1, f"left context alpha {shared} right tail one"),
+        (2, f"completely different opener {shared} and another ending"),
+        (3, "no overlap with anything else at all here"),
+        (4, "tiny"),  # < k chars -> zero fingerprints
+        (5, "abcdefgh"),  # k=7 -> 2 grams < w -> single shrunken window
+        (6, ""),  # empty -> zero fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=7, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    assert 4 not in by_doc and 6 not in by_doc
+    assert len(by_doc[5]) == 1  # one window over 2 grams -> exactly one selection
+    # density sanity: selections are a strict subset of grams for real docs
+    n_grams_1 = len(rows[0][1]) - 7 + 1
+    assert 0 < len(by_doc[1]) < n_grams_1
+
+
+def test_winnow_pairs_rank_planted_dups(spark):
+    """Planted near-duplicates outrank unrelated docs in winnow-pair
+    jaccard, and the pair generator is symmetric-free (id_a < id_b)."""
+    from boxoffice_spark.operators.winnow import winnow_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base + " with a small suffix change"),
+        (3, "an entirely unrelated document about spark physical plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in winnow_dup_pairs(
+        df, "doc_id", "text", threshold=0.0).collect()}
+    assert all(a < b for (a, b) in pairs)
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > pairs.get((1, 3), 0.0)
+    assert pairs[(1, 2)] > pairs.get((2, 3), 0.0)
+
+
+def test_incremental_dedup_admits_only_unseen(spark, sf_dir):
+    """Incoming docs whose fingerprint exists in the corpus are rejected;
+    admitted fingerprints are unique per batch."""
+    from boxoffice_spark.queries.text_pipeline import t_incremental_dedup
+    from boxoffice_spark.operators.dedup import normalized_text
+
+    out = t_incremental_dedup(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized_text("text")).alias("fp")
+    )
+    corpus_fps = {
+        r.fp for r in docs.filter(F.col("doc_id") % 10 != 0).collect()
+    }
+    admitted = [r.fingerprint for r in out]
+    assert len(admitted) == len(set(admitted))
+    assert not (set(admitted) & corpus_fps)
+    for r in out:
+        assert r.keeper_id % 10 == 0
