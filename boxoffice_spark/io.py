@@ -59,6 +59,30 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], partitions: int | None = None
+) -> None:
+    """Range-clustered sorted write: ``repartitionByRange`` on the sort
+    key(s) (one sampling pass + one shuffle) then ``sortWithinPartitions``,
+    so every output file covers a tight, pairwise-disjoint range of the key
+    and parquet min/max stats become an index: a later scan with a
+    predicate on the key skips whole files and row groups at planning /
+    footer time instead of reading them.
+
+    This is the at-rest layout for time-keyed fact data at 100 TB — the
+    difference between a date-range query touching ~its share of files vs
+    all of them. Disjointness + skipping are asserted in
+    tests/test_etl_write.py (pyarrow footer stats + PushedFilters plan).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

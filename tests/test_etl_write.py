@@ -108,3 +108,42 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     assert before_files == 20
     assert after_files == n <= 2  # tiny dataset -> one or two target files
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_sorted_write_disjoint_ranges_and_file_skipping(spark, sf_dir, tmp_path):
+    """write_sorted must produce files whose sort-key min/max footer stats
+    are pairwise disjoint (ordered ranges — what makes parquet stats an
+    index), and a key-predicate scan must push the filter down to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted_lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    bio.write_sorted(li, out, ["l_shipdate"], partitions=8)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "expected multiple sorted output files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # disjoint up to boundary-value ties: next file starts at or after
+        # the previous file's max (range partitioner keys are exact splits)
+        assert lo2 >= hi1, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    read = spark.read.parquet(out).filter(F.col("l_shipdate") == "1996-01-15")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    assert read.count() == li.filter(F.col("l_shipdate") == "1996-01-15").count()
