@@ -230,3 +230,53 @@ def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(q, 3).alias("price_p99"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "a_exact_median",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "percentile"),
+)
+def a_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) median and p90 per priority class. Exact
+    percentile collects each group's values — the right tool up to
+    ~10^7 rows per group; past that the sketch path (a_approx_stats)
+    is the 100 TB substitute. Both engines interpolate identically
+    (type 7 / linear), rounded for float stability."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket_lo,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k bins): the profiling
+    primitive behind every distribution dashboard. A pure groupBy on the
+    bin id — partial-aggregated map-side, one narrow shuffle of (bin,
+    count) pairs, output size = bin count regardless of input rows."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        (bucket * 50000).cast("double").alias("bucket_lo"),
+    ).agg(F.count("*").alias("n_orders"))

@@ -173,3 +173,82 @@ def w_rank_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     )
+
+
+@register(
+    "w_trailing_range_sum",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US})
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS value_1h,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h
+    FROM ev
+    """,
+    tags=("window", "range-frame", "temporal"),
+)
+def w_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour rolling sum/count per user — a RANGE frame over
+    event time, not a ROWS frame: the frame holds every event within the
+    last hour regardless of how many there are. The per-key velocity /
+    rate-limit signal. One shuffle on user_id; the frame scan is a single
+    ordered pass per partition (no self-join, no interval explode).
+
+    Spark's RANGE frame needs a numeric ordering column; ordering by
+    unix_micros(ts) with a 3.6e9-microsecond preceding bound is the exact
+    event-time window, and ties (same-microsecond events) are handled
+    identically in both engines because RANGE frames include ALL peers of
+    the current value."""
+    ev = table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("value_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "w_ntile_quartiles",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+               AS price_quartile,
+           round(percent_rank() OVER (ORDER BY o_totalprice DESC, o_orderkey), 6)
+               AS price_pct_rank
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'
+    """,
+    tags=("window", "ntile"),
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile + percentile-rank assignment over one month of orders —
+    the score-binning shape (spend tiers, quality percentiles). A global
+    ORDER BY window is inherently single-partition, so the month filter
+    (pushed to the parquet scan) bounds what flows into it; unbounded
+    percentile assignment at corpus scale belongs to approx_percentile
+    bucketing (a_approx_stats) instead — the deliberate contrast is the
+    point of this query's docstring."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-02-01")
+    )
+    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
