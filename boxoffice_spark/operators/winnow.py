@@ -13,7 +13,13 @@ the gram count, so the index is a small fraction of corpus size.
 
 Everything is Catalyst higher-order functions over per-document arrays —
 zero Python, zero shuffle to fingerprint (the only shuffles are the
-pair-generation groupBys in :func:`winnow_dup_pairs`). Hashes are
+pair-generation groupBys in :func:`winnow_dup_pairs`). Defaults k=20/
+w=10 (guarantee: 29-char shared substrings) — measured at sf0.1, k=7
+grams recur so heavily across a same-domain corpus (3.2k distinct
+fingerprints over 5k docs, avg doc-frequency 163) that the pair join
+degenerates; k=20 yields 206k distinct fingerprints, max df 22, and an
+~800x smaller pair mass at identical recall for document-scale overlap.
+Hashes are
 md5-prefix (15 hex chars = 60 bits, positive int64 in both engines), the
 same engine-portable idiom as dedup._word_hash, so every stage is
 oracle-comparable bit-for-bit against DuckDB.
@@ -21,8 +27,8 @@ oracle-comparable bit-for-bit against DuckDB.
 Scale notes (100 TB): fingerprinting is embarrassingly parallel and
 scan-local; cost is O(grams x w) per doc from the window min (lambda
 expressions are interpreted and not subexpression-eliminated — see
-operators/dedup.py:216). For the typical k=7/w=4 that is ~4 comparisons
-per char and stays cheap; for large w, the mapInPandas twin pattern
+operators/dedup.py:216). At w=10 that is ~10 comparisons per char and
+stays scan-bound; for much larger w, the mapInPandas twin pattern
 (dedup.simhash_fast) with a NumPy sliding-window argmin is the drop-in.
 Pair generation reuses the capped inverted-index layout of
 ngram_jaccard_pairs / chunk_dup_pairs: postings above ``max_postings``
@@ -36,8 +42,8 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from boxoffice_spark.tables import spread
 
-DEFAULT_K = 7  # k-gram length (chars of normalized text)
-DEFAULT_W = 4  # winnowing window (grams); guarantee length = w + k - 1
+DEFAULT_K = 20  # k-gram length (chars of normalized text)
+DEFAULT_W = 10  # winnowing window (grams); guarantee length = w + k - 1
 
 
 def _fingerprint_array(k: int, w: int) -> str:
@@ -125,7 +131,7 @@ def winnow_dup_pairs(
     k: int = DEFAULT_K,
     w: int = DEFAULT_W,
     threshold: float = 0.25,
-    max_postings: int = 1000,
+    max_postings: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by winnowed-fingerprint Jaccard, via the capped
     inverted-index layout (operators/dedup.py:127 count-window cap): only

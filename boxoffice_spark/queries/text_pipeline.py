@@ -439,7 +439,7 @@ def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=WN.WINNOW_PAIRS_SQL.format(
         id_alias="doc_id",
         winnow=_WINNOW_ORACLE,
-        max_postings=1000,
+        max_postings=200,
         threshold=0.25,
     ),
     bench=True,
@@ -534,3 +534,104 @@ def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rnk = F.row_number().over(W.orderBy(F.desc("term_count"), F.asc("term")))
     return top.withColumn("rnk", rnk).orderBy("rnk")
+
+
+_FUNNEL_NGRAMS = D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=4)  # 5-grams
+
+
+@register(
+    "t_curation_funnel",
+    oracle=f"""
+    WITH train AS (
+        SELECT doc_id, text, md5({_NORM}) AS fp,
+               {TS.lang_id_sql('text')} <> 'und' AS lang_ok,
+               round({_QUALITY_EXPR_SQL}, 6) >= 0.5 AS quality_ok
+        FROM documents WHERE source <> 'src0'
+    ), keepers AS (
+        SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_keeper FROM train
+    ), eval_hashes AS (
+        SELECT DISTINCT {D.WORD_HASH_SQL.format(w="g")} AS h
+        FROM (SELECT unnest(list_distinct({_FUNNEL_NGRAMS})) AS g
+              FROM documents WHERE source = 'src0')
+    ), contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(list_distinct({_FUNNEL_NGRAMS})) AS g
+              FROM documents WHERE source <> 'src0')
+        WHERE {D.WORD_HASH_SQL.format(w="g")} IN (SELECT h FROM eval_hashes)
+    )
+    SELECT
+        count(*) AS n_total,
+        count(*) FILTER (is_keeper) AS n_after_dedup,
+        count(*) FILTER (is_keeper AND lang_ok) AS n_after_lang,
+        count(*) FILTER (is_keeper AND lang_ok AND quality_ok) AS n_after_quality,
+        count(*) FILTER (is_keeper AND lang_ok AND quality_ok
+                         AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+            AS n_after_decontam
+    FROM keepers
+    """,
+    bench=True,
+    tags=("text", "pipeline", "funnel"),
+)
+def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete corpus-curation funnel in ONE query: train-split doc
+    counts surviving exact dedup -> language filter -> quality threshold ->
+    eval-set decontamination (5-gram hash overlap vs the 'src0' eval
+    split). The single-row survivors report every pretraining-data run
+    produces.
+
+    Composition, not re-implementation: fingerprints (exact_dedup), lang_id
+    and quality_score (textstats), and the decontamination probe layout
+    (60-bit shingle hashes, LEFT SEMI -> here LEFT + null-flag) reuse the
+    registered operators' exact semantics. Scale shape: one window on the
+    16-byte fingerprint, one hash-key contamination join (no broadcast of
+    the train side), one final single-row aggregate — no stage materializes
+    more than (doc_id, flags)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != "src0").select(
+        "doc_id",
+        "text",
+        F.md5(D.normalized_text("text")).alias("fp"),
+        (TS.lang_id("text") != "und").alias("lang_ok"),
+        (F.round(TS.quality_score("text"), 6) >= 0.5).alias("quality_ok"),
+    )
+    keepers = train.withColumn(
+        "is_keeper", F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    shingled = (
+        d.select(
+            "doc_id",
+            (F.col("source") == "src0").alias("_is_eval"),
+            F.explode(F.array(F.split(D.normalized_text("text"), " "))).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "_is_eval",
+            F.explode(F.array_distinct(D._word_ngrams_col(F.col("_w"), 5))).alias("_g"),
+        )
+        .select("doc_id", "_is_eval", D._word_hash(F.col("_g")).alias("h"))
+    )
+    eval_hashes = shingled.filter("_is_eval").select("h").distinct()
+    contaminated = (
+        shingled.filter(~F.col("_is_eval"))
+        .join(eval_hashes, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(True))
+    )
+    flagged = keepers.join(contaminated, "doc_id", "left").withColumn(
+        "clean", F.col("_dirty").isNull()
+    )
+    kept = F.col("is_keeper")
+    return flagged.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_after_dedup"),
+        F.count(F.when(kept & F.col("lang_ok"), 1)).alias("n_after_lang"),
+        F.count(F.when(kept & F.col("lang_ok") & F.col("quality_ok"), 1)).alias(
+            "n_after_quality"
+        ),
+        F.count(
+            F.when(kept & F.col("lang_ok") & F.col("quality_ok") & F.col("clean"), 1)
+        ).alias("n_after_decontam"),
+    )

@@ -117,3 +117,45 @@ def test_decontamination_probe_is_semi_join(spark, sf_dir):
     plan = physical(SPECS["t_decontamination"].fn(spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_fingerprints_scan_local_no_python(spark, sf_dir):
+    """Winnowing must fingerprint inside the scan stage: no Exchange (the
+    repartition spread() adds at local scale aside), and strictly no Python
+    eval operators — the whole point of the higher-order-function form."""
+    plan = physical(SPECS["t_winnow_fingerprints"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    # the only exchange allowed is the guarded spread() repartition
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) <= 1, f"unexpected shuffles:\n{plan}"
+
+
+def test_incremental_dedup_anti_join_no_broadcast_of_corpus(spark, sf_dir):
+    """The corpus probe must be a shuffle LEFT ANTI hash join on the
+    fingerprint — broadcasting the corpus side would ship the whole
+    existing corpus to every task at 100 TB."""
+    plan = physical(SPECS["t_incremental_dedup"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_vocab_topk_takeordered_not_global_sort(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (distributed partial
+    top-k), never a global Sort over the full vocabulary."""
+    plan = physical(SPECS["t_vocab_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_histogram_single_shuffle(spark, sf_dir):
+    plan = physical(SPECS["a_histogram"].fn(spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) == 1, plan
+
+
+def test_trailing_range_window_single_shuffle(spark, sf_dir):
+    """RANGE-frame rolling sum: one shuffle on user_id, one window node —
+    no self-join / explode fallback."""
+    plan = physical(SPECS["w_trailing_range_sum"].fn(spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) == 1, plan
+    assert "Join" not in plan, plan
