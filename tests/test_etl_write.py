@@ -147,3 +147,62 @@ def test_sorted_write_disjoint_ranges_and_file_skipping(spark, sf_dir, tmp_path)
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
     assert read.count() == li.filter(F.col("l_shipdate") == "1996-01-15").count()
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout must let footer min/max stats prune files for
+    predicates on EITHER clustered column — the property a single-column
+    sort cannot give — and preserve the data exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.operators.zorder import write_zordered
+
+    out = str(tmp_path / "zordered")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    write_zordered(li, out, ["l_shipdate", "l_partkey"], partitions=16)
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) > 4
+
+    def file_ranges(col):
+        out_ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out_ranges.append((min(mins), max(maxs)))
+        return out_ranges
+
+    # a mid-domain point predicate on each dimension must be prunable to a
+    # strict subset of files by min/max alone
+    import datetime
+
+    lo_hi = li.agg(F.min("l_shipdate"), F.max("l_shipdate")).collect()[0]
+    ship_probe = lo_hi[0] + (lo_hi[1] - lo_hi[0]) / 2  # mid-domain timestamp
+    ship_hits = [1 for lo, hi in file_ranges("l_shipdate") if lo <= ship_probe <= hi]
+    assert 0 < len(ship_hits) < len(files), (
+        f"no shipdate skipping: {len(ship_hits)}/{len(files)} files overlap"
+    )
+    parts = sorted(r.l_partkey for r in li.select("l_partkey").distinct().collect())
+    part_probe = parts[len(parts) // 2]
+    part_hits = [1 for lo, hi in file_ranges("l_partkey") if lo <= part_probe <= hi]
+    assert 0 < len(part_hits) < len(files), (
+        f"no partkey skipping: {len(part_hits)}/{len(files)} files overlap"
+    )
+
+    # data integrity: same multiset of rows
+    before = li.groupBy().agg(
+        F.count("*"), F.sum("l_orderkey"), F.sum("l_partkey"), F.sum("l_quantity")
+    ).collect()
+    after = spark.read.parquet(out).groupBy().agg(
+        F.count("*"), F.sum("l_orderkey"), F.sum("l_partkey"), F.sum("l_quantity")
+    ).collect()
+    assert before == after
