@@ -1,0 +1,90 @@
+"""Frequency-sketch operators: exact phi-heavy hitters via distributed
+Misra-Gries candidate generation + exact recount.
+
+Complements the built-in sketches already used in a_approx_stats (HLL++
+count-distinct, GK quantiles) with the frequent-items sketch those lack.
+The two-phase layout is the classic distributed form:
+
+1. **Candidates** — each partition runs a Misra-Gries summary of capacity
+   ``c = ceil(1/phi)`` over its token stream (batched: merge a vectorized
+   value_counts, then apply the MG decrement until <= c counters survive).
+   MG undercounts any term by at most n_p/c, so a term with partition
+   count > n_p/c survives its partition summary; a term with GLOBAL count
+   > n/c = sum(n_p)/c must exceed n_p/c in at least one partition — the
+   union of partition summaries is a guaranteed superset of every global
+   phi-heavy hitter. Summary size is <= c * n_partitions rows — broadcast
+   grade — regardless of corpus size.
+2. **Exact recount** — one pass re-counts only the candidate terms
+   (broadcast LEFT SEMI) and keeps those with count > phi * n. Output is
+   therefore EXACT (no sketch error survives), which is what lets the
+   registered query carry a plain-SQL DuckDB oracle even though phase 1
+   is a sketch.
+
+At 100 TB: phase 1 is scan-local (no shuffle; O(c) state per task),
+phase 2 shuffles only candidate-term postings. The degenerate alternative
+— groupBy every term then filter — shuffles the full vocabulary; fine for
+words, ruinous for n-grams/URLs, which is where the sketch pays.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_candidates(tokens: DataFrame, term_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries survivors (term column only)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in it:
+            for term, cnt in pdf[term_col].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(cnt)
+            if len(counters) > capacity:
+                # batched MG decrement: remove the smallest counters' mass
+                # until <= capacity survive (equivalent to repeated
+                # decrement-all; undercount bound n_p/capacity preserved)
+                vals = sorted(counters.values())
+                cut = vals[len(counters) - capacity - 1]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({term_col: list(counters.keys())})
+
+    return tokens.mapInPandas(summarize, schema=f"{term_col} string")
+
+
+def heavy_hitters(
+    tokens: DataFrame, term_col: str = "term", phi: float = 0.02
+) -> DataFrame:
+    """Exact phi-heavy hitters of a token stream: every term with
+    count > phi * total, with its exact count and frequency."""
+    capacity = max(1, math.ceil(1.0 / phi))
+    cands = _mg_candidates(tokens, term_col, capacity).distinct()
+    total = tokens.agg(F.count("*").alias("_n"))
+    return (
+        tokens.join(F.broadcast(cands), term_col, "left_semi")
+        .groupBy(term_col)
+        .agg(F.count("*").alias("term_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("term_count") > F.col("_n") * phi)
+        .select(
+            term_col,
+            "term_count",
+            F.round(F.col("term_count") / F.col("_n"), 6).alias("frac"),
+        )
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS ({tokens_sql}),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT {term_col} AS {term_col},
+       count(*) AS term_count,
+       round(CAST(count(*) AS DOUBLE) / any_value(tot.n), 6) AS frac
+FROM toks, tot
+GROUP BY 1
+HAVING count(*) > any_value(tot.n) * {phi}
+"""

@@ -11,18 +11,21 @@ minimum hash (rightmost occurrence on ties). The distinct (position, hash)
 selections are the document's fingerprints — expected density 2/(w+1) of
 the gram count, so the index is a small fraction of corpus size.
 
-Everything is Catalyst higher-order functions over per-document arrays —
-zero Python, zero shuffle to fingerprint (the only shuffles are the
-pair-generation groupBys in :func:`winnow_dup_pairs`). Defaults k=20/
-w=10 (guarantee: 29-char shared substrings) — measured at sf0.1, k=7
-grams recur so heavily across a same-domain corpus (3.2k distinct
-fingerprints over 5k docs, avg doc-frequency 163) that the pair join
-degenerates; k=20 yields 206k distinct fingerprints, max df 22, and an
-~800x smaller pair mass at identical recall for document-scale overlap.
-Hashes are
-md5-prefix (15 hex chars = 60 bits, positive int64 in both engines), the
-same engine-portable idiom as dedup._word_hash, so every stage is
-oracle-comparable bit-for-bit against DuckDB.
+The exact form is Catalyst higher-order functions over per-document
+arrays — zero Python, zero shuffle to fingerprint (the only shuffles are
+the pair-generation groupBys in :func:`winnow_dup_pairs`); the
+:func:`winnow_fast` Arrow twin swaps md5 grams for Karp-Rabin rolling
+hashes (the paper's own hash family) at ~9x the throughput, rows-only.
+
+Defaults k=20/w=10 (guarantee: 29-char shared substrings) — measured at
+sf0.1, k=7 grams recur so heavily across a same-domain corpus (3.2k
+distinct fingerprints over 5k docs, avg doc-frequency 163) that the pair
+join degenerates; k=20 yields 206k distinct fingerprints, max df 22, and
+an ~800x smaller pair mass at identical recall for document-scale
+overlap. Exact-form hashes are md5-prefix (15 hex chars = 60 bits,
+positive int64 in both engines), the same engine-portable idiom as
+dedup._word_hash, so every stage is oracle-comparable bit-for-bit
+against DuckDB.
 
 Scale notes (100 TB): fingerprinting is embarrassingly parallel and
 scan-local; cost is O(grams x w) per doc from the window min (lambda
@@ -201,3 +204,76 @@ SELECT id_a, id_b, CAST(n_shared AS INT) AS n_shared,
 FROM pairs
 WHERE round(CAST(n_shared AS DOUBLE) / (sza + szb - n_shared), 6) >= {threshold}
 """
+
+
+def winnow_fast(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, w: int = DEFAULT_W
+) -> DataFrame:
+    """Arrow scale twin of :func:`winnow_fingerprints` (the simhash_fast
+    pattern): Karp-Rabin ROLLING k-gram hashes — the hash family the
+    winnowing paper itself is built on — computed vectorized in NumPy from
+    one prefix-hash pass, then a strided sliding-window rightmost-min.
+    O(chars) per document instead of the Catalyst form's O(grams x w)
+    interpreted-lambda cost, and no per-gram md5.
+
+    Same selection RULE (per-window min, rightmost on ties, distinct
+    (pos, fp)) but a different hash family, so fingerprint VALUES differ
+    from the md5 form: this twin is rows-only (no cross-engine oracle);
+    the winnowing guarantee, density, and determinism are property-tested
+    in tests/test_llm_ops.py. Arithmetic is uint64 with natural overflow —
+    deterministic everywhere, partitioning-independent.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1000000007)
+    INV_B = np.uint64(pow(1000000007, -1, 1 << 64))  # B odd -> invertible mod 2^64
+
+    def fingerprints(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in it:
+            out_id, out_pos, out_fp = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+                data = np.frombuffer(norm.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+                n = len(data)
+                if n < k:
+                    continue
+                m = n - k + 1  # gram count
+                with np.errstate(over="ignore"):
+                    # ascending-power prefix: prefix[i] = sum_{j<i} d[j]*B^j,
+                    # so gram(i) = (prefix[i+k] - prefix[i]) * B^-i
+                    #            = sum_t d[i+t]*B^t  (mod 2^64)
+                    # — position- and doc-independent, equal grams hash equal.
+                    powers = np.empty(n, dtype=np.uint64)
+                    powers[0] = 1
+                    np.multiply.accumulate(np.full(n - 1, B, dtype=np.uint64), out=powers[1:])
+                    inv_powers = np.empty(m, dtype=np.uint64)
+                    inv_powers[0] = 1
+                    np.multiply.accumulate(
+                        np.full(m - 1, INV_B, dtype=np.uint64), out=inv_powers[1:]
+                    )
+                    scaled = data.astype(np.uint64) * powers
+                    prefix = np.zeros(n + 1, dtype=np.uint64)
+                    np.cumsum(scaled, out=prefix[1:], dtype=np.uint64)
+                    h = (prefix[k:] - prefix[:-k]) * inv_powers
+                wp = min(w, m)
+                win = np.lib.stride_tricks.sliding_window_view(h, wp)
+                rev_arg = win[:, ::-1].argmin(axis=1)
+                sel_off = wp - 1 - rev_arg  # rightmost min offset per window
+                pos = np.arange(len(win)) + sel_off  # 0-based gram index
+                fp = win[np.arange(len(win)), sel_off]
+                uniq = np.unique(np.stack([pos.astype(np.int64), fp.view(np.int64)], axis=1), axis=0)
+                out_id.extend([doc_id] * len(uniq))
+                out_pos.extend((uniq[:, 0] + 1).tolist())  # 1-based like the exact form
+                out_fp.extend(uniq[:, 1].tolist())
+            yield pd.DataFrame({id_col: out_id, "pos": out_pos, "fp": out_fp})
+
+    return (
+        spread(df)
+        .select(id_col, text_col)
+        .mapInPandas(fingerprints, schema=f"{id_col} long, pos int, fp long")
+    )

@@ -10,6 +10,7 @@ from boxoffice_spark.functions.numeric import dsum_sql
 from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
+from boxoffice_spark.operators import sketch as SK
 from boxoffice_spark.operators import winnow as WN
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -635,3 +636,34 @@ def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(kept & F.col("lang_ok") & F.col("quality_ok") & F.col("clean"), 1)
         ).alias("n_after_decontam"),
     )
+
+
+@register("t_winnow_fast", oracle=None, bench=True, tags=("dedup", "winnowing", "pandas-udf"))
+def t_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash winnowing (Arrow scale twin, ~9x the
+    Catalyst form at sf0.1: one O(chars) NumPy pass per doc vs O(grams*w)
+    interpreted lambdas). Different hash family than the md5 oracle form,
+    so rows-only; the winnowing guarantee, short-doc edges, and
+    partitioning-independence are property-tested in tests/test_llm_ops.py."""
+    return WN.winnow_fast(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "t_heavy_hitters",
+    oracle=SK.HEAVY_HITTERS_SQL.format(
+        tokens_sql=f"SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents",
+        term_col="term",
+        phi=0.02,
+    ),
+    bench=True,
+    tags=("text", "sketch", "heavy-hitters"),
+)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2%-heavy-hitter terms via distributed Misra-Gries candidates
+    + exact recount (operators/sketch.py) — the boilerplate/stopword-mining
+    sketch. Phase 1 is scan-local O(1/phi) state; the recount touches only
+    candidate postings; output is exact, hence the plain-SQL oracle."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(TS.words_of("text")).alias("term")
+    )
+    return SK.heavy_hitters(toks, "term", phi=0.02)

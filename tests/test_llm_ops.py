@@ -344,3 +344,59 @@ def test_incremental_dedup_admits_only_unseen(spark, sf_dir):
     assert not (set(admitted) & corpus_fps)
     for r in out:
         assert r.keeper_id % 10 == 0
+
+
+def test_winnow_fast_guarantee_density_determinism(spark):
+    """The rolling-hash twin must satisfy the same winnowing contract as
+    the exact form: shared >= w+k-1-char substrings share a fingerprint,
+    sub-k docs yield nothing, selection density stays well under the gram
+    count, and output is independent of partitioning."""
+    from boxoffice_spark.operators.winnow import winnow_fast
+
+    shared = "a very distinctive shared passage of text that runs long enough"
+    rows = [
+        (1, "left alpha " + shared + " right one"),
+        (2, "other opener " + shared + " different end"),
+        (3, "no overlap with anything interesting whatsoever in this row"),
+        (4, "tiny"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fast(df, "doc_id", "text").collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared substring must share a rolling-hash fingerprint"
+    assert 4 not in fps and 5 not in fps
+    n_grams_1 = len(rows[0][1]) - 20 + 1
+    assert 0 < len(fps[1]) < n_grams_1
+
+    a = sorted(map(tuple, winnow_fast(df.repartition(1), "doc_id", "text").collect()))
+    b = sorted(map(tuple, winnow_fast(df.repartition(7), "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_heavy_hitters_exact_vs_bruteforce_adversarial_partitions(spark):
+    """The Misra-Gries candidate union must never lose a true phi-heavy
+    hitter, whatever the partitioning; the recount makes output exactly
+    equal to the brute-force groupBy filter."""
+    from boxoffice_spark.operators.sketch import heavy_hitters
+
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 80
+        + [(f"cold{i}",) for i in range(600)]
+        + [(f"tepid{i % 37}",) for i in range(200)]
+    )
+    for parts in (1, 3, 13):
+        toks = spark.createDataFrame(rows, "term string").repartition(parts)
+        phi = 0.05
+        got = {
+            (r.term, r.term_count)
+            for r in heavy_hitters(toks, "term", phi=phi).collect()
+        }
+        counts = toks.groupBy("term").count().collect()
+        n = sum(r["count"] for r in counts)
+        want = {(r.term, r["count"]) for r in counts if r["count"] > n * phi}
+        assert got == want, f"parts={parts}: {got} != {want}"
+        assert ("hot", 300) in got
