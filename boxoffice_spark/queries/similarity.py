@@ -203,3 +203,68 @@ def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_ivf_topk(emb, queries, k=10, n_probe=8)
+
+
+@register(
+    "v_semantic_keepers",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ), clusters AS (
+        SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS keeper_id,
+           CAST(count(*) + 1 AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_dropped
+    FROM clusters WHERE node <> cluster_id GROUP BY 1
+    """,
+    tags=("similarity", "dedup", "graph"),
+)
+def v_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: semantic near-dup pairs inside label blocks
+    -> connected components -> ONE KEEPER per cluster (the canonical min
+    id) with cluster size and drop count. The full 'which embeddings do we
+    delete' decision, composed from the pair generator and the iterative
+    graph operator — at corpus scale the label block becomes the LSH
+    bucket (v_embedding_near_dup_lsh) and everything downstream is
+    unchanged.
+
+    Threshold note: a production SemDeDup run uses cos >= ~0.95-0.99; this
+    fixture generation carries no planted near-dups (max pairwise cosine
+    0.51), so the registered query runs at the fixture's similarity scale
+    (0.4) — clusters actually FORM and the transitive-closure + keeper
+    arithmetic is verified non-vacuously against the recursive-CTE oracle
+    at every SF. The 0.99-threshold behavior is exercised with planted
+    perturbed copies in tests/test_llm_ops.py."""
+    from boxoffice_spark.operators.graph import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    return (
+        clusters.filter(F.col("node") != F.col("cluster_id"))
+        .groupBy(F.col("cluster_id").alias("keeper_id"))
+        .agg(
+            (F.count("*") + 1).alias("cluster_size"),
+            F.count("*").alias("n_dropped"),
+        )
+    )
