@@ -60,19 +60,29 @@ def _fingerprint_array(k: int, w: int) -> str:
         f"i -> cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10) AS bigint)) "
         f"ELSE cast(array() AS array<bigint>) END"
     )
+    # per-window mins, materialized once: lambda expressions are excluded
+    # from subexpression elimination, so computing array_min inline in BOTH
+    # the fp field and the tie filter would double the O(w) scan per
+    # window — _mins gets its own Generate barrier in the query plan.
+    mins = (
+        "CASE WHEN size(_h) >= 1 THEN transform("
+        "sequence(1, size(_h) - least({w}, size(_h)) + 1), "
+        "i -> array_min(slice(_h, i, least({w}, size(_h))))) "
+        "ELSE cast(array() AS array<bigint>) END"
+    ).format(w=w)
     # rightmost-min selection: filter window offsets to those equal to the
     # window min, take the largest -> robust Winnowing's tie rule, which
     # keeps fingerprints consistent across overlapping windows.
     wins = (
         "CASE WHEN size(_h) >= 1 THEN array_distinct(transform("
-        "sequence(1, size(_h) - least({w}, size(_h)) + 1), "
+        "sequence(1, size(_mins)), "
         "i -> named_struct("
         "'pos', i - 1 + array_max(filter(sequence(1, least({w}, size(_h))), "
-        "j -> element_at(_h, i + j - 1) = array_min(slice(_h, i, least({w}, size(_h)))))), "
-        "'fp', array_min(slice(_h, i, least({w}, size(_h)))))"
+        "j -> element_at(_h, i + j - 1) = element_at(_mins, i))), "
+        "'fp', element_at(_mins, i))"
         ")) ELSE cast(array() AS array<struct<pos:int,fp:bigint>>) END"
     ).format(w=w)
-    return grams, wins
+    return grams, mins, wins
 
 
 def winnow_fingerprints(
@@ -83,7 +93,7 @@ def winnow_fingerprints(
     verify extent overlap, exactly MOSS's match-report shape."""
     from boxoffice_spark.operators.dedup import normalized_text
 
-    grams, wins = _fingerprint_array(k, w)
+    grams, mins, wins = _fingerprint_array(k, w)
     return (
         spread(df)
         # Generate barriers (explode(array(...))) so each lambda stage reads
@@ -91,6 +101,7 @@ def winnow_fingerprints(
         # (non-subexpression-eliminated) lambda expression per element.
         .select(F.col(id_col), F.explode(F.array(normalized_text(text_col))).alias("_norm"))
         .select(F.col(id_col), F.explode(F.array(F.expr(grams))).alias("_h"))
+        .select(F.col(id_col), "_h", F.explode(F.array(F.expr(mins))).alias("_mins"))
         .select(F.col(id_col), F.explode(F.expr(wins)).alias("_s"))
         .select(F.col(id_col), F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
     )
