@@ -205,3 +205,30 @@ def p_multikey_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "p_intersect_repeat_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+                                    AND o_orderdate < DATE '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+                                    AND o_orderdate < DATE '1998-01-01'
+    """,
+    tags=("setop", "intersect"),
+)
+def p_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family INTERSECT: customers who ordered in BOTH 1996 and 1997.
+    Planned as distinct + LEFT SEMI hash join on the key — each side's
+    year filter pushes to the scan, the semi join keeps only the key
+    column, and no row payload crosses the shuffle. (The reference has no
+    INTERSECT; this closes the U-family for engine completeness.)"""
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey").distinct()
+    y97 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    return y96.join(y97, "o_custkey", "left_semi")
