@@ -206,3 +206,29 @@ def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
         F.count("*"), F.sum("l_orderkey"), F.sum("l_partkey"), F.sum("l_quantity")
     ).collect()
     assert before == after
+
+
+def test_observed_quality_metrics_piggyback_the_scan(spark, sf_dir):
+    """Observation metrics ride the business query's own scan — the
+    zero-extra-pass form of the dq_* rule suite (at 100 TB a separate
+    quality scan doubles the read). Observed counters must equal the
+    standalone aggregation exactly."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("nonpos_qty"),
+        F.count(F.when(F.col("l_extendedprice").isNull(), 1)).alias("null_price"),
+    )
+    # the *business* job is the only action that runs
+    assert observed.groupBy("l_returnflag").count().count() > 0
+    m = obs.get
+    exact = li.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)),
+        F.count(F.when(F.col("l_extendedprice").isNull(), 1)),
+    ).collect()[0]
+    assert (m["n_rows"], m["nonpos_qty"], m["null_price"]) == tuple(exact)

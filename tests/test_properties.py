@@ -97,3 +97,33 @@ def test_salted_distinct_equals_plain(spark, vals):
         for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
     }
     assert got == want
+
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=40), min_size=0, max_size=4
+)
+
+
+@given(shared=st.text(alphabet="abcdefgh ", min_size=29, max_size=60), pads=_words)
+@settings(**_SETTINGS)
+def test_winnow_guarantee_holds_for_any_strings(spark, shared, pads):
+    """Winnowing contract (both hash families): two docs embedding the SAME
+    >= w+k-1-char substring must share at least one fingerprint, for ANY
+    surrounding text — including whitespace collapse by normalization."""
+    from boxoffice_spark.operators.winnow import winnow_fast, winnow_fingerprints
+
+    p = pads + ["", "", "", ""]
+    rows = [(1, f"{p[0]} {shared} {p[1]}"), (2, f"{p[2]} {shared} {p[3]}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # guarantee length is on the NORMALIZED text: skip degenerate cases
+    # where collapsing whitespace shrinks the shared run below w + k - 1
+    import re
+
+    norm_shared = re.sub(r"\s+", " ", shared.lower()).strip()
+    if len(norm_shared) < 29:
+        return
+    for fn in (winnow_fingerprints, winnow_fast):
+        by_doc = {}
+        for r in fn(df, "doc_id", "text").collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc.get(1, set()) & by_doc.get(2, set()), fn.__name__
