@@ -49,11 +49,13 @@ DEFAULT_K = 20  # k-gram length (chars of normalized text)
 DEFAULT_W = 10  # winnowing window (grams); guarantee length = w + k - 1
 
 
-def _fingerprint_array(k: int, w: int) -> str:
-    """SQL expr: array<struct<pos:int, fp:bigint>> of winnowed selections
-    over ``_norm``. Window size shrinks to the gram count for short docs
-    (< w grams -> one window over all grams); docs shorter than k chars
-    fingerprint to an empty array."""
+def _fingerprint_array(k: int, w: int) -> tuple[str, str, str]:
+    """Three SQL exprs ``(grams, mins, wins)`` that compose (each referencing
+    the previous via the ``_h`` / ``_mins`` intermediate columns) into an
+    array<struct<pos:int, fp:bigint>> of winnowed selections over ``_norm``.
+    Window size shrinks to the gram count for short docs (< w grams -> one
+    window over all grams); docs shorter than k chars fingerprint to an
+    empty array."""
     grams = (
         f"CASE WHEN length(_norm) >= {k} THEN "
         f"transform(sequence(1, length(_norm) - {k} + 1), "
@@ -227,11 +229,15 @@ def winnow_fast(
     O(chars) per document instead of the Catalyst form's O(grams x w)
     interpreted-lambda cost, and no per-gram md5.
 
-    Same selection RULE (per-window min, rightmost on ties, distinct
-    (pos, fp)) but a different hash family, so fingerprint VALUES differ
-    from the md5 form: this twin is rows-only (no cross-engine oracle);
-    the winnowing guarantee, density, and determinism are property-tested
-    in tests/test_llm_ops.py. Arithmetic is uint64 with natural overflow —
+    Same gram UNIT as the exact form (k CHARACTERS — the text is decoded
+    to a codepoint array via UTF-32, not UTF-8 bytes, so non-ASCII text
+    yields the same gram boundaries, ``pos`` values, and w+k-1-char
+    guarantee length as the Catalyst/DuckDB form) and same selection RULE
+    (per-window min, rightmost on ties, distinct (pos, fp)), but a
+    different hash family, so fingerprint VALUES differ from the md5 form:
+    this twin is rows-only (no cross-engine oracle); the winnowing
+    guarantee, density, and determinism are property-tested in
+    tests/test_llm_ops.py. Arithmetic is uint64 with natural overflow —
     deterministic everywhere, partitioning-independent.
     """
     from collections.abc import Iterator
@@ -249,7 +255,12 @@ def winnow_fast(
             out_id, out_pos, out_fp = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
-                data = np.frombuffer(norm.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+                # one uint32 per CODEPOINT (utf-32-le = the codepoint
+                # sequence), so k-gram boundaries are character-aligned
+                # with the exact substring() form — not UTF-8 bytes.
+                data = np.frombuffer(
+                    norm.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                )
                 n = len(data)
                 if n < k:
                     continue

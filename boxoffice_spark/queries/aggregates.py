@@ -210,7 +210,14 @@ def a_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_approx_stats",
-    oracle=None,  # approximate results have no exact oracle (rows-only check)
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY 1
+    """,
     tags=("agg", "approx"),
 )
 def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,17 +225,48 @@ def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are the 100 TB substitutes for exact countDistinct/percentile).
     HLL++ and GK-quantile both merge map-side — one narrow shuffle.
 
-    Quantiles come back as three SCALAR columns (one percentile_approx
-    sketch, element_at-unpacked), not an array: the driver canonicalizer
-    sorts cells with pandas and crashes on list-valued columns."""
+    Raw sketch ESTIMATES can't hash-match a cross-engine oracle (HLL++ and
+    GK are engine-specific), so this query verifies the sketch error
+    CONTRACT in-plan instead: the same single aggregate pass computes the
+    exact countDistinct/percentiles next to the sketches and emits
+    deterministic within-bound booleans — HLL++ within 3x its default rsd
+    (0.05), GK quantiles inside the exact quantile envelope at p +/- 10x
+    the default 1/accuracy rank-error bound. The oracle asserts the exact
+    values and that every bound holds. (Production at 100 TB runs the
+    sketch aggregates alone; the exact twins here are the verification
+    harness, feasible at test SFs.)"""
     li = table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.element_at(q, 1).alias("price_p50"),
-        F.element_at(q, 2).alias("price_p95"),
-        F.element_at(q, 3).alias("price_p99"),
+    # exact quantile envelope at p -/+ 0.001 (= 10x the 1/10000 default
+    # rank-error bound, generous margin for interpolated-vs-discrete gaps)
+    lo = F.percentile("l_extendedprice", [0.499, 0.949, 0.989])
+    hi = F.percentile("l_extendedprice", [0.501, 0.951, 0.991])
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_hll"),
+        F.element_at(q, 1).alias("_p50"),
+        F.element_at(q, 2).alias("_p95"),
+        F.element_at(q, 3).alias("_p99"),
+        F.element_at(lo, 1).alias("_lo50"),
+        F.element_at(lo, 2).alias("_lo95"),
+        F.element_at(lo, 3).alias("_lo99"),
+        F.element_at(hi, 1).alias("_hi50"),
+        F.element_at(hi, 2).alias("_hi95"),
+        F.element_at(hi, 3).alias("_hi99"),
+    )
+    within = lambda v, a, b: F.col(v).between(F.col(a), F.col(b))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("parts_ok"),
+        within("_p50", "_lo50", "_hi50").alias("p50_ok"),
+        within("_p95", "_lo95", "_hi95").alias("p95_ok"),
+        within("_p99", "_lo99", "_hi99").alias("p99_ok"),
     )
 
 

@@ -22,7 +22,10 @@ from boxoffice_spark.tables import table
             sum(CASE WHEN coalesce(o_custkey >= 0, FALSE) THEN 0 ELSE 1 END) AS custkey_nonneg
         FROM orders
     )
-    SELECT rule, n_violations, _n AS n_rows, n_violations = 0 AS pass
+    -- CAST: DuckDB's UNPIVOT of hugeint sums surfaces as DOUBLE (0.0),
+    -- which hash-mismatches Spark's bigint 0 even when values agree.
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           _n AS n_rows, n_violations = 0 AS pass
     FROM counted
     UNPIVOT (n_violations FOR rule IN (positive_price, orderdate_present, status_domain, custkey_nonneg))
     """,

@@ -464,7 +464,11 @@ def t_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.fingerprint, min(n.doc_id) AS keeper_id, count(*) AS n_batch_copies
     FROM fp n
-    WHERE n.incoming AND n.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    -- NOT EXISTS (not NOT IN): matches LEFT ANTI null semantics — a NULL
+    -- fingerprint in corpus must not blank the whole result, and
+    -- null-fingerprint batch rows must be kept, as anti-join does.
+    WHERE n.incoming
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = n.fingerprint)
     GROUP BY 1
     """,
     bench=True,

@@ -30,16 +30,33 @@ _EVENTS_SCHEMA_MICROS = (
     "value double, props string"
 )
 
+# sf_dir -> whether events.ts is physically int64 nanos (fixture drift:
+# the driver regenerates testdata per round and has changed this before).
+_PROBE_CACHE: dict[str, bool] = {}
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table, applying the same ``ts``
     ingestion rule as tables.table (session-UTC TIMESTAMP whatever the
     fixture's physical type). The file-stream source needs a user-supplied
-    schema, so one cheap batch schema probe (footer read, no data scan)
-    picks the matching stream schema + conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    nanos = isinstance(probe, T.LongType)
+    schema, so one cheap batch schema probe (footer read, no data scan,
+    cached per sf_dir) picks the matching stream schema + conversion. The
+    session-wide ``nanosAsLong`` conf is flipped only when the probe
+    actually finds an int64 ts — a micros-typed fixture leaves shared
+    session state untouched."""
+    nanos = _PROBE_CACHE.get(sf_dir)
+    if nanos is None:
+        try:
+            probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+            nanos = isinstance(probe, T.LongType)
+        except Exception:
+            # nanos-typed footer without the legacy conf raises; retry with it
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+            nanos = isinstance(probe, T.LongType)
+        _PROBE_CACHE[sf_dir] = nanos
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source wants a directory; glob-filter down to events
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS)

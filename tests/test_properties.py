@@ -99,17 +99,22 @@ def test_salted_distinct_equals_plain(spark, vals):
     assert got == want
 
 
+# non-ASCII chars included: gram units are CHARACTERS in both hash
+# families (winnow_fast decodes to codepoints, not UTF-8 bytes), so the
+# w+k-1 guarantee must hold by char count for multi-byte text too.
+_alpha = "abcdefgh 한글é"
 _words = st.lists(
-    st.text(alphabet="abcdefgh ", min_size=0, max_size=40), min_size=0, max_size=4
+    st.text(alphabet=_alpha, min_size=0, max_size=40), min_size=0, max_size=4
 )
 
 
-@given(shared=st.text(alphabet="abcdefgh ", min_size=29, max_size=60), pads=_words)
+@given(shared=st.text(alphabet=_alpha, min_size=29, max_size=60), pads=_words)
 @settings(**_SETTINGS)
 def test_winnow_guarantee_holds_for_any_strings(spark, shared, pads):
     """Winnowing contract (both hash families): two docs embedding the SAME
     >= w+k-1-char substring must share at least one fingerprint, for ANY
-    surrounding text — including whitespace collapse by normalization."""
+    surrounding text — including whitespace collapse by normalization and
+    multi-byte (non-ASCII) characters."""
     from boxoffice_spark.operators.winnow import winnow_fast, winnow_fingerprints
 
     p = pads + ["", "", "", ""]
@@ -124,6 +129,14 @@ def test_winnow_guarantee_holds_for_any_strings(spark, shared, pads):
         return
     for fn in (winnow_fingerprints, winnow_fast):
         by_doc = {}
+        max_pos = 0
         for r in fn(df, "doc_id", "text").collect():
             by_doc.setdefault(r.doc_id, set()).add(r.fp)
+            max_pos = max(max_pos, r.pos)
         assert by_doc.get(1, set()) & by_doc.get(2, set()), fn.__name__
+        # pos is a CHAR-gram offset: must stay inside the char-gram count
+        # (a byte-based gram loop would overrun this on non-ASCII text)
+        longest = max(
+            len(re.sub(r"\s+", " ", t.lower()).strip()) for _, t in rows
+        )
+        assert max_pos <= longest - 20 + 1, fn.__name__
