@@ -555,7 +555,13 @@ def chunk_dup_pairs(
 
 
 def contamination_report(
-    df: DataFrame, id_col: str, text_col: str, eval_pred: Column, n: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_pred: Column,
+    n: int = 8,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Train/eval decontamination report: for each EVAL document, the
     fraction of its distinct word-``n``-gram shingles that also occur
@@ -569,9 +575,17 @@ def contamination_report(
     a LEFT SEMI join — Spark keeps only the key column and short-circuits
     on first match. At 100 TB the train shingle set is the big side: both
     sides shuffle-partition on the hash (no broadcast), which is exactly
-    the Dolma/RedPajama decontamination layout; a Bloom-filter pre-pass
-    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) can thin the
-    probe side for free when the eval set is small.
+    the Dolma/RedPajama decontamination layout.
+
+    ``bloom_bits`` enables the explicit two-phase scale path: a Bloom
+    filter built over the (small) distinct EVAL hash set is broadcast
+    against the TRAIN shingle scan (operators/bloom.py), discarding train
+    shingles that cannot hit any eval shingle BEFORE the train side's
+    distinct + semi-join shuffles — megabytes shuffled instead of
+    terabytes. Bloom false positives are re-checked by the exact semi
+    join and false negatives are impossible, so the report is IDENTICAL
+    to the plain path (tested in tests/test_llm_ops.py). Size at ~10 bits
+    per distinct eval shingle.
     """
     # Two Generate barriers (explode(array(e)) — see ngram_jaccard_pairs):
     # first materializes the word split so the n-gram lambda reads a column
@@ -597,12 +611,20 @@ def contamination_report(
     evh = ev.select("doc_id", F.explode("_sh").alias("_g")).select(
         "doc_id", _word_hash(F.col("_g")).alias("h")
     )
-    train = (
+    train_raw = (
         base.filter(~F.col("_is_eval"))
         .select(F.explode("_sh").alias("_g"))
         .select(_word_hash(F.col("_g")).alias("h"))
-        .distinct()
     )
+    if bloom_bits is not None:
+        from boxoffice_spark.operators.bloom import bloom_build, bloom_keep_maybe
+
+        words = bloom_build(
+            evh.select("h").distinct(), "h", bloom_bits, bloom_hashes
+        )
+        # map-side thinning of the big side before its distinct shuffle
+        train_raw = bloom_keep_maybe(train_raw, "h", words, bloom_bits, bloom_hashes)
+    train = train_raw.distinct()
     hits = evh.join(train, "h", "left_semi").groupBy("doc_id").agg(
         F.count("*").alias("n_hit")
     )

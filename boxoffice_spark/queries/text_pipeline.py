@@ -364,6 +364,38 @@ def t_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_report(d, "doc_id", "text", F.col("source") == "src0", n=5)
 
 
+@register(
+    "t_decontamination_bloom",
+    oracle=D.CONTAMINATION_SQL.format(
+        table="documents",
+        id_col="doc_id",
+        eval_pred="source = 'src0'",
+        ngrams=_CONTAM_NGRAMS,
+        hash_g=D.WORD_HASH_SQL.format(w="g"),
+    ),
+    bench=True,
+    tags=("dedup", "decontamination", "bloom"),
+)
+def t_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_decontamination routed through the explicit Bloom prefilter
+    (operators/bloom.py): a filter built over the small eval hash set is
+    broadcast against the train shingle scan, so train shingles that
+    cannot possibly hit are dropped map-side BEFORE the distinct +
+    semi-join shuffles. SAME oracle as the plain path — the Bloom pass
+    admits only false positives, which the exact semi join re-checks, so
+    the report is bit-identical; what changes is the 100 TB shuffle
+    volume (terabytes -> megabytes when eval << train)."""
+    d = table(spark, sf_dir, "documents")
+    return D.contamination_report(
+        d,
+        "doc_id",
+        "text",
+        F.col("source") == "src0",
+        n=5,
+        bloom_bits=1 << 16,
+    )
+
+
 _PII_AUG_SQL = (
     "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com "
     "tel +82 10-55' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234'"
