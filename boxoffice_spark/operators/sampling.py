@@ -70,3 +70,51 @@ def stratified_hash_sample_sql(
     )
     case = f"CASE {whens} ELSE '{_threshold_hex(default_rate)}' END"
     return f"{HASH_BUCKET_SQL.format(salt=salt, key=key)} < {case}"
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    k: int,
+    tie_col: str | None = None,
+    salt: str = "s1",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample ("give me 10k eval docs
+    per language"): rank rows inside each stratum by their salted content
+    hash (a content-derived uniform order) and keep the first ``k``.
+    Deterministic under retries and across runs/engines like the rate
+    samplers; ``tie_col`` breaks exact-duplicate-content ties.
+
+    Scale shape: one shuffle on ``stratum`` for the window rank. The sort
+    is O(stratum size) — when k << stratum, pass ``prefilter_rate``
+    (e.g. 3x k/|stratum|) to discard rows above that hash threshold
+    SCAN-SIDE first, so the window sorts ~3k rows per stratum instead of
+    all of them; the hash order makes the prefilter sound (it can only
+    remove rows that would rank > k) as long as the rate is not
+    underestimated — guard with a count if |stratum| is unknown.
+    """
+    from pyspark.sql import Window
+
+    if prefilter_rate is not None:
+        df = df.filter(hash_bucket(key, salt) < F.lit(_threshold_hex(prefilter_rate)))
+    order = [hash_bucket(key, salt).asc()]
+    order.append(F.col(tie_col if tie_col is not None else key).asc())
+    w = Window.partitionBy(stratum).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def fixed_size_sample_sql(
+    key: str, stratum: str, k: int, tie_col: str, salt: str = "s1"
+) -> str:
+    """DuckDB twin of :func:`fixed_size_sample` as a QUALIFY clause body."""
+    h = HASH_BUCKET_SQL.format(salt=salt, key=key)
+    return (
+        f"row_number() OVER (PARTITION BY {stratum} "
+        f"ORDER BY {h}, {tie_col}) <= {k}"
+    )

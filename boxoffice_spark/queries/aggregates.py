@@ -318,3 +318,62 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("bigint").alias("bucket"),
         (bucket * 50000).cast("double").alias("bucket_lo"),
     ).agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "a_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS union_ok, TRUE AS reagg_consistent
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def a_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL, Spark 3.5+
+    built-ins): per-(event_type, day) user sketches are unioned with
+    ``hll_union_agg`` into per-type totals — the continuous-aggregate
+    pattern where daily sketch partials re-aggregate to any coarser grain
+    WITHOUT rescanning raw data (count-distinct does not re-aggregate;
+    sketches do). At 100 TB: the daily sketch table is KBs per group, and
+    a month/quarter/all-time unique count is a union over sketches, not a
+    scan over events.
+
+    Like a_approx_stats, estimates themselves are engine-specific, so the
+    oracle checks the sketch CONTRACT: (a) the unioned estimate lands
+    within 5% of exact count(DISTINCT) (default lgK=12 -> ~1.6% rse;
+    deterministic for a given input), and (b) union-of-daily-sketches
+    tracks the direct whole-set sketch within 2% — the merge is
+    mathematically near-lossless but NOT bit-identical (measured here:
+    the union gadget's sparse->dense promotion path can differ from
+    direct aggregation's, e.g. 1488 vs 1494 on 1500 true uniques)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_union_est"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_direct_est"),
+    )
+    return rolled.join(direct, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_union_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("_union_est") - F.col("_direct_est"))
+            <= 0.02 * F.col("exact_users")
+        ).alias("reagg_consistent"),
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from boxoffice_spark.functions import cleaning as CL
-from boxoffice_spark.functions.numeric import dsum_sql
+from boxoffice_spark.functions.numeric import davg_sql, dsum_sql
 from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
@@ -276,6 +276,25 @@ def t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = D.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
     return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "t_dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "iterative"),
+)
+def t_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_dedup_clusters via large-star/small-star (operators/graph.py
+    connected_components_star): edge-rewriting converges in O(log^2 n)
+    rounds instead of O(component diameter) — the 100 TB path when the
+    pair graph can contain deep chains (boilerplate bridges, crawl
+    loops). Same oracle, same deterministic min-id labels."""
+    from boxoffice_spark.operators.graph import connected_components_star
+
+    pairs = D.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return connected_components_star(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 
@@ -703,3 +722,84 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TS.words_of("text")).alias("term")
     )
     return SK.heavy_hitters(toks, "term", phi=0.02)
+
+
+@register(
+    "t_unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents)
+        WHERE term <> ''
+    ), vocab AS (
+        SELECT term, count(*) AS tf FROM t GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab
+    ), scored AS (
+        SELECT doc_id, round(log10(CAST(tf AS DOUBLE) / n), 6) AS lp
+        FROM t JOIN vocab USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round({davg_sql('lp', 6)}, 6) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    bench=True,
+    tags=("text", "quality", "lm"),
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score: mean unigram log10-probability per
+    document under the corpus's own unigram LM — the cheap stand-in for
+    KenLM-perplexity filtering (CCNet/Gopher-style): documents of rare-
+    token soup score low, fluent/common-token text scores high.
+
+    Shape at 100 TB: one shuffle tokenizes into (doc, term); the vocab
+    aggregate REUSES that exchange (groupBy on its partition key); the
+    per-token probability lookup is a shuffle join on ``term`` (vocab is
+    Zipf-heavy — at cluster scale broadcast the top-K head and join only
+    the tail, or salt the hot terms; here AQE handles the skew); the
+    final per-doc mean is one more narrow shuffle. Per-token log-probs
+    are rounded to 6dp then decimal-summed (functions/numeric.davg), so
+    the mean is bit-deterministic and cross-engine hashable."""
+    from boxoffice_spark.functions.numeric import davg
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(D.normalized_text("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("n"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log10(F.col("tf").cast("double") / F.col("n")), 6).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(davg("lp", 6), 6).alias("avg_logprob"),
+    )
+
+
+@register(
+    "t_fixed_size_sample",
+    oracle=(
+        "SELECT doc_id, lang FROM documents QUALIFY "
+        + SMP.fixed_size_sample_sql("text", "lang", 20, "doc_id")
+    ),
+    tags=("sampling", "deterministic"),
+)
+def t_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY 20 docs per language, chosen by deterministic content-hash
+    rank (operators/sampling.fixed_size_sample) — the fixed-budget eval-
+    set draw that rate-based sampling can't give you. Same rows on every
+    run, retry, and engine."""
+    d = table(spark, sf_dir, "documents")
+    return SMP.fixed_size_sample(d, "text", "lang", 20, tie_col="doc_id").select(
+        "doc_id", "lang"
+    )

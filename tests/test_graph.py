@@ -33,3 +33,57 @@ def test_self_loop_is_singleton(spark):
 def test_max_iters_guard_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, [(i, i + 1) for i in range(9)], max_iters=2)
+
+
+# ---- large-star / small-star scale variant ----------------------------------
+
+from boxoffice_spark.operators.graph import connected_components_star
+
+
+def _ccs(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r.node: r.cluster_id
+        for r in connected_components_star(df, "a", "b", **kw).collect()
+    }
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (10, 11), (3, 1)],
+        [(i, i + 1) for i in range(9)],
+        [(5, 5), (1, 2)],
+        [(7, 3), (3, 7), (2, 2)],
+        [(100, 1), (50, 100), (2, 50), (9, 9), (20, 30)],
+    ],
+)
+def test_star_matches_union_find_and_min_label(spark, edges):
+    want = _union_find(edges)
+    assert _ccs(spark, edges) == want
+    assert _cc(spark, edges) == want
+
+
+def test_star_deep_chain_logarithmic_rounds(spark):
+    """A 200-node path has diameter 199 — min-label needs ~199 rounds, the
+    star algorithm must finish within its default O(log^2 n) budget."""
+    edges = [(i, i + 1) for i in range(199)]
+    got = _ccs(spark, edges)  # default max_iters=30 << diameter
+    assert got == {i: 0 for i in range(200)}
