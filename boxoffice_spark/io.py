@@ -121,3 +121,39 @@ def with_day_partition(df: DataFrame, ts_col: str, part_col: str = "dt") -> Data
     """Derive the date partition column for a fact table (the reference's
     boxoffice table is keyed/partitioned by target_dt)."""
     return df.withColumn(part_col, F.to_date(ts_col))
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-tolerant JSON-lines source (the REST/scrape ingestion
+    reality: feeds carry occasional broken rows; reference scrapers guard
+    with try/except per page, e.g. kobisdata_extractor.py:63-66).
+
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column keeps the
+    scan single-pass: well-formed rows parse into ``schema``, broken ones
+    land whole in the quarantine column. Returns ``(good, quarantined)``
+    DataFrames off ONE cached scan — good rows flow on, quarantined raw
+    lines go to a dead-letter sink for replay, nothing is silently
+    dropped (FAILFAST would kill the job; DROPMALFORMED would lie).
+
+    The user schema must include ``_corrupt_record string`` (enforced
+    here) — Spark only populates the quarantine column when it is part
+    of the declared schema.
+    """
+    full = schema.rstrip().rstrip(",") + ", _corrupt_record string"
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # one materialization serves both splits; also required for
+        # correctness: referencing only _corrupt_record straight off the
+        # scan is disallowed (Spark needs a non-internal column parsed)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

@@ -665,3 +665,110 @@ SELECT t.doc_id, t.n_shingles,
            AS contamination_frac
 FROM totals t LEFT JOIN hits hi USING (doc_id)
 """
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit_words: int = 8,
+) -> DataFrame:
+    """C4-style corpus-level span dedup: segment every document into
+    consecutive ``unit_words``-word units ("lines" — the fixture corpus
+    has no newlines, so the unit is a fixed word window), keep only the
+    FIRST occurrence of each distinct unit across the whole corpus
+    (ordered by (doc_id, pos)), and reassemble the surviving units in
+    document order. The span-level complement of document-level dedup:
+    boilerplate shared by thousands of otherwise-distinct pages is
+    removed from all but one of them (C4's "three-sentence span" rule,
+    Raffel et al. 2020, word-window form).
+
+    Scale shape: posexplode to (doc, pos, unit) — no shuffle; ONE shuffle
+    on the unit string for the keep-first window (at 100 TB hash the unit
+    to 8 bytes first and resolve the rare collisions with an equality
+    re-check, as contamination_report does); one more shuffle back on doc
+    to reassemble via sorted collect. Output row count == input row count
+    (empty/fully-deduped docs come back with empty text), so the operator
+    composes with downstream quality filters.
+    """
+    from pyspark.sql import Window
+
+    norm = normalized_text(text_col)
+    words = F.split(norm, " ")
+    # built on the materialized _w column, not the original text — the
+    # Generate projection below drops text_col
+    n_units = F.ceil(F.size(F.col("_w")) / F.lit(unit_words)).cast("int")
+    segs = (
+        df.select(F.col(id_col), F.explode(F.array(words)).alias("_w"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_units, F.lit(0)) - 1),
+                    lambda s: F.array_join(
+                        F.slice(F.col("_w"), s * unit_words + 1, unit_words), " "
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = segs.withColumn("keep", F.row_number().over(w) == 1)
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "keep"))),
+                    lambda x: x["keep"],
+                ),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
+LINE_DEDUP_SQL = """
+WITH w AS (
+    SELECT {id_col}, string_split({norm}, ' ') AS words FROM {table}
+), segs AS (
+    SELECT {id_col}, CAST(s AS INT) AS pos,
+           array_to_string(list_slice(words, s * {u} + 1, s * {u} + {u}), ' ') AS line
+    FROM (
+        SELECT {id_col}, words,
+               unnest(range(CAST(ceil(len(words) / {u}.0) AS BIGINT))) AS s
+        FROM w WHERE len(words) > 0
+    )
+    WHERE array_to_string(list_slice(words, s * {u} + 1, s * {u} + {u}), ' ') <> ''
+), k AS (
+    SELECT {id_col}, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY {id_col}, pos) = 1 AS keep
+    FROM segs
+), agg AS (
+    SELECT {id_col},
+           array_to_string(list_transform(
+               list_sort(list(struct_pack(pos := pos, line := line)) FILTER (WHERE keep)),
+               x -> x.line), ' ') AS cleaned_text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM k GROUP BY 1
+)
+SELECT d.{id_col},
+       coalesce(a.cleaned_text, '') AS cleaned_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.n_dropped, 0) AS n_dropped
+FROM {table} d LEFT JOIN agg a USING ({id_col})
+"""

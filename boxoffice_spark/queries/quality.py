@@ -60,3 +60,54 @@ def dq_lineitem_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key uniqueness audit on lineitem (empty result = the
     (orderkey, linenumber) primary key holds)."""
     return check_unique(table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH counted AS (
+        SELECT lang,
+               sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS n_corpus,
+               sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_batch
+        FROM documents GROUP BY 1
+    )
+    SELECT lang,
+           CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST(n_batch AS BIGINT) AS n_batch,
+           round((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ()
+                  - CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())
+                 * ln((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ())
+                      / (CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())), 6)
+               AS psi_term
+    FROM counted
+    """,
+    tags=("quality", "drift"),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per-language PSI terms
+    between an incoming batch (doc_id % 10 == 0 — the same batch split as
+    t_incremental_dedup) and the standing corpus. The ingest-gate check
+    that catches a crawler suddenly over-sampling one language before it
+    poisons the mix. One scan (conditional counts), one narrow shuffle on
+    lang, global-window totals over the tiny per-lang aggregate; sum the
+    terms and alert at PSI > 0.2 by convention."""
+    d = table(spark, sf_dir, "documents")
+    counted = d.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p = F.col("n_corpus").cast("double") / F.sum("n_corpus").over(w)
+    q = F.col("n_batch").cast("double") / F.sum("n_batch").over(w)
+    return counted.select(
+        "lang",
+        "n_corpus",
+        "n_batch",
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )

@@ -734,13 +734,17 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vocab AS (
         SELECT term, count(*) AS tf FROM t GROUP BY 1
     ), tot AS (
-        SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM t
     ), scored AS (
         SELECT doc_id, round(log10(CAST(tf AS DOUBLE) / n), 6) AS lp
         FROM t JOIN vocab USING (term) CROSS JOIN tot
     )
+    -- no outer round: the per-token lp values are already 6dp-rounded
+    -- and decimal-summed, so the quotient is bit-identical across
+    -- engines; an extra round(x, 6) re-introduces half-ULP .5-boundary
+    -- divergence (observed at sf0.001: -1.4781995 split HALF_UP/down)
     SELECT doc_id, count(*) AS n_tokens,
-           round({davg_sql('lp', 6)}, 6) AS avg_logprob
+           {davg_sql('lp', 6)} AS avg_logprob
     FROM scored GROUP BY 1
     """,
     bench=True,
@@ -771,7 +775,10 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    total = vocab.agg(F.sum("tf").cast("double").alias("n"))
+    # total tokens == row count of toks: a plain count aggregate, NOT
+    # sum(tf) over vocab — the latter duplicates the whole tokenize +
+    # term-shuffle subtree in the plan (ReuseExchange does not collapse it)
+    total = toks.agg(F.count("*").cast("double").alias("n"))
     scored = (
         toks.join(vocab, "term")
         .crossJoin(F.broadcast(total))
@@ -782,7 +789,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(davg("lp", 6), 6).alias("avg_logprob"),
+        davg("lp", 6).alias("avg_logprob"),
     )
 
 
@@ -802,4 +809,84 @@ def t_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return SMP.fixed_size_sample(d, "text", "lang", 20, tie_col="doc_id").select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "t_line_dedup",
+    oracle=D.LINE_DEDUP_SQL.format(table="documents", id_col="doc_id", norm=_NORM, u=8),
+    bench=True,
+    tags=("dedup", "span", "c4"),
+)
+def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (operators/dedup.line_dedup): every distinct
+    8-word unit keeps only its first corpus occurrence; documents come
+    back reassembled with duplicate spans cut and kept/dropped counts.
+    The span-level tier between exact-dedup and the pair generators."""
+    return D.line_dedup(table(spark, sf_dir, "documents"), "doc_id", "text", unit_words=8)
+
+
+@register(
+    "t_mixture_rebalance",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_before,
+               least(1.0, (CAST(sum(count(*)) OVER () AS DOUBLE)
+                           / count(*) OVER ()) / count(*)) AS keep_rate
+        FROM documents GROUP BY lang
+    ), kept AS (
+        SELECT d.lang
+        FROM documents d JOIN counts c USING (lang)
+        WHERE CAST(('0x' || substr(md5('s1' || d.text), 1, 8)) AS BIGINT)
+              < c.keep_rate * 4294967296.0
+    )
+    SELECT c.lang, CAST(c.n_before AS BIGINT) AS n_before,
+           round(c.keep_rate, 6) AS keep_rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM counts c
+    LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1) k USING (lang)
+    """,
+    tags=("sampling", "mixture"),
+)
+def t_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: derive per-language keep-rates IN-PLAN
+    from the measured distribution (target = uniform share; rate =
+    min(1, target_count / actual_count)) and apply them with the same
+    retry-safe content-hash filter as t_stratified_sample — the 'remix
+    the corpus toward a target mixture' pass (Pile/DoReMi-style static
+    reweighting), where t_stratified_sample's rates are hard-coded
+    inputs. Over-represented languages are down-sampled, the rest pass
+    through whole. One scan for counts (broadcast back), one for the
+    filtered count — no shuffle of the corpus itself."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_before"))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                (F.sum("n_before").over(w).cast("double") / F.count("*").over(w))
+                / F.col("n_before"),
+            ),
+        )
+    )
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("s1"), F.col("text"))), 1, 8), 16, 10).cast("long")
+    kept = (
+        d.join(F.broadcast(counts), "lang")
+        .filter(bucket < F.col("keep_rate") * F.lit(4294967296.0))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
     )

@@ -232,3 +232,24 @@ def test_observed_quality_metrics_piggyback_the_scan(spark, sf_dir):
         F.count(F.when(F.col("l_extendedprice").isNull(), 1)),
     ).collect()[0]
     assert (m["n_rows"], m["nonpos_qty"], m["null_price"]) == tuple(exact)
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE JSONL ingestion: well-formed rows parse, malformed rows
+    land whole in the dead-letter frame, nothing is dropped."""
+    from boxoffice_spark.io import read_jsonl_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok"}',
+        '{"id": "NOT_A_NUMBER", "name": "type clash"}',
+        "{broken json",
+        '{"id": 5, "name": "fine"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = read_jsonl_quarantine(spark, str(p), "id long, name string")
+    got = {(r.id, r.name) for r in good.collect()}
+    assert got == {(1, "ok"), (2, "also ok"), (5, "fine")}
+    raw = {r.raw_line for r in bad.collect()}
+    assert raw == {'{"id": "NOT_A_NUMBER", "name": "type clash"}', "{broken json"}

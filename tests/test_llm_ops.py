@@ -459,3 +459,29 @@ def test_bloom_probe_is_broadcast_only(spark):
                 "hashpartitioning(word_idx" in line
                 or "hashpartitioning(_groupingexpression" in line
             ), line
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    """Repeated 8-word units keep exactly their first (doc_id, pos)
+    occurrence corpus-wide; unique content is untouched; fully-deduped
+    and empty docs come back with empty text (row count preserved)."""
+    from boxoffice_spark.operators.dedup import line_dedup
+
+    boiler = "one two three four five six seven eight"
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq_b = "ichi ni san shi go roku nana hachi"
+    rows = [
+        (1, f"{boiler} {uniq_a}"),
+        (2, f"{boiler} {uniq_b}"),   # boiler cut here
+        (3, boiler),                 # fully deduped
+        (4, ""),                     # empty stays a row
+        (5, uniq_a),                 # dup of doc 1's second unit, cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cleaned_text, r.n_kept, r.n_dropped)
+           for r in line_dedup(df, "doc_id", "text", unit_words=8).collect()}
+    assert got[1] == (f"{boiler} {uniq_a}", 2, 0)
+    assert got[2] == (uniq_b, 1, 1)
+    assert got[3] == ("", 0, 1)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 1)
