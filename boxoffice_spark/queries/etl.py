@@ -389,3 +389,38 @@ def e_display_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "e_scd2_history",
+    oracle="""
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+           value AS attr_value
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    tags=("etl", "scd2"),
+)
+def e_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) derivation: an append-only
+    change log (signup events per user) becomes a validity-interval
+    history — valid_from = change ts, valid_to = next change's ts (null =
+    open), is_current on the last row. The warehouse-standard upsert
+    alternative when history must be queryable ("what was the value on
+    date X" = BETWEEN probe on the intervals). One shuffle on user_id;
+    the as-of join (operators/temporal.py) is the read-side complement.
+    event_id tie-breaks equal timestamps deterministically."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("value").alias("attr_value"),
+    )

@@ -111,3 +111,40 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_batch",
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
     )
+
+
+@register(
+    "dq_fk_orphans",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS fk, count(*) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    tags=("quality", "integrity"),
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the two fact->dim
+    foreign keys (orders.custkey -> customer, lineitem.orderkey ->
+    orders), via LEFT ANTI probes — NOT EXISTS semantics, null-safe where
+    NOT IN is not. Each probe is one shuffle pair on the key; at scale
+    the dim side of the first probe is broadcastable and the second rides
+    the fact tables' co-partitioning if they're bucketed by orderkey
+    (io.write_bucketed)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("orders.custkey->customer").alias("fk"), "n_orphans")
+    )
+    orphan_items = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+        .select(F.lit("lineitem.orderkey->orders").alias("fk"), "n_orphans")
+    )
+    return orphan_orders.unionByName(orphan_items)

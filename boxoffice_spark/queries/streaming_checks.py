@@ -50,3 +50,14 @@ def s_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_stream_attribution_join
 
     return stream_stream_attribution_join(spark, sf_dir)
+
+
+@register("s_stream_static_enrich", oracle=None, tags=("streaming", "join"))
+def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (purchase events x customer
+    dim): per-micro-batch lookup join, zero streaming state. Batch twin =
+    the identical join in batch mode; equality asserted in
+    tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)

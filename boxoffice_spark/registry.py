@@ -59,12 +59,15 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.streaming_checks",
 ]
 
-# Queries pulled to the very front of load_all() order regardless of module:
-# fixed-in-round-2 entries that need a fresh driver correctness row.
+# Queries pulled to the very front of load_all() order regardless of module,
+# so they land inside the driver's 50-entry correctness window: the flagship,
+# plus entries whose oracle is new this round and needs its first driver row.
+# (e_schema_introspection, pinned in round 2, earned its green row in
+# CORRECTNESS_r02 and rotates out.)
 _PINNED = [
     "flagship_daily_topk_delta",
-    "a_approx_stats",
-    "e_schema_introspection",
+    "a_approx_stats",  # oracle added round 3 (sketch error-contract booleans)
+    "a_hll_sketch_rollup",  # new round 3; registers in the late aggregates module
 ]
 
 

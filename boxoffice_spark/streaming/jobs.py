@@ -203,3 +203,29 @@ def stream_stream_attribution_join(
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return _run_to_completion(joined, "append")
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, event_type: str = "purchase"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream left-joined to the
+    STATIC customer dimension (user_id -> c_custkey) — the micro-batch
+    lookup-join every ingest pipeline runs (enrich each event with the
+    customer's segment before sinking). The static side is broadcast
+    into every micro-batch; no state is kept between batches (unlike
+    stream-stream joins), so the join adds zero streaming state and the
+    dim can be swapped between restarts. Filtered to one event type so
+    the append-mode output stays bounded."""
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type") == event_type)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "ts", "value", "segment", "nation_key"
+    )
+    return _run_to_completion(enriched, "append")

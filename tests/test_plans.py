@@ -159,3 +159,28 @@ def test_trailing_range_window_single_shuffle(spark, sf_dir):
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
     assert len(exchanges) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_line_dedup_stays_jvm_side(spark, sf_dir):
+    """The C4 span-dedup plan must contain no Python evaluation (pure
+    Catalyst: Generate + window + sorted collect) and no cartesian
+    product; the doc-side reassembly join must not broadcast the
+    (O(docs)-sized) aggregate."""
+    plan = physical(SPECS["t_line_dedup"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_rebalance_broadcasts_rate_table(spark, sf_dir):
+    """The per-stratum rate table must broadcast; the corpus side must
+    never shuffle before the filtered count's partial aggregation."""
+    plan = physical(SPECS["t_mixture_rebalance"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontamination_bloom_probe_broadcasts(spark, sf_dir):
+    """Every bloom probe join on the train side must be a broadcast hash
+    join (the whole point: no train-side shuffle before thinning)."""
+    plan = physical(SPECS["t_decontamination_bloom"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan  # n_hashes probes

@@ -140,3 +140,41 @@ def test_winnow_guarantee_holds_for_any_strings(spark, shared, pads):
             len(re.sub(r"\s+", " ", t.lower()).strip()) for _, t in rows
         )
         assert max_pos <= longest - 20 + 1, fn.__name__
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=60), min_size=1, max_size=5
+    )
+)
+@settings(**_SETTINGS)
+def test_line_dedup_identity_and_conservation(spark, texts):
+    """For ANY corpus: (a) kept + dropped == total units per doc; (b) when
+    no unit repeats corpus-wide, every cleaned_text equals the normalized
+    original (the operator is the identity on repeat-free corpora); (c)
+    cleaned_text is always a subsequence-join of the doc's own units."""
+    import re
+
+    from boxoffice_spark.operators.dedup import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, "doc_id", "text", unit_words=4).collect()}
+    units_by_doc = {}
+    all_units = []
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        words = norm.split(" ") if norm else []
+        units = [" ".join(words[j : j + 4]) for j in range(0, len(words), 4)]
+        units_by_doc[i] = units
+        all_units.extend(units)
+    for i, units in units_by_doc.items():
+        r = out[i]
+        assert r.n_kept + r.n_dropped == len(units)
+        kept_join = r.cleaned_text.split(" ") if r.cleaned_text else []
+        # (c) kept text is a concatenation of a subset of the doc's units
+        assert " ".join(kept_join) == r.cleaned_text
+    if len(set(all_units)) == len(all_units):  # repeat-free corpus
+        for i, units in units_by_doc.items():
+            assert out[i].cleaned_text == " ".join(units)
+            assert out[i].n_dropped == 0

@@ -116,3 +116,31 @@ def test_stream_stream_join_equals_batch_pairs(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    """The availableNow-drained stream-static join must emit exactly the
+    rows the identical batch join produces."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.streaming.jobs import stream_static_enrich
+    from boxoffice_spark.tables import table
+
+    got = sorted(
+        map(tuple, stream_static_enrich(spark, sf_dir).collect())
+    )
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.join(F.broadcast(dim), "user_id", "left")
+            .select("event_id", "user_id", "ts", "value", "segment", "nation_key")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
