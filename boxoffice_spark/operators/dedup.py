@@ -74,6 +74,58 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def capped_pair_rows(
+    post: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    max_postings: int | None = 1000,
+) -> DataFrame:
+    """Ordered candidate pairs (``id_a < id_b``) from an inverted-index
+    postings table, evaluating the postings subtree ONCE.
+
+    The textbook layout — ``post.alias("a").join(post.alias("b"), key)`` —
+    looks free but physically plans as TWO full evaluations of everything
+    upstream of ``post``: exchange reuse needs byte-identical canonical
+    subplans and AQE's broadcast conversion routinely breaks it (measured
+    on winnow_dup_pairs: the whole md5-gram fingerprint scan ran twice,
+    once per join side). Collect-and-explode runs it once: group postings
+    by key, collect the bounded sorted posting list, emit i<j pairs by
+    exploding the array against its own tail slices.
+
+    Memory stays bounded because the count-window cap drops keys with more
+    than ``max_postings`` postings BEFORE the collect — and the window
+    (partition-only, no ordering) rides the exact (key) shuffle the groupBy
+    needs, so candidate generation costs ONE shuffle end-to-end. A key
+    shared by that many documents is boilerplate, not dedup signal; callers
+    document the recall trade.
+
+    Returns columns ``id_a``, ``id_b`` plus ``<c>_a`` / ``<c>_b`` for each
+    payload column (per-doc attributes riding the postings, e.g. set
+    sizes for Jaccard or full signatures for Hamming rerank).
+    """
+    if max_postings is not None:
+        wk = W.partitionBy(*key_cols)
+        post = (
+            post.withColumn("_pdf", F.count("*").over(wk))
+            .filter(F.col("_pdf") <= max_postings)
+            .drop("_pdf")
+        )
+    entry = F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in payload_cols])
+    grouped = post.groupBy(*key_cols).agg(F.array_sort(F.collect_list(entry)).alias("_ps"))
+    # Generate pairs without materializing the size²/2 pair array in one
+    # buffer: posexplode streams each element, slice takes its strict tail
+    # (ids are unique per key, so struct sort order == id order and every
+    # emitted pair satisfies id_a < id_b exactly once per key).
+    pairs = grouped.select("_ps", F.posexplode("_ps").alias("_i", "_pa")).select(
+        "_pa", F.explode(F.expr("slice(_ps, _i + 2, size(_ps))")).alias("_pb")
+    )
+    cols = [F.col("_pa._id").alias("id_a"), F.col("_pb._id").alias("id_b")]
+    for c in payload_cols:
+        cols += [F.col(f"_pa.{c}").alias(f"{c}_a"), F.col(f"_pb.{c}").alias(f"{c}_b")]
+    return pairs.select(*cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -124,38 +176,24 @@ def ngram_jaccard_pairs(
     ).select(
         *block_cols, id_col, F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
     )
-    # Shingles are array_distinct'd per doc, so count(*) per (block, _g) is
-    # the shingle's within-block document frequency. A count-window (no
-    # ordering, so no sort) applies the cap in the SAME single shuffle on
-    # (block, _g) that the self-join below needs — measured ~2x cheaper at
-    # sf0.1 than the groupBy + left_anti formulation, which shuffles the
-    # postings twice more.
-    wdf = W.partitionBy(*block_cols, "_g")
-    shingled = (
-        shingled.withColumn("_df", F.count("*").over(wdf))
-        .filter(F.col("_df") <= max_postings)
-        .drop("_df")
+    # Shingles are array_distinct'd per doc, so the postings list per
+    # (block, _g) is the shingle's within-block document set; the shared
+    # collect-and-explode generator caps it at max_postings and evaluates
+    # the shingling scan once (see capped_pair_rows — the self-join form
+    # ran it twice).
+    pairs = capped_pair_rows(
+        shingled, [*block_cols, "_g"], id_col, ("_sz",), max_postings
     )
-    a, b = shingled.alias("a"), shingled.alias("b")
-    cond = [F.col("a._g") == F.col("b._g")] + [
-        F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols
-    ] + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     common = F.count("*").cast("int")
     return (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sz").alias("_sza"),
-            F.col("b._sz").alias("_szb"),
-        )
+        pairs.groupBy("id_a", "id_b", "_sz_a", "_sz_b")
         .agg(common.alias("_common"))
         .select(
             "id_a",
             "id_b",
             (
                 F.col("_common").cast("double")
-                / (F.col("_sza") + F.col("_szb") - F.col("_common"))
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -267,34 +305,17 @@ def minhash_lsh_pairs(
         ]
     )
     postings = sigt.select(F.col(id_col), F.posexplode(buckets).alias("_band", "_bucket"))
-    # Bucket-size cap (chunk_dup_pairs' max_postings pattern): a (band,
-    # bucket) holding > max_postings docs would emit O(size²) candidate
-    # rows in the self-join below. A bucket that hot means the band's
+    # Bucket-size cap: a (band, bucket) holding > max_postings docs would
+    # emit O(size²) candidate pairs. A bucket that hot means the band's
     # minhashes are degenerate across a huge doc population (boilerplate /
     # near-empty docs) — drop it; other bands still vote, so the banded-OR
-    # recall guarantee degrades gracefully instead of the join exploding.
-    # Count-window, not groupBy + anti-join: the cap rides the self-join's
-    # own (band, bucket) shuffle instead of adding two more.
-    wb = W.partitionBy("_band", "_bucket")
-    postings = (
-        postings.withColumn("_n", F.count("*").over(wb))
-        .filter(F.col("_n") <= max_postings)
-        .drop("_n")
-    )
-    a, b = postings.alias("a"), postings.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # recall guarantee degrades gracefully instead of the pair-gen
+    # exploding. capped_pair_rows applies the cap on the one (band, bucket)
+    # shuffle and evaluates the signature aggregate ONCE (the self-join
+    # form ran the whole shingle+minhash pipeline per side).
+    cand = capped_pair_rows(
+        postings, ["_band", "_bucket"], id_col, (), max_postings
+    ).dropDuplicates(["id_a", "id_b"])
     shingled = spread(df).select(F.col(id_col), shingles.alias("_sh"))
     sha = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
     shb = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
@@ -382,20 +403,15 @@ def simhash_hamming_pairs(
             )
         ).alias("_chunk", "_val"),
     )
-    a, b = postings.alias("a"), postings.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # No cap here: the DuckDB twin below has none, and this operator's
+    # contract is oracle-exactness. At corpus scale compose with an
+    # upstream exact_dedup pass (identical docs share a fingerprint and
+    # are THE degenerate-bucket source) or pass a cap via
+    # capped_pair_rows directly.
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(
-            b,
-            (F.col("a._chunk") == F.col("b._chunk"))
-            & (F.col("a._val") == F.col("b._val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
+        capped_pair_rows(postings, ["_chunk", "_val"], id_col, ("simhash",), None)
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -517,37 +533,28 @@ def chunk_dup_pairs(
     dedup signal; same cap strategy as the LSH bucket join). One shuffle
     on chunk_hash for the join, one on the pair for the count.
     """
+    # Per-doc distinct chunk hashes + their count in ONE scan of the (Python,
+    # expensive) CDC chunker — the previous per_doc/hot/pruned three-branch
+    # layout re-ran content_chunks per branch. collect_set per doc is
+    # bounded: chunk count per doc ~ len(text)/target_size.
     chunks = (
         content_chunks(df, id_col, text_col, **chunk_kwargs)
-        .select(id_col, "chunk_hash")
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("chunk_hash").alias("_chs"))
+        .select(
+            F.col(id_col),
+            F.size("_chs").alias("_n"),
+            F.explode("_chs").alias("chunk_hash"),
+        )
     )
-    per_doc = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
-    hot = (
-        chunks.groupBy("chunk_hash")
-        .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") > max_postings)
-        .select("chunk_hash")
-    )
-    pruned = chunks.join(hot, "chunk_hash", "left_anti")
-
-    a = pruned.select(F.col(id_col).alias("id_a"), "chunk_hash")
-    b = pruned.select(F.col(id_col).alias("id_b"), "chunk_hash")
-    shared = (
-        a.join(b, "chunk_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+    pairs = capped_pair_rows(chunks, ["chunk_hash"], id_col, ("_n",), max_postings)
+    return (
+        pairs.groupBy("id_a", "id_b", "_n_a", "_n_b")
         .agg(F.count("*").alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= min_shared)
-    )
-    na = per_doc.select(F.col(id_col).alias("id_a"), F.col("n_chunks").alias("n_a"))
-    nb = per_doc.select(F.col(id_col).alias("id_b"), F.col("n_chunks").alias("n_b"))
-    return (
-        shared.join(na, "id_a")  # per_doc is O(docs) — shuffle join, not broadcast
-        .join(nb, "id_b")
         .withColumn(
             "containment",
-            F.round(F.col("shared_chunks") / F.least("n_a", "n_b"), 6),
+            F.round(F.col("shared_chunks") / F.least("_n_a", "_n_b"), 6),
         )
         .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "shared_chunks", "containment")

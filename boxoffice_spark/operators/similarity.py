@@ -255,22 +255,14 @@ def embedding_near_dup_lsh(
     post = df.select(id_col, vec_col).mapInPandas(
         postings, schema="_id long, _table int, _bucket long"
     )
-    wb = W.partitionBy("_table", "_bucket")
-    post = (
-        post.withColumn("_n", F.count("*").over(wb))
-        .filter(F.col("_n") <= max_postings)
-        .drop("_n")
-    )
-    a, b = post.alias("a"), post.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._table") == F.col("b._table"))
-            & (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # capped_pair_rows (operators/dedup.py): one (table, bucket) shuffle
+    # carrying both the max_postings cap and the pair generation, and the
+    # Arrow matmul postings pass runs ONCE (the self-join form re-ran the
+    # whole Python stage per join side).
+    from boxoffice_spark.operators.dedup import capped_pair_rows
+
+    cand = capped_pair_rows(post, ["_table", "_bucket"], "_id", (), max_postings).dropDuplicates(
+        ["id_a", "id_b"]
     )
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     scored = (
@@ -279,6 +271,76 @@ def embedding_near_dup_lsh(
         .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
     )
     return scored.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k *cross-label* neighbors per query — contrastive-training
+    hard-negative mining (the highest-cosine corpus vectors that do NOT
+    share the query's label).
+
+    Not expressible as a post-filter on plain top-k: a query surrounded by
+    same-label neighbors can have its nearest cross-label vector far
+    outside any global top-N, so the label mask must be applied BEFORE the
+    per-query ranking. Same physical strategy as cosine_topk_arrow: the
+    (id, vector, label) query matrix is broadcast once, each scan batch
+    scores one BLAS matmul, masks same-label columns to -inf, and emits
+    only batch-local top-(k+1) candidates — shuffle bytes are
+    O(partitions x queries x k), never |corpus| x |queries|.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>"), F.col(label_col)
+    ).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qlab = np.array([r[2] for r in qrows], dtype=np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qlab))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qn, qlab_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labs = pdf[label_col].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qn.T  # (batch, n_queries)
+            sims = np.where(labs[:, None] == qlab_[None, :], -np.inf, sims)
+            kk = min(k + 1, sims.shape[0])  # +1 margin: one rounded tie at the cut
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            tsims = np.take_along_axis(sims, top, axis=0).T.ravel()
+            keep = np.isfinite(tsims)  # all-same-label batches emit -inf rows
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk)[keep],
+                    "negative_id": ids[top].T.ravel()[keep],
+                    "cos_sim": np.round(tsims[keep], round_to),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        batches, schema="query_id long, negative_id long, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "negative_id", "cos_sim", "rank")
+    )
 
 
 def ann_ivf_topk(

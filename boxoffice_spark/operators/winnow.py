@@ -154,33 +154,33 @@ def winnow_dup_pairs(
     pairs sharing a fingerprint are materialized, a fingerprint in more
     than ``max_postings`` docs is boilerplate and dropped, and
     ``|A ∪ B| = |A| + |B| - common`` closes the Jaccard without a second
-    pass. Deterministic given (k, w) — oracle-exact, unlike MinHash."""
-    fps = (
-        winnow_fingerprints(df, id_col, text_col, k, w)
-        .select(id_col, "fp")
-        .distinct()
+    pass. Deterministic given (k, w) — oracle-exact, unlike MinHash.
+
+    Physical layout: the per-doc DISTINCT fingerprint set and its size are
+    computed scan-side (array_distinct over the winnowed selections — no
+    distinct shuffle, no per-id window), so the whole pair generation is
+    the single capped (fp) shuffle of dedup.capped_pair_rows plus the pair
+    aggregate — and the expensive md5-gram fingerprint scan runs ONCE (the
+    previous self-join evaluated it per join side)."""
+    from boxoffice_spark.operators.dedup import capped_pair_rows, normalized_text
+
+    grams, mins, wins = _fingerprint_array(k, w)
+    post = (
+        spread(df)
+        .select(F.col(id_col), F.explode(F.array(normalized_text(text_col))).alias("_norm"))
+        .select(F.col(id_col), F.explode(F.array(F.expr(grams))).alias("_h"))
+        .select(F.col(id_col), "_h", F.explode(F.array(F.expr(mins))).alias("_mins"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array(F.expr(f"array_distinct(transform({wins}, s -> s.fp))"))).alias(
+                "_fps"
+            ),
+        )
+        .select(F.col(id_col), F.size("_fps").alias("_sz"), F.explode("_fps").alias("fp"))
     )
-    sized = fps.withColumn("_sz", F.count("*").over(W.partitionBy(id_col)))
-    capped = (
-        sized.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
-        .filter(F.col("_df") <= max_postings)
-        .drop("_df")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
+    pairs = capped_pair_rows(post, ["fp"], id_col, ("_sz",), max_postings)
     return (
-        a.join(
-            b,
-            [
-                F.col("a.fp") == F.col("b.fp"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sz").alias("_sza"),
-            F.col("b._sz").alias("_szb"),
-        )
+        pairs.groupBy("id_a", "id_b", "_sz_a", "_sz_b")
         .agg(F.count("*").cast("int").alias("n_shared"))
         .select(
             "id_a",
@@ -188,7 +188,7 @@ def winnow_dup_pairs(
             "n_shared",
             F.round(
                 F.col("n_shared").cast("double")
-                / (F.col("_sza") + F.col("_szb") - F.col("n_shared")),
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("n_shared")),
                 6,
             ).alias("jaccard"),
         )

@@ -206,6 +206,105 @@ def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v_knn_label_consistency",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS nlab, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, qlab, neighbor_id, nlab,
+               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, qlab AS label,
+           CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS INT) AS n_same,
+           round(avg(CASE WHEN nlab = qlab THEN 1.0 ELSE 0.0 END), 6) AS frac_same
+    FROM ranked WHERE rnk <= 10
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "quality", "knn"),
+)
+def v_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA audit: for a deterministic 10% probe sample, the
+    fraction of each probe's 10 exact nearest neighbors (cosine) sharing
+    its label — the standard mislabel / bad-embedding detector (a probe
+    whose neighborhood disagrees with its label is a candidate for
+    relabeling or dropping before contrastive training).
+
+    Physical shape: the probe matrix broadcasts (bounded sample), the
+    corpus streams through one BLAS matmul pass (cosine_topk_arrow), and
+    only probes x k candidate rows reach the label joins — the same
+    scan-bound layout at 100 TB with probes capped by the sample rate."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    nn = cosine_topk_arrow(emb, probes, k=10)
+    nlab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nlab"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label"))
+    same = F.when(F.col("_nlab") == F.col("label"), 1).otherwise(0)
+    return (
+        nn.join(nlab, "neighbor_id")
+        .join(qlab, "query_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(same).cast("int").alias("n_same"),
+            F.round(F.avg(same.cast("double")), 6).alias("frac_same"),
+        )
+    )
+
+
+@register(
+    "v_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    c AS (
+        SELECT vec_id AS negative_id, label AS nlab, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, negative_id,
+               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q JOIN c ON qlab <> nlab
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, negative_id
+        ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, negative_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """,
+    bench=True,
+    tags=("similarity", "mining"),
+)
+def v_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per probe, the top-3
+    highest-cosine corpus vectors with a DIFFERENT label
+    (operators/similarity.hard_negative_topk). Not a post-filter on plain
+    top-k — the label mask applies before ranking, inside the Arrow
+    matmul kernel, so the nearest cross-label vector is found even when
+    thousands of same-label neighbors outrank it."""
+    from boxoffice_spark.operators.similarity import hard_negative_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    return hard_negative_topk(emb, probes, k=3)
+
+
+@register(
     "v_semantic_keepers",
     oracle="""
     WITH RECURSIVE v AS (
