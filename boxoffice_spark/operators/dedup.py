@@ -316,7 +316,20 @@ def minhash_lsh_pairs(
     cand = capped_pair_rows(
         postings, ["_band", "_bucket"], id_col, (), max_postings
     ).dropDuplicates(["id_a", "id_b"])
-    shingled = spread(df).select(F.col(id_col), shingles.alias("_sh"))
+    # Rerank shingles are recomputed ONLY for candidate docs: the semi-join
+    # on raw (id, text) runs BEFORE the shingle projection, so the n-gram
+    # transform never touches the non-candidate corpus (LSH admits few
+    # candidates by design — this is the difference between re-shingling
+    # ~0.1% and 100% of a 100 TB corpus, twice).
+    cand_ids = cand.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    shingled = (
+        spread(df)
+        .select(F.col(id_col), F.col(text_col))
+        .join(cand_ids, id_col, "semi")
+        .select(F.col(id_col), shingles.alias("_sh"))
+    )
     sha = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
     shb = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))

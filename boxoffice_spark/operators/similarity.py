@@ -343,6 +343,142 @@ def hard_negative_topk(
     )
 
 
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    n_candidates: int = 150,
+    train_size: int = 512,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k neighbors via Product Quantization (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011) —
+    the memory-bound complement to IVF/LSH.
+
+    The vector is split into ``m`` subspaces; each subspace gets its own
+    ``ksub``-centroid codebook (seeded Lloyd's on a bounded driver-side
+    training sample); a corpus vector is stored as ``m`` one-byte codes —
+    32x compression for 64-dim float32, which is what lets a 100 TB
+    embedding corpus's index fit in cluster RAM. Queries score candidates
+    with ADC (asymmetric distance computation): per query one (m x ksub)
+    lookup table of partial squared distances, so scoring a vector is m
+    table lookups instead of a d-dim dot product. The top ``n_candidates``
+    per query by ADC score then pay the exact cosine rerank against the
+    original vectors, so precision at the head is exact and only recall is
+    approximate (the IVF/LSH contract).
+
+    Scale shape: codebooks + query LUTs broadcast (m*ksub*dsub doubles —
+    KBs); the encode and ADC scan are single Arrow passes over the corpus
+    with only batch-local top-candidates emitted; vectors are L2-normalized
+    before quantization so squared-L2 ADC ranking equals cosine ranking.
+    Rows-only: recall vs the exact operator asserted in tests.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    d_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d_probe % m != 0:
+        raise ValueError(f"dim {d_probe} not divisible by m={m}")
+    dsub = d_probe // m
+
+    def _unit_rows(rows, idx):
+        mat = np.stack([np.asarray(r[idx], dtype=np.float64) for r in rows])
+        return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    # --- train: seeded Lloyd's per subspace on a bounded, deterministic
+    # sample (orderBy(id).limit keeps the sample stable across retries; at
+    # corpus scale swap in the hash-sample operator — any bounded sample
+    # trains equally well, PQ codebooks need coverage, not completeness).
+    train_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_size).collect()
+    tmat = _unit_rows(train_rows, 1)
+    rng = np.random.default_rng(seed)
+    codebooks = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = tmat[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=ksub, replace=False)]
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        codebooks[j] = cents
+
+    # --- query LUTs: partial squared L2 from each query subvector to every
+    # centroid of that subspace. ADC score = sum_j LUT[q, j, code_j].
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = _unit_rows(qrows, 1)
+    luts = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+    bc = corpus.sparkSession.sparkContext.broadcast((codebooks, qids, luts))
+
+    def adc_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb, qids_, luts_ = bc.value
+        nq = len(qids_)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            # encode: nearest centroid per subspace -> (batch, m) codes.
+            # (Materialized inline here; a persisted index would write
+            # `codes` out once and ADC-scan it per query batch.)
+            scores = np.zeros((len(ids), nq))
+            for j in range(m):
+                sub = cmat[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes_j = d2.argmin(axis=1)
+                scores += luts_[:, j, codes_j].T  # (batch, nq)
+            kk = min(n_candidates, len(ids))
+            top = np.argpartition(scores, kk - 1, axis=0)[:kk]  # ascending dist
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "neighbor_id": ids[top].T.ravel(),
+                    "adc_d2": np.take_along_axis(scores, top, axis=0).T.ravel(),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        adc_batches, schema="query_id long, neighbor_id long, adc_d2 double"
+    )
+    w_cand = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_cr", F.row_number().over(w_cand))
+        .filter(F.col("_cr") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: true cosine on the shortlist only
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    cv = vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

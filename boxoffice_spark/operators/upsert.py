@@ -88,6 +88,57 @@ def merge_upsert(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC changeset between two keyed snapshots: one row per key that
+    changed, tagged ``insert`` (key only in ``new``), ``delete`` (key only
+    in ``old``) or ``update`` (key in both, any ``compare_cols`` value
+    differs — null-safe, so NULL -> value and value -> NULL both count as
+    changes). Unchanged keys are dropped.
+
+    The read-side complement of merge_upsert: diff(old, merge(old, batch))
+    is the batch's effective change log, and feeding the result into SCD2
+    (queries/etl.e_scd2_history) or an incremental downstream reload is the
+    standard snapshot-based CDC pipeline when the source emits full dumps,
+    not change events.
+
+    Scale shape: ONE full-outer shuffle join on the key (both sides
+    hash-partitioned once); with both snapshots bucketed by the key
+    (io.write_bucketed) the exchange disappears entirely. The change
+    predicate is evaluated in the join's projection — no second pass, no
+    row comparison UDF.
+    """
+    # presence markers rather than compare-col null checks: a row whose
+    # compare values are ALL NULL is still present on that side
+    o = old.select(*keys, F.lit(1).alias("_in_old"), *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(*keys, F.lit(1).alias("_in_new"), *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    joined = o.join(n, keys, "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_vals = [
+        F.when(F.col("_in_new").isNotNull(), F.col(f"_n_{c}"))
+        .otherwise(F.col(f"_o_{c}"))
+        .alias(c)
+        for c in compare_cols
+    ]
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", *out_vals)
+    )
+
+
 def idempotent_backfill(
     current: DataFrame, replacement: DataFrame, predicate: Column
 ) -> DataFrame:

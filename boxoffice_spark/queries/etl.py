@@ -286,6 +286,61 @@ def e_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    diffed AS (
+        SELECT
+            coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+            CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                 WHEN n.o_orderkey IS NULL THEN 'delete'
+                 WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'update'
+            END AS change_type,
+            CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                 ELSE o.o_totalprice END AS o_totalprice,
+            CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                 ELSE o.o_orderstatus END AS o_orderstatus
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM diffed WHERE change_type IS NOT NULL
+    """,
+    tags=("etl", "cdc"),
+)
+def e_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC (operators/upsert.snapshot_diff): diff two keyed
+    full dumps of orders into an insert/update/delete changeset — the
+    change log a source that only emits full snapshots never gives you.
+    Old snapshot drops every 5th key (-> inserts), the new snapshot drops
+    every 7th (-> deletes) and bumps prices on every 3rd (-> updates,
+    null-safe value compare). One full-outer shuffle join on the key;
+    bucketed snapshots make it exchange-free."""
+    from boxoffice_spark.operators.upsert import snapshot_diff
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old_snap = o.filter(F.col("o_orderkey") % 5 != 0)
+    new_snap = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(
+        old_snap, new_snap, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@register(
     "e_schema_introspection",
     # DuckDB names types differently (BIGINT vs bigint, VARCHAR vs string);
     # the oracle maps its information_schema type names onto Spark's

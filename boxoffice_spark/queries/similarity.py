@@ -205,6 +205,21 @@ def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries, k=10, n_probe=8)
 
 
+@register("v_ann_pq_topk", oracle=None, bench=True, tags=("similarity", "ann", "pq"))
+def v_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.ann_pq_topk): per-
+    subspace codebooks -> 1-byte codes (32x index compression) -> ADC
+    lookup-table scan -> exact cosine rerank of the shortlist. The
+    memory-bound third leg of the ANN triad (LSH: no training; IVF:
+    scan-bound; PQ: RAM-bound index). Rows-only: approximate by
+    construction; recall vs v_cosine_topk asserted in tests/test_llm_ops."""
+    from boxoffice_spark.operators.similarity import ann_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_pq_topk(emb, queries, k=10)
+
+
 @register(
     "v_knn_label_consistency",
     oracle="""

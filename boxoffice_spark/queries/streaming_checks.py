@@ -61,3 +61,15 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+@register("s_stream_corpus_gate", oracle=None, tags=("streaming", "dedup"))
+def s_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate: admit a document only if its fingerprint is
+    unseen in the static corpus (stream-static LEFT ANTI) and unseen
+    earlier in the stream (stateful dropDuplicates). Incremental twin of
+    t_incremental_dedup; fingerprint-set equality asserted in
+    tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_corpus_gate
+
+    return stream_corpus_gate(spark, sf_dir)

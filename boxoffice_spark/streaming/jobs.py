@@ -229,3 +229,43 @@ def stream_static_enrich(
         "event_id", "user_id", "ts", "value", "segment", "nation_key"
     )
     return _run_to_completion(enriched, "append")
+
+
+def stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate: the incoming document stream is admitted only
+    when its content fingerprint is unseen — neither in the STATIC standing
+    corpus (stream-static LEFT ANTI per micro-batch; the corpus is never
+    broadcast, Spark hash-joins each batch against it) nor earlier in the
+    stream itself (stateful dropDuplicates on the 16-byte fingerprint —
+    state is O(admitted fingerprints), the only state a dedup gate can't
+    avoid; at cluster scale bound it with
+    ``dropDuplicatesWithinWatermark`` over an ingest-time column).
+
+    This is the incremental execution of t_incremental_dedup
+    (queries/text_pipeline.py): same fingerprint rule, same corpus/batch
+    split (doc_id % 10), and the admitted fingerprint SET is equal —
+    asserted in tests/test_streaming.py. (The batch twin's keeper_id =
+    min(doc_id) is a deterministic convention; a stream admits the FIRST
+    arrival instead, so the test compares fingerprint sets, not keepers.)
+    """
+    from boxoffice_spark.operators.dedup import normalized_text
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    incoming = raw.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5(normalized_text("text")).alias("fingerprint")
+    )
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5(normalized_text("text")).alias("fingerprint"))
+        .distinct()
+    )
+    admitted = incoming.join(corpus, "fingerprint", "left_anti").dropDuplicates(
+        ["fingerprint"]
+    )
+    return _run_to_completion(admitted.select("doc_id", "fingerprint"), "append")

@@ -102,6 +102,30 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.6, f"mean IVF recall too low: {recalls}"
 
 
+def test_pq_recall_vs_exact_and_determinism(spark, sf_dir):
+    """PQ ANN top-10 must recover most of the exact cosine top-10 (the
+    shortlist rerank is exact, so every recovered neighbor also carries
+    the exact cos_sim), and the seeded codebook training must make the
+    whole operator run-to-run deterministic."""
+    from boxoffice_spark.operators.similarity import ann_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cos_sim for r in ann_pq_topk(emb, queries, k=10).collect()}
+    qids = {q for q, _ in exact}
+    recalls = []
+    for q in qids:
+        e = {n for qq, n in exact if qq == q}
+        a = {n for qq, n in approx if qq == q}
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean PQ recall too low: {recalls}"
+    for key in exact.keys() & approx.keys():
+        assert exact[key] == approx[key], f"rerank not exact at {key}"
+    again = {(r.query_id, r.neighbor_id): r.cos_sim for r in ann_pq_topk(emb, queries, k=10).collect()}
+    assert approx == again, "PQ run not deterministic"
+
+
 def test_content_chunks_cover_and_share(spark, sf_dir):
     """CDC chunks must tile each document exactly (contiguous, full
     coverage), be deterministic, and near-duplicate documents must share

@@ -144,3 +144,16 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_corpus_gate_equals_batch_fingerprints(spark, sf_dir):
+    """The streaming ingest gate must admit exactly the fingerprint set
+    the batch incremental-dedup query admits (keepers may differ: batch
+    keeps min doc_id, the stream keeps first arrival)."""
+    from boxoffice_spark.queries.text_pipeline import t_incremental_dedup
+    from boxoffice_spark.streaming.jobs import stream_corpus_gate
+
+    got = stream_corpus_gate(spark, sf_dir)
+    got_fps = {r.fingerprint for r in got.collect()}
+    want_fps = {r.fingerprint for r in t_incremental_dedup(spark, sf_dir).collect()}
+    assert got_fps == want_fps and len(got_fps) > 0
