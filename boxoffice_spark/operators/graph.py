@@ -182,3 +182,65 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iters} iterations"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — importance
+    weighting for curation (rank sources/domains by co-occurrence
+    authority; the harmonic-centrality idea behind Common Crawl's domain
+    ranking, as a Spark loop).
+
+    Same driver-loop-of-DataFrames structure as connected_components: per
+    round, contributions rank/out_degree flow along edges and re-aggregate
+    per destination — one join + one shuffle per iteration, partial-agg
+    friendly, lineage truncated per round. FIXED iterations (not
+    convergence-tested) so the result is a deterministic function of the
+    graph: contribution sums go through decimal (functions/numeric.dsum)
+    making every rank bit-reproducible across partitionings — the same
+    rule that lets an unrolled chained-CTE DuckDB oracle match
+    cell-for-cell. Nodes without in-edges hold the teleport floor
+    (1-d)/N; dangling nodes (no out-edges) leak mass — acceptable for
+    ranking use; add a dangling-redistribution term if mass conservation
+    matters.
+    """
+    from boxoffice_spark.functions.numeric import dsum
+
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select("_dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("_src").agg(F.count("*").alias("_deg")).localCheckpoint()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(out_deg, "_src")
+            .join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * dsum("_c", 18)).alias("rank")
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select("node", F.coalesce("rank", F.lit(base)).alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks

@@ -186,6 +186,39 @@ def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+               AS grouping_id,
+           {dsum_sql('o_totalprice')} AS revenue, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with a grouping_id disambiguator (a NULL
+    group value vs a rolled-up level are different things): detail,
+    per-status, and grand-total grains in ONE scan + one shuffle —
+    the general form of a_rollup for non-hierarchical grain lists."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("grouping_id"),
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grouping_id", "revenue", "n")
+    )
+
+
+@register(
     "a_pivot_conditional",
     oracle=f"""
     SELECT

@@ -1,0 +1,88 @@
+"""Graph-analytics queries (operators/graph.py): importance ranking over
+fixture-derived graphs. Connected-components queries (t_dedup_clusters*)
+live with the dedup pipeline in queries/text_pipeline.py; this module holds
+the ranking side."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from boxoffice_spark.functions.numeric import dsum_sql
+from boxoffice_spark.registry import register
+from boxoffice_spark.tables import table
+
+# Unrolled 3-iteration PageRank as chained CTEs — the exact arithmetic of
+# operators/graph.pagerank (decimal contribution sums, double teleport
+# terms with explicit DOUBLE casts so DuckDB's decimal literals don't
+# diverge from IEEE semantics).
+_D = "CAST(0.85 AS DOUBLE)"
+_BASE = f"(CAST(1.0 AS DOUBLE) - {_D}) / (SELECT n FROM nn)"
+
+
+def _iter_cte(prev: str, cur: str) -> str:
+    return f"""
+    i{cur} AS (
+        SELECT e.dst AS node,
+               {_BASE} + {_D} * {dsum_sql('r.rank / deg.deg', 18)} AS rank
+        FROM e
+        JOIN deg ON deg.src = e.src
+        JOIN r{prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    r{cur} AS (
+        SELECT nodes.node, coalesce(i{cur}.rank, {_BASE}) AS rank
+        FROM nodes LEFT JOIN i{cur} ON i{cur}.node = nodes.node
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 1000000 + l_partkey AS src, l_suppkey AS dst FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+    {_iter_cte('0', '1')},
+    {_iter_cte('1', '2')},
+    {_iter_cte('2', '3')}
+    SELECT node, round(rank, 12) AS rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY round(rank, 12) DESC, node) AS INT) AS rnk
+    FROM r3
+    ORDER BY rnk
+    LIMIT 20
+"""
+
+
+@register(
+    "g_pagerank_authority",
+    oracle=_PAGERANK_ORACLE,
+    bench=True,
+    tags=("graph", "pagerank", "iterative"),
+)
+def g_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase authority: PageRank over the supplier<->part bipartite
+    graph from lineitem (both directions, so mass circulates), top-20
+    nodes — the domain/source importance-weighting shape used to
+    prioritize crawl sources. Iterative driver loop (operators/graph.
+    pagerank): one edge join + one decimal-summed aggregate per round,
+    lineage truncated per round; the unrolled chained-CTE oracle checks
+    every rank cell-for-cell, which only works because contribution sums
+    are order-independent (decimal) on both engines."""
+    from boxoffice_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"), (F.lit(1000000) + F.col("l_partkey")).alias("dst")
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ranks = pagerank(fwd.unionByName(rev), n_iters=3)
+    w = W.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("rank", F.round("rank", 12))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

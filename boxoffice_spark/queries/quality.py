@@ -114,6 +114,39 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source,
+               CAST(floor(n_chars / 500) AS BIGINT) AS size_bucket,
+               count(*) AS group_size
+        FROM documents
+        GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, size_bucket, group_size
+    FROM cells WHERE group_size < 5
+    """,
+    tags=("quality", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier cell (lang, source,
+    length bucket): every cell smaller than k=5 is a re-identification
+    risk — release pipelines must generalize (coarser buckets), suppress,
+    or drop those rows before the corpus ships. One scan + one shuffle on
+    the quasi-id; the violating-cell list is tiny by construction (it's
+    the tail of the group-size distribution). floor() on both sides:
+    DuckDB's / is float division and its double->int CAST rounds, while
+    Spark's cast truncates — floor is the portable bucket rule."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(500)).alias("size_bucket"),
+    ).agg(F.count("*").alias("group_size"))
+    return cells.filter(F.col("group_size") < 5)
+
+
+@register(
     "dq_fk_orphans",
     oracle="""
     SELECT 'orders.custkey->customer' AS fk, count(*) AS n_orphans

@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.sql_surface",
     "boxoffice_spark.queries.sources",
     "boxoffice_spark.queries.skew",
+    "boxoffice_spark.queries.graph",
     "boxoffice_spark.queries.quality",
     "boxoffice_spark.queries.temporal",
     "boxoffice_spark.queries.aggregates",

@@ -87,3 +87,27 @@ def test_star_deep_chain_logarithmic_rounds(spark):
     edges = [(i, i + 1) for i in range(199)]
     got = _ccs(spark, edges)  # default max_iters=30 << diameter
     assert got == {i: 0 for i in range(200)}
+
+
+def test_pagerank_invariants_and_determinism(spark):
+    """On a graph with no dangling nodes, rank mass is conserved
+    (sum == 1 up to float noise), a symmetric cycle ranks uniformly, a
+    hub out-ranks leaves, and the result is partitioning-independent."""
+    from boxoffice_spark.operators.graph import pagerank
+
+    # directed 4-cycle: perfectly symmetric -> uniform ranks, sum 1
+    cyc = spark.createDataFrame([(i, (i + 1) % 4) for i in range(4)], "src long, dst long")
+    r = {row.node: row.rank for row in pagerank(cyc, n_iters=5).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert max(r.values()) - min(r.values()) < 1e-12
+
+    # star with backlinks: hub 0 <-> leaves 1..5; hub collects 5 inflows
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    star = spark.createDataFrame(edges, "src long, dst long")
+    s = {row.node: row.rank for row in pagerank(star, n_iters=5).collect()}
+    assert s[0] > max(v for k, v in s.items() if k != 0)
+    assert abs(sum(s.values()) - 1.0) < 1e-9
+
+    a = sorted(map(tuple, pagerank(star.repartition(1), n_iters=3).collect()))
+    b = sorted(map(tuple, pagerank(star.repartition(7), n_iters=3).collect()))
+    assert a == b, "pagerank not partitioning-independent"
