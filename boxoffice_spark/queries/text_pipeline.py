@@ -793,6 +793,129 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_PAIRS = (
+    "CASE WHEN len(ws) >= 2 THEN "
+    "list_transform(generate_series(2, len(ws)), i -> {{'w1': ws[i-1], 'w2': ws[i]}}) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "t_bigram_backoff_logprob",
+    oracle=f"""
+    WITH train_toks AS (
+        SELECT term FROM (
+            SELECT unnest(string_split({_NORM}, ' ')) AS term
+            FROM documents WHERE doc_id % 10 <> 0
+        ) WHERE term <> ''
+    ), uni AS (
+        SELECT term, count(*) AS c1 FROM train_toks GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM train_toks
+    ), train_bi AS (
+        SELECT p.w1, p.w2, count(*) AS c12 FROM (
+            SELECT unnest({_BIGRAM_PAIRS.replace('{{', '{').replace('}}', '}')}) AS p
+            FROM (SELECT string_split({_NORM}, ' ') AS ws
+                  FROM documents WHERE doc_id % 10 <> 0)
+        ) WHERE p.w1 <> '' AND p.w2 <> '' GROUP BY 1, 2
+    ), batch_pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id, unnest({_BIGRAM_PAIRS.replace('{{', '{').replace('}}', '}')}) AS p
+            FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+                  FROM documents WHERE doc_id % 10 = 0)
+        ) WHERE p.w1 <> '' AND p.w2 <> ''
+    ), scored AS (
+        SELECT b.doc_id,
+               bi.c12 IS NULL AS backed_off,
+               round(CASE WHEN bi.c12 IS NOT NULL THEN
+                         log10(CAST(bi.c12 AS DOUBLE) / u1.c1)
+                     ELSE
+                         log10(CAST(0.4 AS DOUBLE)
+                               * (CAST(coalesce(u2.c1, 1) AS DOUBLE)
+                                  / (SELECT n FROM tot)))
+                     END, 6) AS lp
+        FROM batch_pairs b
+        LEFT JOIN train_bi bi ON bi.w1 = b.w1 AND bi.w2 = b.w2
+        LEFT JOIN uni u1 ON u1.term = b.w1
+        LEFT JOIN uni u2 ON u2.term = b.w2
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN backed_off THEN 1 ELSE 0 END) AS INT) AS n_backoff,
+           {davg_sql('lp', 6)} AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    tags=("text", "quality", "lm"),
+)
+def t_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff (Brants et al. 2007: score 0.4 x
+    unigram P when the bigram is unseen), trained on the standing corpus
+    (doc_id % 10 != 0) and scoring the incoming batch — one rung up from
+    t_unigram_logprob toward KenLM-perplexity ingestion filtering, and
+    unlike the unigram form the backoff path actually executes (a batch
+    doc's bigrams are not guaranteed seen in training). Emits the backoff
+    count per doc too: a high n_backoff with normal avg_logprob flags
+    novel-domain text rather than junk.
+
+    Scale shape: adjacent-pair formation is scan-local (an array
+    transform, no shuffle, no self-join on token position); bigram/unigram
+    count tables shuffle once each on their key; scoring is LEFT JOINs on
+    those keys (Zipf-headed — broadcast the head or salt at cluster
+    scale); per-doc mean is one narrow shuffle. 6dp-rounded log-probs +
+    decimal sums keep the means bit-deterministic cross-engine."""
+    from boxoffice_spark.functions.numeric import davg
+
+    d = table(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("_incoming"),
+        F.explode(F.array(F.split(D.normalized_text("text"), " "))).alias("_ws"),
+    )
+    pairs_expr = (
+        "CASE WHEN size(_ws) >= 2 THEN "
+        "transform(sequence(2, size(_ws)), "
+        "i -> struct(element_at(_ws, i - 1) AS w1, element_at(_ws, i) AS w2)) "
+        "ELSE cast(array() AS array<struct<w1:string,w2:string>>) END"
+    )
+    pairs = (
+        ws.select("doc_id", "_incoming", F.explode(F.expr(pairs_expr)).alias("_p"))
+        .select("doc_id", "_incoming", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    toks = ws.select("_incoming", F.explode("_ws").alias("term")).filter(F.col("term") != "")
+    train_toks = toks.filter(~F.col("_incoming"))
+    uni = train_toks.groupBy("term").agg(F.count("*").alias("c1"))
+    total = train_toks.agg(F.count("*").cast("double").alias("n"))
+    train_bi = (
+        pairs.filter(~F.col("_incoming")).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    batch = pairs.filter(F.col("_incoming")).select("doc_id", "w1", "w2")
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c1").alias("_c1w1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c1").alias("_c1w2"))
+    lp = F.round(
+        F.when(
+            F.col("c12").isNotNull(),
+            F.log10(F.col("c12").cast("double") / F.col("_c1w1")),
+        ).otherwise(
+            F.log10(
+                F.lit(0.4) * (F.coalesce(F.col("_c1w2"), F.lit(1)).cast("double") / F.col("n"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        batch.join(train_bi, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.col("c12").isNull().alias("backed_off"), lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("backed_off"), 1).otherwise(0)).cast("int").alias("n_backoff"),
+        davg("lp", 6).alias("avg_logprob"),
+    )
+
+
 @register(
     "t_fixed_size_sample",
     oracle=(

@@ -69,6 +69,9 @@ _PINNED = [
     "flagship_daily_topk_delta",
     "a_approx_stats",  # oracle added round 3 (sketch error-contract booleans)
     "a_hll_sketch_rollup",  # new round 3; registers in the late aggregates module
+    "a_grouping_sets",  # new round 3; late aggregates module
+    "e_snapshot_diff",  # new round 3; late etl module
+    "dq_k_anonymity",  # new round 3; sits just past the window unpinned
 ]
 
 

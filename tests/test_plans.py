@@ -184,3 +184,19 @@ def test_decontamination_bloom_probe_broadcasts(spark, sf_dir):
     join (the whole point: no train-side shuffle before thinning)."""
     plan = physical(SPECS["t_decontamination_bloom"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 5, plan  # n_hashes probes
+
+
+def test_pair_generation_single_scan(spark, sf_dir):
+    """capped_pair_rows must evaluate the postings subtree ONCE: the
+    self-join formulation planned two full scans of documents (exchange
+    reuse breaks under AQE broadcast conversion) — exactly one parquet
+    scan may appear in these pair plans."""
+    for name in [
+        "t_winnow_dup_pairs",
+        "t_ngram_jaccard_pairs",
+        "t_simhash_hamming_pairs",
+        "t_chunk_dup_pairs",
+    ]:
+        plan = physical(SPECS[name].fn(spark, sf_dir))
+        n_scans = plan.count("Scan parquet")
+        assert n_scans == 1, f"{name}: {n_scans} scans\n{plan}"
