@@ -181,3 +181,55 @@ def interval_join(
         ),
     )
     return p.join(i, "__bin", "inner").filter(containment).drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: list[str] | None = None,
+    bin_secs: int | None = None,
+) -> DataFrame:
+    """Inner-join interval rows whose half-open windows overlap:
+    ``[l_start, l_end) ∩ [r_start, r_end) != ∅`` (i.e. l_start < r_end AND
+    r_start < l_end) — the interval x interval complement of
+    :func:`interval_join`'s point-in-interval.
+
+    With equi keys the range test is a residual on a single sort-merge
+    shuffle. Keyless, both sides replicate into ``bin_secs`` time bins
+    covering their span and equi-join on the bin; a pair can now meet in
+    SEVERAL shared bins, so instead of a dedup shuffle each pair is kept
+    only in its canonical FIRST overlapping bin — the bin of
+    max(l_start, r_start), which both sides' ranges provably cover for
+    any truly overlapping pair. Replication factor is span/bin_secs per
+    row: pick bins near the typical interval length.
+    """
+    overlap = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    if on:
+        return left.join(right, list(on), "inner").filter(overlap)
+    if bin_secs is None:
+        raise ValueError("keyless interval_overlap_join requires bin_secs")
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s).cast("long") / bin_secs),
+                    F.floor(F.col(e).cast("long") / bin_secs),
+                )
+            ),
+        )
+    first_bin = F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)).cast("long") / bin_secs
+    )
+    return (
+        binned(left, l_start, l_end)
+        .join(binned(right, r_start, r_end), "__bin", "inner")
+        .filter(overlap)
+        .filter(F.col("__bin") == first_bin)
+        .drop("__bin")
+    )

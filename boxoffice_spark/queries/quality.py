@@ -147,6 +147,120 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    """,
+    tags=("quality", "profile"),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (the first query anyone runs on an
+    unfamiliar table): per column, row/non-null/EXACT-distinct counts and
+    min/max — numeric and string extrema in typed columns. All columns
+    profile in ONE scan + one aggregation: Spark plans the multiple
+    count(DISTINCT) via Expand (row replication per distinct-column), so
+    the scan is not repeated per column — the oracle's UNION-ALL-per-
+    column form is the semantic spec, not the physical plan. At 100 TB
+    swap exact distinct for approx_count_distinct per column (same single
+    Expand pass, sketch-sized state)."""
+    o = table(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    wide = o.agg(*aggs)
+    cells = []
+    for c in num_cols:
+        cells.append(
+            f"'{c}', _n, _nn_{c}, _nd_{c}, _min_{c}, _max_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        cells.append(
+            f"'{c}', _n, _nn_{c}, _nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), _min_{c}, _max_{c}"
+        )
+    n = len(num_cols) + len(str_cols)
+    return wide.selectExpr(
+        f"stack({n}, {', '.join(cells)}) AS "
+        "(column_name, n_rows, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+
+
+@register(
+    "dq_price_outliers",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderstatus, b.q1, b.q3,
+           CAST(sum(CASE WHEN o.o_totalprice < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR o.o_totalprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+    GROUP BY 1, 2, 3
+    """,
+    tags=("quality", "outliers"),
+)
+def dq_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per status: exact interpolated quartiles
+    -> 1.5 x IQR bounds -> out-of-fence counts. Two passes by necessity
+    (bounds, then membership) but the bounds table is O(groups) and
+    broadcasts, so the second pass is scan + conditional count — no
+    second shuffle of the fact table. Quartiles rounded to 4dp before the
+    fence arithmetic so the boundary comparisons are identical across
+    engines."""
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        o.join(F.broadcast(b), "o_orderstatus")
+        .groupBy("o_orderstatus", "q1", "q3")
+        .agg(
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "dq_fk_orphans",
     oracle="""
     SELECT 'orders.custkey->customer' AS fk, count(*) AS n_orphans

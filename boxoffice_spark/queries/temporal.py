@@ -156,3 +156,61 @@ def j_sliding_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum(F.col("value"), scale=4).alias("total_value"),
     )
+
+
+@register(
+    "j_interval_overlap_promo",
+    oracle=f"""
+    WITH promo AS (
+        SELECT ts AS promo_start, ts + INTERVAL 7 DAY AS promo_end
+        FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-02',
+                                            TIMESTAMP '1998-08-01',
+                                            INTERVAL 28 DAY)) AS ts)
+    ), fulfil AS (
+        SELECT o_orderkey, o_totalprice,
+               o_orderdate AS f_start, o_orderdate + INTERVAL 14 DAY AS f_end
+        FROM orders
+    )
+    SELECT p.promo_start, count(*) AS n_orders,
+           {dsum_sql('f.o_totalprice', 4)} AS revenue
+    FROM promo p JOIN fulfil f
+      ON f.f_start < p.promo_end AND p.promo_start < f.f_end
+    GROUP BY 1
+    """,
+    tags=("join", "range", "temporal", "interval-overlap"),
+)
+def j_interval_overlap_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval x interval OVERLAP join
+    (operators/temporal.interval_overlap_join): 14-day order-fulfillment
+    windows against a 7-day-every-4-weeks promo calendar — 'which orders
+    were in flight during each promo'. A naive plan is a cross join with
+    a range residual (BroadcastNestedLoop at scale); the operator
+    discretizes both interval sets into week bins, equi-joins on the bin,
+    and keeps each pair only in its canonical first overlapping bin — so
+    there is no pair-dedup shuffle and no nested-loop anywhere."""
+    from boxoffice_spark.operators.temporal import interval_overlap_join
+
+    promo = spark.sql(
+        """
+        SELECT promo_start, promo_start + INTERVAL 7 DAY AS promo_end
+        FROM (SELECT explode(sequence(to_timestamp('1995-01-02'),
+                                      to_timestamp('1998-08-01'),
+                                      INTERVAL 28 DAY)) AS promo_start)
+        """
+    )
+    fulfil = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        # o_orderdate reads as timestamp_ntz; bin arithmetic needs an epoch,
+        # so pin it to the session-UTC timeline first (same instant either way)
+        F.col("o_orderdate").cast("timestamp").alias("f_start"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 14 DAY")).alias("f_end"),
+    )
+    hits = interval_overlap_join(
+        fulfil, promo, "f_start", "f_end", "promo_start", "promo_end",
+        bin_secs=7 * 86400,
+    )
+    return hits.groupBy("promo_start").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), scale=4).alias("revenue"),
+    )

@@ -160,3 +160,41 @@ def test_interval_plans_never_cartesian(spark, sf_dir):
         plan = SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} planned a cartesian product:\n{plan}"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a nested loop:\n{plan}"
+
+
+def test_interval_overlap_join_matches_naive_and_emits_once(spark):
+    """The binned overlap join must equal the naive cross-join + overlap
+    predicate exactly — including boundary semantics (half-open: touching
+    intervals do NOT overlap) — and emit each overlapping pair exactly
+    once even when the pair shares many bins."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.temporal import interval_overlap_join
+
+    def ts(h):
+        return f"2024-01-0{1 + h // 24}T{h % 24:02d}:00:00"
+
+    left = spark.createDataFrame(
+        [(i, ts(s), ts(e)) for i, (s, e) in enumerate([(0, 5), (3, 30), (10, 11), (20, 21)])],
+        "lid long, ls string, le string",
+    ).select("lid", F.col("ls").cast("timestamp").alias("ls"), F.col("le").cast("timestamp").alias("le"))
+    right = spark.createDataFrame(
+        [(i, ts(s), ts(e)) for i, (s, e) in enumerate([(4, 12), (11, 20), (5, 6), (21, 40)])],
+        "rid long, rs string, re string",
+    ).select("rid", F.col("rs").cast("timestamp").alias("rs"), F.col("re").cast("timestamp").alias("re"))
+
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_secs=3600
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    )
+    assert got == naive and len(got) == len(set(got)), (got, naive)
+    # half-open boundary: [10,11) vs [11,20) touch but must not match
+    assert (2, 1) not in got
