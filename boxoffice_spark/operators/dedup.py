@@ -313,9 +313,16 @@ def minhash_lsh_pairs(
     # exploding. capped_pair_rows applies the cap on the one (band, bucket)
     # shuffle and evaluates the signature aggregate ONCE (the self-join
     # form ran the whole shingle+minhash pipeline per side).
-    cand = capped_pair_rows(
-        postings, ["_band", "_bucket"], id_col, (), max_postings
-    ).dropDuplicates(["id_a", "id_b"])
+    # cand feeds THREE consumers (the candidate-id broadcast for each
+    # rerank side's semi-join, and the final pair join) and each would
+    # re-evaluate the full signature pipeline — cache it so the minhash
+    # aggregate runs once. Lazy persist, not eager checkpoint: the work
+    # stays inside the query's own execution, it's just not repeated.
+    cand = (
+        capped_pair_rows(postings, ["_band", "_bucket"], id_col, (), max_postings)
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
     # Rerank shingles are recomputed ONLY for candidate docs: the semi-join
     # on raw (id, text) runs BEFORE the shingle projection, so the n-gram
     # transform never touches the non-candidate corpus (LSH admits few
@@ -639,9 +646,14 @@ def contamination_report(
     if bloom_bits is not None:
         from boxoffice_spark.operators.bloom import bloom_build, bloom_keep_maybe
 
+        # The word table feeds one broadcast join PER hash function, and
+        # each broadcast exchange would otherwise re-evaluate the whole
+        # eval-side scan (measured: 5 of the 8 parquet scans in the plan).
+        # Materialize the filter once — it IS the "build the filter" step,
+        # O(bloom_bits/64) rows from the small eval side.
         words = bloom_build(
             evh.select("h").distinct(), "h", bloom_bits, bloom_hashes
-        )
+        ).localCheckpoint()
         # map-side thinning of the big side before its distinct shuffle
         train_raw = bloom_keep_maybe(train_raw, "h", words, bloom_bits, bloom_hashes)
     train = train_raw.distinct()

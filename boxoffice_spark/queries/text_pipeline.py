@@ -774,11 +774,12 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term") != "")
     )
-    vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    # total tokens == row count of toks: a plain count aggregate, NOT
-    # sum(tf) over vocab — the latter duplicates the whole tokenize +
-    # term-shuffle subtree in the plan (ReuseExchange does not collapse it)
-    total = toks.agg(F.count("*").cast("double").alias("n"))
+    # vocab is persisted because it feeds BOTH the total (sum of tf — equal
+    # to the token row count since empty terms are pre-filtered) and the
+    # probability join; without the cache each reference re-evaluates the
+    # tokenize + term-shuffle subtree (ReuseExchange does not collapse it).
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tf")).persist()
+    total = vocab.agg(F.sum("tf").cast("double").alias("n"))
     scored = (
         toks.join(vocab, "term")
         .crossJoin(F.broadcast(total))
