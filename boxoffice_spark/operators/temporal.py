@@ -233,3 +233,46 @@ def interval_overlap_join(
         .filter(F.col("__bin") == first_bin)
         .drop("__bin")
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average in event order —
+    the smoothing step behind anomaly baselines and trend charts.
+
+    EWMA is a true recursion (y_t = a*x_t + (1-a)*y_{t-1}) that SQL
+    window frames cannot express (the power-weight identity overflows
+    numerically for long series), so this is the canonical
+    ``groupBy().applyInPandas`` shape: each key's rows arrive as ONE
+    pandas DataFrame, sorted locally inside the worker (Spark guarantees
+    group colocation, not order), recursed vectorized, and returned with
+    the same cardinality. State is one group in memory at a time — fine
+    whenever a single key's history fits an executor (the same contract
+    as any per-key pandas op); for million-row keys, chunk by time range
+    first. Rounded to 6dp so the result is comparable across runs and
+    engines.
+    """
+    import pandas as pd
+
+    out_fields = df.select(*key_cols, order_col, value_col).schema.fieldNames()
+    schema_src = df.select(*key_cols, order_col, value_col).schema
+    out_schema = schema_src.add(out_col, "double")
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf
+
+    return (
+        df.select(*out_fields)
+        .groupBy(*key_cols)
+        .applyInPandas(one_group, schema=out_schema)
+    )

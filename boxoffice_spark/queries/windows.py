@@ -252,3 +252,97 @@ def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("price_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
     )
+
+
+@register(
+    "w_gap_fill_locf",
+    oracle="""
+    WITH sparse AS (
+        SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+               cast(sum(cast(o_totalprice as decimal(27,2))) as double) AS revenue
+        FROM orders
+        WHERE o_orderkey % 97 = 0
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
+        GROUP BY 1, 2
+    ), days AS (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-06-30',
+                                      INTERVAL 1 DAY))::DATE AS day
+    ), scaffold AS (
+        SELECT s.status, d.day
+        FROM (SELECT DISTINCT status FROM sparse) s CROSS JOIN days d
+    )
+    SELECT sc.status, sc.day,
+           sp.revenue AS revenue_raw,
+           last_value(sp.revenue IGNORE NULLS) OVER (
+               PARTITION BY sc.status ORDER BY sc.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_filled,
+           sp.revenue IS NULL AS is_gap
+    FROM scaffold sc LEFT JOIN sparse sp
+      ON sp.status = sc.status AND sp.day = sc.day
+    """,
+    tags=("window", "timeseries", "gap-fill"),
+)
+def w_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a complete (status x day) scaffold over
+    a sparse daily-revenue series, filled by last-observation-carried-
+    forward — the resample/ffill step every downstream chart or model
+    expects, as a window over the scaffolded left join (ignoreNulls last()
+    over an unbounded-preceding frame). The scaffold is generated
+    in-plan (sequence + explode x the distinct group dim) so no calendar
+    table needs to exist; at scale the scaffold is |groups| x |days| —
+    tiny next to the fact table, and the join shuffles the SPARSE side
+    only (the scaffold broadcasts)."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    o = table(spark, sf_dir, "orders")
+    sparse = (
+        o.filter(
+            (F.col("o_orderkey") % 97 == 0)
+            & F.col("o_orderdate").between("1995-01-01", "1995-06-30")
+        )
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    )
+    days = spark.sql(
+        "SELECT explode(sequence(DATE'1995-01-01', DATE'1995-06-30', interval 1 day)) AS day"
+    )
+    scaffold = sparse.select("status").distinct().crossJoin(F.broadcast(days))
+    w = W.partitionBy("status").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        scaffold.join(sparse, ["status", "day"], "left")
+        .select(
+            "status",
+            "day",
+            F.col("revenue").alias("revenue_raw"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+    )
+
+
+@register("w_ewma_daily_revenue", oracle=None, tags=("window", "timeseries", "pandas-op"))
+def w_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status EWMA (alpha=0.3) of daily revenue — the anomaly-baseline
+    smoother, via the canonical groupBy().applyInPandas per-key ordered
+    recursion (operators/temporal.ewma_by_key): EWMA's y_t = a*x_t +
+    (1-a)*y_{t-1} recursion is not expressible as a SQL window frame.
+    Rows-only by construction; tests/test_temporal.py asserts equality
+    against a single-machine reference on the collected series and
+    partitioning-independence."""
+    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.operators.temporal import ewma_by_key
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    )
+    return ewma_by_key(daily, ["status"], "day", "revenue", alpha=0.3)

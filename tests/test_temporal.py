@@ -198,3 +198,33 @@ def test_interval_overlap_join_matches_naive_and_emits_once(spark):
     assert got == naive and len(got) == len(set(got)), (got, naive)
     # half-open boundary: [10,11) vs [11,20) touch but must not match
     assert (2, 1) not in got
+
+
+def test_ewma_matches_reference_and_partitioning(spark):
+    """The distributed applyInPandas EWMA must equal the single-machine
+    recursion on each key's ordered series, for any input partitioning."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.temporal import ewma_by_key
+
+    rows = [("a", d, float(v)) for d, v in enumerate([10, 20, 5, 40, 40, 1])] + [
+        ("b", d, float(v)) for d, v in enumerate([100, 0, 50])
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    for parts in (1, 7):
+        got = {
+            (r.k, r.t): r.ewma
+            for r in ewma_by_key(df.repartition(parts), ["k"], "t", "x", alpha=0.5).collect()
+        }
+        want = {}
+        for k in ("a", "b"):
+            series = sorted((t, x) for kk, t, x in rows if kk == k)
+            y = None
+            for t, x in series:
+                y = x if y is None else 0.5 * x + 0.5 * y
+                want[(k, t)] = round(y, 6)
+        assert got.keys() == want.keys()
+        for key in want:
+            assert math.isclose(got[key], want[key], abs_tol=1e-9), (key, got[key], want[key])
