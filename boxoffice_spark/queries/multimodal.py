@@ -50,3 +50,73 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling explode: 4 evenly-spaced 32-byte windows per asset —
     the video-frame-extraction shape, pure JVM."""
     return sample_frames(assets_from_documents(table(spark, sf_dir, "documents")))
+
+
+@register(
+    "m_modality_storage_stats",
+    oracle="""
+    SELECT 'text/plain' AS media_type, source,
+           count(*) AS n_assets,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("multimodal", "storage"),
+)
+def m_modality_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage planning stats over the binary asset table: per (modality,
+    source) asset counts and byte mass. This is the query that sizes the
+    layout decisions for blob columns — partition counts from total_bytes
+    / maxPartitionBytes, file row caps from max_bytes (one 2 GB video row
+    per file vs thousands of thumbnails), skew detection when one source
+    dominates. One aggregation over payload lengths; the payload bytes
+    never leave the JVM."""
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    return assets.groupBy(
+        "media_type", F.col("meta.source").alias("source")
+    ).agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+    )
+
+
+@register(
+    "m_training_pairs",
+    oracle="""
+    SELECT d.doc_id AS sample_id,
+           octet_length(encode(d.text)) AS payload_bytes,
+           substring(d.text, 1, 40) AS caption_prefix,
+           round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 6)
+               AS embedding_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id % 200
+    WHERE d.lang = 'en'
+    """,
+    tags=("multimodal", "training"),
+)
+def m_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-sample assembly: the (payload, caption,
+    embedding) tuple join that precedes contrastive/captioning training —
+    binary asset rows joined to their precomputed embeddings, filtered to
+    the target language. The join is keyed (asset -> embedding id); at
+    corpus scale both sides bucket on the id (io.write_bucketed) and the
+    assembly is exchange-free. Emitting the embedding NORM (not the raw
+    array) keeps the oracle comparison scalar; the payload stays opaque
+    bytes end-to-end. (The fixture keys embeddings by doc_id % 200 — the
+    deterministic stand-in for a real asset->embedding foreign key.)"""
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    assets = assets_from_documents(d)
+    return (
+        assets.join(e, assets.asset_id % 200 == e.vec_id)
+        .select(
+            F.col("asset_id").alias("sample_id"),
+            F.octet_length("payload").alias("payload_bytes"),
+            F.substring(F.decode("payload", "utf-8"), 1, 40).alias("caption_prefix"),
+            F.round(norm, 6).alias("embedding_norm"),
+        )
+    )
