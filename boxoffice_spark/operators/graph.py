@@ -238,9 +238,13 @@ def pagerank(
         inflow = contrib.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * dsum("_c", 18)).alias("rank")
         )
+        # eager=False: lineage still truncates, but the iteration work
+        # executes inside the CALLER's action (bench-honest), not at
+        # construction time; the chain is sequential so each round still
+        # materializes exactly once.
         ranks = (
             nodes.join(inflow, "node", "left")
             .select("node", F.coalesce("rank", F.lit(base)).alias("rank"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks

@@ -227,7 +227,10 @@ def tfidf_top_terms(docs, id_col: str, text_col: str, k: int = 3):
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words_of(text_col)).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df derivation and the scoring join; persist so the
+    # tokenize + (doc, term) shuffle runs once (exchange reuse does not
+    # collapse the two references — see README round-3 findings).
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
