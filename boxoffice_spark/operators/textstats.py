@@ -266,3 +266,76 @@ WITH toks AS (
 )
 SELECT doc_id, term, tf, df, score_x1e4, rnk FROM ranked WHERE rnk <= {k}
 """
+
+
+def bm25_topk(
+    docs,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, list[str]]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+):
+    """Full-text retrieval: top-k documents per keyword query under BM25
+    (Robertson-Spärck Jones) — the generalization of the reference
+    dashboard's single-term keyword filter (src/dashboard.py:96-118) to
+    ranked multi-term search.
+
+    Determinism contract (what makes this ORACLE-comparable, which BM25
+    normally is not): per-(query, term, doc) scores are pure double
+    arithmetic (identical IEEE ops in any engine), rounded to 6dp, and
+    the per-document sum runs through decimal (functions/numeric.dsum) so
+    accumulation order cannot flip a rank; ties break on doc id.
+
+    Scale shape: ONE tokenize + (doc, term) tf shuffle (persisted — it
+    feeds doc lengths, document frequencies, and the scoring join); the
+    query-term table and its df/idf rows broadcast (a query touches few
+    terms); the scoring join therefore shuffles only the tf postings of
+    matching terms, and the final top-k is a per-query window over
+    candidate docs. This is the inverted-index probe layout — corpus
+    bytes are touched once at index (tf) build.
+    """
+    from pyspark.sql import Window as W
+
+    from boxoffice_spark.functions.numeric import dsum
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_of(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
+    )
+    dfq = dfreq.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(dfq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tf_part, 6).alias("term_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(dsum("term_score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

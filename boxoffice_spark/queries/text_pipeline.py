@@ -1014,3 +1014,74 @@ def t_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["vector", "scan", "filter"]),
+    (3, ["customer", "order"]),
+]
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "t_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+        ) WHERE term <> ''
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), doclen AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM doclen
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (1.0 - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 6)
+                   AS term_score
+        FROM q
+        JOIN tf ON tf.term = q.term
+        JOIN dfreq d ON d.term = q.term
+        JOIN doclen dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id,
+               cast(sum(cast((term_score) as decimal(27,6))) as double) AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cast(sum(cast((term_score) as decimal(27,6))) as double) DESC,
+                            doc_id
+               ) AS INT) AS rank
+        FROM scored GROUP BY query_id, doc_id
+    ) WHERE rank <= 10
+    """,
+    bench=True,
+    tags=("text", "retrieval", "bm25"),
+)
+def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked multi-term full-text search: BM25 top-10 documents for three
+    keyword queries (operators/textstats.bm25_topk) — the reference
+    dashboard's keyword filter generalized to scored retrieval. One
+    tokenize + tf shuffle builds the inverted index; query terms, their
+    idf rows, and corpus stats broadcast; 6dp-rounded term scores
+    decimal-sum so BM25 ranking is bit-deterministic — hence the exact
+    DuckDB oracle, which BM25 pipelines normally cannot have."""
+    from boxoffice_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERIES, k=10
+    )

@@ -72,6 +72,12 @@ _PINNED = [
     "a_grouping_sets",  # new round 3; late aggregates module
     "e_snapshot_diff",  # new round 3; late etl module
     "dq_k_anonymity",  # new round 3; sits just past the window unpinned
+    "g_pagerank_authority",  # new round 3; iterative — most needs a driver row
+    "dq_profile",
+    "dq_price_outliers",
+    "w_gap_fill_locf",
+    "j_interval_overlap_promo",
+    "m_training_pairs",
 ]
 
 
