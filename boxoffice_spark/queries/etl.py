@@ -479,3 +479,110 @@ def e_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.col("value").alias("attr_value"),
     )
+
+
+@register(
+    "e_deletion_propagation",
+    oracle="""
+    WITH victims AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+    ),
+    doomed_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (SELECT 1 FROM victims v WHERE v.c_custkey = o_custkey)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM victims) AS n_delete,
+           (SELECT count(*) FROM customer) AS n_total
+    UNION ALL
+    SELECT 'orders', (SELECT count(*) FROM doomed_orders),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM doomed_orders d
+                          WHERE d.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem)
+    """,
+    tags=("etl", "privacy", "deletion"),
+)
+def e_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: given a deletion cohort (every 100th
+    customer), the per-table deletion manifest cascading through the
+    foreign-key graph (customer -> orders -> lineitem) — the audit that
+    precedes the actual anti-join rewrite, sized so compliance can be
+    scheduled per table. Each hop is one LEFT SEMI join on the key (the
+    cohort broadcasts; the order-key frontier broadcasts when small,
+    shuffles when not); the physical delete is the same predicate as an
+    anti-join + dynamic partition overwrite (io.overwrite_partitions)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    victims = c.filter(F.col("c_custkey") % 100 == 0).select("c_custkey")
+    doomed_o = o.join(
+        victims, o.o_custkey == victims.c_custkey, "semi"
+    ).select("o_orderkey")
+    doomed_li = li.join(
+        doomed_o, li.l_orderkey == doomed_o.o_orderkey, "semi"
+    )
+
+    def manifest(name: str, doomed: DataFrame, total: DataFrame) -> DataFrame:
+        return doomed.agg(F.count("*").alias("n_delete")).crossJoin(
+            total.agg(F.count("*").alias("n_total"))
+        ).select(F.lit(name).alias("table_name"), "n_delete", "n_total")
+
+    return (
+        manifest("customer", victims, c)
+        .unionByName(manifest("orders", doomed_o, o))
+        .unionByName(manifest("lineitem", doomed_li, li))
+    )
+
+
+@register(
+    "e_incremental_agg_maintenance",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus, count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(27,2))) as double) AS revenue
+        FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1
+    ), delta AS (
+        SELECT o_orderstatus, count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(27,2))) as double) AS revenue
+        FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1
+    )
+    SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
+           cast(sum(cast(revenue as decimal(27,2))) as double) AS revenue
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    GROUP BY 1
+    """,
+    tags=("etl", "incremental", "materialized-view"),
+)
+def e_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: a standing per-status aggregate
+    is updated by MERGING a new batch's partial aggregate (union + re-sum)
+    — never by rescanning the base table. count and decimal-summed revenue
+    are self-mergeable (the re-aggregation of partials is exactly Spark's
+    own partial/final aggregation split, applied across batches); the
+    merged result provably equals the full recompute, which is what the
+    oracle asserts. avg derives as sum/count at read time; only
+    algebraic/mergeable aggregates (sum, count, min, max, HLL sketches —
+    see a_hll_sketch_rollup) maintain this way."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    o = table(spark, sf_dir, "orders")
+
+    def agg_of(part: DataFrame) -> DataFrame:
+        return part.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), dsum("o_totalprice", scale=2).alias("revenue")
+        )
+
+    base = agg_of(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg_of(o.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            dsum("revenue", scale=2).alias("revenue"),
+        )
+    )

@@ -78,6 +78,13 @@ _PINNED = [
     "w_gap_fill_locf",
     "j_interval_overlap_promo",
     "m_training_pairs",
+    "e_deletion_propagation",
+    "e_incremental_agg_maintenance",
+    "t_bigram_backoff_logprob",  # early module but displaced as pins grow — pin explicitly
+    "t_bm25_search",
+    "m_modality_storage_stats",
+    "v_knn_label_consistency",
+    "v_hard_negatives",
 ]
 
 
