@@ -70,3 +70,31 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     DataFrame API — the entire §2 inventory is reachable from here."""
     register_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+class UnsafePlanError(ValueError):
+    """Raised when generated SQL compiles to a plan that must not reach a
+    100 TB cluster unreviewed."""
+
+
+def validate_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Guardrailed execution for MODEL-GENERATED SQL: compile, inspect the
+    physical plan, and refuse the classic agent failure modes BEFORE any
+    task runs — an unconstrained cross join (missing join predicate) or a
+    broadcast nested-loop join (inequality-only condition), either of
+    which turns a chatbot typo into an O(n²) cluster job. Returns the
+    (lazy, unexecuted) DataFrame when the plan is clean.
+
+    This is plan-shape validation, not row-limit sandboxing: it uses the
+    same ``explain`` text the engine's own regression tests assert on
+    (tests/test_plans.py), so the guard can't drift from the executor.
+    """
+    df = run_sql(spark, sf_dir, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if op in plan:
+            raise UnsafePlanError(
+                f"generated SQL plans a {op}; add an equi-join predicate "
+                "or an explicit LIMIT-bounded sample before running at scale"
+            )
+    return df

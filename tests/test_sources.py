@@ -57,3 +57,26 @@ def test_stream_upsert_sink_holds_latest_state(spark, tmp_path):
     }
     got = {(r.event_id, r.theater_name): (r.quantity, r.scraped_at) for r in final.collect()}
     assert got == last
+
+
+def test_agent_sql_guardrail(spark, sf_dir):
+    """validate_sql must refuse cartesian/nested-loop plans from generated
+    SQL and pass clean equi-join plans through untouched."""
+    import pytest
+
+    from boxoffice_spark.agent import UnsafePlanError, validate_sql
+
+    ok = validate_sql(
+        spark, sf_dir,
+        "SELECT r_name, n_name FROM region JOIN nation ON n_regionkey = r_regionkey",
+    )
+    assert ok.count() > 0
+
+    with pytest.raises(UnsafePlanError):
+        validate_sql(spark, sf_dir, "SELECT * FROM region, nation")
+
+    with pytest.raises(UnsafePlanError):
+        validate_sql(
+            spark, sf_dir,
+            "SELECT * FROM region r JOIN nation n ON n.n_regionkey > r.r_regionkey",
+        )
