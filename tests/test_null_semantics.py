@@ -58,3 +58,29 @@ def test_incremental_dedup_null_text_matches_oracle(spark, null_doc_dir):
     # collapsed to one keeper, corpus-seen fingerprint dropped
     out = {r["keeper_id"]: r["n_batch_copies"] for r in spec.fn(spark, null_doc_dir).collect()}
     assert out == {20: 1, 30: 2}
+
+
+def test_snapshot_diff_null_transitions(spark):
+    """Null-safe change detection: value->NULL and NULL->value are
+    updates, NULL==NULL is unchanged, and insert/delete classification
+    survives all-NULL compare values."""
+    from boxoffice_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c"), (4, None), (6, None)],
+        "k long, v string",
+    )
+    got = {
+        r.k: (r.change_type, r.v)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: ("update", None),   # value -> NULL
+        2: ("update", "b"),    # NULL -> value
+        5: ("delete", "e"),    # only in old
+        6: ("insert", None),   # only in new, all-NULL compare value
+    }  # 3 (unchanged) and 4 (NULL == NULL) are absent
