@@ -73,3 +73,14 @@ def s_stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_corpus_gate
 
     return stream_corpus_gate(spark, sf_dir)
+
+
+@register("s_stream_drift_monitor", oracle=None, tags=("streaming", "drift"))
+def s_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch PSI drift monitor via foreachBatch (streaming agg
+    -> static-side join, the post-aggregation join streaming proper can't
+    express). Batch twin: dq_distribution_drift; final-table equality
+    asserted in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_drift_monitor
+
+    return stream_drift_monitor(spark, sf_dir)

@@ -269,3 +269,73 @@ def stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["fingerprint"]
     )
     return _run_to_completion(admitted.select("doc_id", "fingerprint"), "append")
+
+
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-drift monitor: the incoming document stream's
+    per-language mix is compared against the STATIC standing-corpus mix,
+    emitting PSI terms per micro-batch via ``foreachBatch`` — the
+    monitoring twin of the batch gate dq_distribution_drift
+    (queries/quality.py), and the foreachBatch pattern for metrics whose
+    formula needs a static-side join AFTER a streaming aggregation
+    (stream-static joins are not allowed downstream of a streaming agg,
+    but inside foreachBatch each update is a plain batch DataFrame).
+
+    The stream aggregates per-language counts in update mode; each batch
+    joins the (broadcast) corpus counts and rewrites the PSI table. After
+    the availableNow drain the final table equals the batch query's
+    output exactly — asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql import Window
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    batch_counts = (
+        raw.filter(F.col("doc_id") % 10 == 0).groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_batch")
+        )
+    )
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 != 0)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_corpus"))
+    )
+    name = "s_drift_" + uuid.uuid4().hex[:12]
+
+    def emit_psi(update: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy()
+        joined = update.join(corpus, "lang", "full_outer").select(
+            "lang",
+            F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+        )
+        p = F.col("n_corpus").cast("double") / F.sum("n_corpus").over(w)
+        q = F.col("n_batch").cast("double") / F.sum("n_batch").over(w)
+        out = joined.select(
+            "lang", "n_corpus", "n_batch", F.round((q - p) * F.log(q / p), 6).alias("psi_term")
+        )
+        # update-mode batches carry only CHANGED languages; merge into the
+        # standing view so the final table covers every language. foreachBatch
+        # runs in a CLONED session, so the handoff must be a GLOBAL temp view
+        # (plain temp views die with the micro-batch session).
+        s = update.sparkSession
+        try:
+            prev = s.table(f"global_temp.{name}")
+            merged = prev.join(out.select("lang"), "lang", "left_anti").unionByName(out)
+        except Exception:
+            merged = out
+        merged.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        batch_counts.writeStream.outputMode("update")
+        .foreachBatch(emit_psi)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"global_temp.{name}")

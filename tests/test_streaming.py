@@ -157,3 +157,14 @@ def test_stream_corpus_gate_equals_batch_fingerprints(spark, sf_dir):
     got_fps = {r.fingerprint for r in got.collect()}
     want_fps = {r.fingerprint for r in t_incremental_dedup(spark, sf_dir).collect()}
     assert got_fps == want_fps and len(got_fps) > 0
+
+
+def test_stream_drift_monitor_equals_batch(spark, sf_dir):
+    """After the availableNow drain, the foreachBatch PSI table must equal
+    dq_distribution_drift's batch output exactly."""
+    from boxoffice_spark.queries.quality import dq_distribution_drift
+    from boxoffice_spark.streaming.jobs import stream_drift_monitor
+
+    got = sorted(map(tuple, stream_drift_monitor(spark, sf_dir).collect()))
+    want = sorted(map(tuple, dq_distribution_drift(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
