@@ -118,3 +118,38 @@ def fixed_size_sample_sql(
         f"row_number() OVER (PARTITION BY {stratum} "
         f"ORDER BY {h}, {tie_col}) <= {k}"
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic 3-way split by content hash: adds a ``split`` column
+    ('train' | 'val' | 'test') with DISJOINT-by-construction membership —
+    every row lands in exactly one band of the same hash, so no row can
+    leak across splits on retry, re-run, or re-partitioning (the property
+    rand()-based splitting silently lacks), and appending new data later
+    never reassigns an existing row. Zero shuffle: the decision is a
+    scan-side codegen expression over the salted md5 bucket.
+    """
+    b = hash_bucket(key, salt)
+    t_test = F.lit(_threshold_hex(test_rate))
+    t_val = F.lit(_threshold_hex(test_rate + val_rate))
+    split = (
+        F.when(b < t_test, "test").when(b < t_val, "val").otherwise("train")
+    )
+    return df.withColumn("split", split)
+
+
+def train_val_test_split_sql(key: str, val_rate: float = 0.05,
+                             test_rate: float = 0.05, salt: str = "split1") -> str:
+    """DuckDB twin of the :func:`train_val_test_split` split expression."""
+    b = HASH_BUCKET_SQL.format(salt=salt, key=key)
+    return (
+        f"CASE WHEN {b} < '{_threshold_hex(test_rate)}' THEN 'test' "
+        f"WHEN {b} < '{_threshold_hex(test_rate + val_rate)}' THEN 'val' "
+        "ELSE 'train' END"
+    )

@@ -1085,3 +1085,28 @@ def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERIES, k=10
     )
+
+
+@register(
+    "t_train_val_test_split",
+    oracle=f"""
+    SELECT lang, {SMP.train_val_test_split_sql('text')} AS split,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("sampling", "split", "deterministic"),
+)
+def t_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash
+    (operators/sampling.train_val_test_split): disjoint by construction
+    (one hash, three bands), retry/re-run/repartition stable, and stable
+    under corpus growth — appended docs never reassign existing ones.
+    Reported as per-(lang, split) counts; the assignment itself is a
+    zero-shuffle scan-side expression."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        SMP.train_val_test_split(d, "text")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

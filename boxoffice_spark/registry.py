@@ -85,6 +85,7 @@ _PINNED = [
     "m_modality_storage_stats",
     "v_knn_label_consistency",
     "v_hard_negatives",
+    "t_train_val_test_split",
 ]
 
 
