@@ -1110,3 +1110,50 @@ def t_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "t_corpus_datacard",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, md5({_NORM}) AS fp, length(text) AS n_chars,
+               len(list_filter(string_split({_NORM}, ' '), t -> t <> '')) AS n_words
+        FROM documents
+    )
+    SELECT
+        count(*) AS n_docs,
+        CAST(count(DISTINCT lang) AS INT) AS n_langs,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM base
+    """,
+    tags=("text", "datacard"),
+)
+def t_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet in one row: corpus size, language spread,
+    exact-duplicate rate (distinct content fingerprints vs rows), and
+    token/char volume — the header of every data card / dataset release
+    note, produced in ONE scan + one aggregate (count(DISTINCT fp) and
+    count(DISTINCT lang) share the Expand pass; at 100 TB swap the
+    fingerprint distinct for approx_count_distinct and keep the scan
+    count at one)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(D.normalized_text("text"), " "), lambda t: t != ""
+    )
+    base = d.select(
+        "lang",
+        D.normalized_text("text").alias("_n"),
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+    ).select("lang", F.md5("_n").alias("fp"), "n_chars", "n_words")
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6).alias("dup_rate"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+    )

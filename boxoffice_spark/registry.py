@@ -86,6 +86,7 @@ _PINNED = [
     "v_knn_label_consistency",
     "v_hard_negatives",
     "t_train_val_test_split",
+    "t_corpus_datacard",
 ]
 
 
