@@ -14,6 +14,23 @@ run 1 pays one-time whole-stage-codegen compilation (~1-2 s for wide
 aggregates, a fixed driver-side JIT cost independent of data volume), run 2
 measures the actual data-path throughput that scales with SF. Steady-state
 throughput is the number that extrapolates to cluster scale.
+
+Two timed regions per run, both reported (bench honesty — nothing a query
+does is unbilled):
+
+- ``build`` — ``spec.fn()`` construction. For most queries this is pure
+  lazy plan assembly (~ms); for the ANN family it includes the eager
+  driver-side index build (IVF KMeans fit, PQ codebook training + its
+  bounded train-sample collect, LSH fit, probe-matrix collects). These are
+  amortized one-time index builds in a real deployment (build once, probe
+  per query), which is exactly why they are reported SEPARATELY rather than
+  folded into the per-query exec number: ``queries`` stays the steady-state
+  probe cost, ``build`` is the honest price of standing the index up.
+- ``exec`` (``queries``) — full distributed execution into the noop sink.
+
+The headline ``value`` remains the exec total (comparable across rounds);
+``build_total`` is printed alongside so the sum of everything any query did
+is value + build_total.
 """
 
 from __future__ import annotations
@@ -46,16 +63,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name, spec in headline.items():
-        runs = []
+        runs, build_runs = [], []
         for _ in range(2):  # run 1 compiles codegen; run 2 is steady-state
-            df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)  # plan assembly + any eager index build
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            build_runs.append(t1 - t0)
+            runs.append(t2 - t1)
         timings[name] = round(min(runs), 3)
+        builds[name] = round(min(build_runs), 3)
 
     total = round(sum(timings.values()), 3)
+    build_total = round(sum(builds.values()), 3)
     print(
         json.dumps(
             {
@@ -63,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build": builds,
+                "build_total": build_total,
                 "sf": sf,
             }
         )

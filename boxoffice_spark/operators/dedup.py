@@ -318,10 +318,14 @@ def minhash_lsh_pairs(
     # re-evaluate the full signature pipeline — cache it so the minhash
     # aggregate runs once. Lazy persist, not eager checkpoint: the work
     # stays inside the query's own execution, it's just not repeated.
-    cand = (
+    # scoped_persist bounds the cache to one live handle across repeated
+    # calls (a bare persist() per call leaks executor storage in loops).
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    cand = scoped_persist(
         capped_pair_rows(postings, ["_band", "_bucket"], id_col, (), max_postings)
-        .dropDuplicates(["id_a", "id_b"])
-        .persist()
+        .dropDuplicates(["id_a", "id_b"]),
+        "minhash_lsh_pairs.cand",
     )
     # Rerank shingles are recomputed ONLY for candidate docs: the semi-join
     # on raw (id, text) runs BEFORE the shingle projection, so the n-gram

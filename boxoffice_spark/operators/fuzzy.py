@@ -32,18 +32,29 @@ def fuzzy_containment_join(
     cand_col: str,
     out_match: str = "matched_name",
     out_score: str = "score",
+    normalize: bool = True,
 ) -> DataFrame:
     """Best containment match per input row.
 
     Returns one row per input that matched: (input_id, input_col, out_match,
     out_score) where score = normalized-length difference, minimized.
+
+    ``normalize=False`` runs the reference's LAST-RESORT raw pass
+    (movie_events_scraper.py:117-125): containment on the un-normalized
+    strings, shortest candidate wins (equivalent to min length-difference
+    since the input is fixed per group; the reference's stable sort-by-len
+    gains an explicit candidate-name tie-break here). Its role in a tiered
+    match: inputs whose NORMALIZED form is empty (all-punctuation titles)
+    are skipped by the normalized tiers' non-empty filter but can still
+    match raw.
     """
     q = F.col("_q_norm")
-    cand_norm = normalize_title(F.col(cand_col))
+    key = normalize_title if normalize else (lambda c: c)
+    cand_norm = key(F.col(cand_col))
     inp = inputs.select(
         F.col(input_id),
         F.col(input_col),
-        normalize_title(F.col(input_col)).alias("_q_norm"),
+        key(F.col(input_col)).alias("_q_norm"),
     ).filter(F.length("_q_norm") > 0)
 
     cand = candidates.select(F.col(cand_col)).distinct().withColumn("_c_norm", cand_norm)
@@ -62,14 +73,15 @@ def tiered_fuzzy_match(
     inputs: DataFrame,
     input_id: str,
     input_col: str,
-    tiers: list[tuple[str, DataFrame, str]],
+    tiers: list[tuple],
     out_match: str = "matched_name",
     out_score: str = "score",
 ) -> DataFrame:
-    """Staged-fallback fuzzy match (reference movie_events_scraper.py:67-115:
+    """Staged-fallback fuzzy match (reference movie_events_scraper.py:67-125:
     probe recent titles first, fall back to the full table, then to a raw
-    substring pass). ``tiers`` is an ordered list of (tier_name, candidates,
-    cand_col); inputs that match tier k never reach tier k+1.
+    un-normalized substring pass). ``tiers`` is an ordered list of
+    (tier_name, candidates, cand_col) or (tier_name, candidates, cand_col,
+    normalize); inputs that match tier k never reach tier k+1.
 
     This is driver-side control flow over DataFrame passes, by design
     (SURVEY §4): Catalyst can't invent the precedence, but each pass is a
@@ -81,9 +93,18 @@ def tiered_fuzzy_match(
     """
     results: list[DataFrame] = []
     remaining = inputs
-    for tier_name, candidates, cand_col in tiers:
+    for tier in tiers:
+        tier_name, candidates, cand_col = tier[:3]
+        normalize = tier[3] if len(tier) > 3 else True
         matched = fuzzy_containment_join(
-            remaining, input_id, input_col, candidates, cand_col, out_match, out_score
+            remaining,
+            input_id,
+            input_col,
+            candidates,
+            cand_col,
+            out_match,
+            out_score,
+            normalize=normalize,
         ).withColumn("tier", F.lit(tier_name))
         results.append(matched)
         remaining = remaining.join(matched.select(input_id), input_id, "left_anti")

@@ -223,6 +223,9 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list → empty ranking (not ZeroDivisionError on 1/n)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("_src").agg(F.count("*").alias("_deg")).localCheckpoint()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))

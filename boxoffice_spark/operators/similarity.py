@@ -399,6 +399,12 @@ def ann_pq_topk(
     # trains equally well, PQ codebooks need coverage, not completeness).
     train_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_size).collect()
     tmat = _unit_rows(train_rows, 1)
+    # a corpus smaller than ksub cannot seed ksub distinct centroids —
+    # clamp instead of letting rng.choice(replace=False) raise; fewer
+    # centroids only coarsens the quantizer, ADC stays well-defined
+    ksub = min(ksub, len(train_rows))
+    if ksub == 0:
+        raise ValueError("ann_pq_topk: corpus is empty — nothing to index")
     rng = np.random.default_rng(seed)
     codebooks = np.empty((m, ksub, dsub))
     for j in range(m):

@@ -34,6 +34,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_cols: list[Column | str]
+) -> DataFrame:
+    """Latest-state-per-key reduction over an append-only log (reference
+    dashboard.py:105-118 current-stock CTE): one row per key, the first
+    under ``order_cols`` (pass descending columns for 'latest'; include a
+    unique tie-breaker for determinism). THE shared W1 shape —
+    i_latest_state_view (batch), the stateful stock-poll stream's final
+    fold, and their equality tests all call this one definition.
+
+    Scale shape: single hash-partition-by-key + partition-local sort; with
+    the log bucketed by the key the exchange disappears. At extreme key
+    cardinality prefer the max_by aggregate form (no full sort), but the
+    window form keeps every payload column without a struct repack."""
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

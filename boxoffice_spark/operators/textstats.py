@@ -230,7 +230,13 @@ def tfidf_top_terms(docs, id_col: str, text_col: str, k: int = 3):
     # tf feeds BOTH the df derivation and the scoring join; persist so the
     # tokenize + (doc, term) shuffle runs once (exchange reuse does not
     # collapse the two references — see README round-3 findings).
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # scoped_persist: one live cache across repeated calls, no storage leak.
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "tfidf_top_terms.tf",
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -300,19 +306,28 @@ def bm25_topk(
 
     from boxoffice_spark.functions.numeric import dsum
 
+    from boxoffice_spark.functions.caching import scoped_persist
+
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(words_of(text_col)).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # scoped_persist: one live tf cache across repeated calls, no leak.
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")), "bm25_topk.tf"
+    )
     doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # de-dup each query's term list: BM25 scores a term once per query
+    # regardless of how many times the user typed it (a duplicate (query_id,
+    # term) row would double-count that term's contribution)
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
+        sorted({(qid, t) for qid, terms in queries for t in terms}),
+        "query_id int, term string",
     )
     dfq = dfreq.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

@@ -117,10 +117,12 @@ def snapshot_diff(
     o = old.select(*keys, F.lit(1).alias("_in_old"), *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
     n = new.select(*keys, F.lit(1).alias("_in_new"), *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
     joined = o.join(n, keys, "full_outer")
-    changed = None
+    # with no compare columns only presence changes (insert/delete) can be
+    # observed — start from literal False so F.when never sees a None
+    changed = F.lit(False)
     for c in compare_cols:
         neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        changed = neq if changed is None else (changed | neq)
+        changed = changed | neq
     change_type = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
         .when(F.col("_in_new").isNull(), F.lit("delete"))

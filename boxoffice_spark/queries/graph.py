@@ -79,10 +79,15 @@ def g_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ranks = pagerank(fwd.unionByName(rev), n_iters=3)
-    w = W.orderBy(F.desc("rank"), F.asc("node"))
-    return (
+    # limit-first top-k (TakeOrderedAndProject, same pattern as
+    # t_vocab_topk): per-partition top-20 merged on the driver, instead of
+    # pulling the FULL node set through one partition for a global
+    # row_number window. The rank column is then assigned over just the 20
+    # survivors — a 20-row window is free at any corpus scale.
+    top = (
         ranks.withColumn("rank", F.round("rank", 12))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .orderBy("rnk")
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
     )
+    w = W.orderBy(F.desc("rank"), F.asc("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")

@@ -78,18 +78,19 @@ def i_latest_state_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: latest-state-per-key view over an append-only log (reference
     dashboard.py:105-118 current-stock CTE) keyed by the composite
     (user_id, event_type) — the goods_stock (event_id, theater_name) analog.
-    Batch form of streaming state; same window as W1."""
+    Batch form of streaming state; same window as W1, via the shared
+    operators/temporal.latest_per_key (also the stateful stream's fold —
+    tests/test_streaming.py proves stream == this exact code path)."""
+    from boxoffice_spark.operators.temporal import latest_per_key
+
     ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("ts").alias("last_ts"),
-            F.col("value").alias("last_value"),
-        )
+    return latest_per_key(
+        ev, ["user_id", "event_type"], [F.desc("ts"), F.desc("event_id")]
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
     )
 
 

@@ -236,34 +236,61 @@ _TIER_SCORED = """
     WITH inputs AS (
         SELECT p_partkey AS input_id, split_part(p_name, ' ', 1) AS q
         FROM part WHERE p_partkey % 97 = 0
+        UNION ALL
+        SELECT 2000000 + c_custkey AS input_id, substring(c_name, 9, 1) AS q
+        FROM customer WHERE c_custkey % 293 = 0
     ),
     recent_cands AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 3 = 0),
-    full_cands AS (SELECT DISTINCT p_name FROM part),
+    full_cands AS (SELECT DISTINCT p_name FROM part
+                   UNION SELECT DISTINCT c_name FROM customer),
     t1 AS ({_TIER_SCORED(nc=_FUZZY_NORM_C, nq=_FUZZY_NORM_Q, inputs='inputs', cands='recent_cands')}),
     m1 AS (SELECT input_id, q, matched_name, score, 'recent' AS tier FROM t1 WHERE rn = 1),
-    rest AS (SELECT * FROM inputs WHERE input_id NOT IN (SELECT input_id FROM m1)),
+    rest AS (SELECT * FROM inputs i
+             WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.input_id = i.input_id)),
     t2 AS ({_TIER_SCORED(nc=_FUZZY_NORM_C, nq=_FUZZY_NORM_Q, inputs='rest', cands='full_cands')}),
-    m2 AS (SELECT input_id, q, matched_name, score, 'full' AS tier FROM t2 WHERE rn = 1)
-    SELECT * FROM m1 UNION ALL SELECT * FROM m2
+    m2 AS (SELECT input_id, q, matched_name, score, 'full' AS tier FROM t2 WHERE rn = 1),
+    rest2 AS (SELECT * FROM rest r
+              WHERE NOT EXISTS (SELECT 1 FROM m2 WHERE m2.input_id = r.input_id)),
+    t3 AS ({_TIER_SCORED(nc='c.p_name', nq='i.q', inputs='rest2', cands='full_cands')}),
+    m3 AS (SELECT input_id, q, matched_name, score, 'raw' AS tier FROM t3 WHERE rn = 1)
+    SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
     """,
     tags=("join", "fuzzy", "tiered"),
 )
 def j_fuzzy_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4's staged fallback (reference movie_events_scraper.py:67-115): probe
-    a cheap 'recent' candidate tier first (every 3rd part, standing in for
-    recent box-office titles), fall back to the full dimension only for
-    unmatched inputs. operators/fuzzy.tiered_fuzzy_match."""
+    """J4's staged fallback, all THREE reference tiers
+    (movie_events_scraper.py:67-125): probe a cheap 'recent' candidate tier
+    first (every 3rd part, standing in for recent box-office titles), fall
+    back to the full dimension for unmatched inputs, then a last-resort RAW
+    un-normalized substring pass — the reference's step 4, which catches
+    inputs whose normalized form is empty (here: '#' queries cut from
+    customer names; they skip the normalized tiers' non-empty filter but
+    raw-match the 'Customer#...' names). The full dimension is parts ∪
+    customers so the raw tier has real work. operators/fuzzy.
+    tiered_fuzzy_match."""
     from boxoffice_spark.operators.fuzzy import tiered_fuzzy_match
 
     part = table(spark, sf_dir, "part")
+    cust = table(spark, sf_dir, "customer")
     inputs = part.filter(F.col("p_partkey") % 97 == 0).select(
         F.col("p_partkey").alias("input_id"),
         F.split(F.col("p_name"), " ").getItem(0).alias("q"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 293 == 0).select(
+            (F.lit(2000000) + F.col("c_custkey")).alias("input_id"),
+            # 'Customer#000000293' -> '#': normalizes to empty, raw-matchable
+            F.substring("c_name", 9, 1).alias("q"),
+        )
     )
     recent = part.filter(F.col("p_partkey") % 3 == 0)
+    full = part.select("p_name").union(cust.select(F.col("c_name").alias("p_name")))
     return tiered_fuzzy_match(
         inputs,
         "input_id",
         "q",
-        [("recent", recent, "p_name"), ("full", part, "p_name")],
+        [
+            ("recent", recent, "p_name"),
+            ("full", full, "p_name"),
+            ("raw", full, "p_name", False),
+        ],
     )

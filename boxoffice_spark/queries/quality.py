@@ -91,7 +91,14 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     poisons the mix. One scan (conditional counts), one narrow shuffle on
     lang, global-window totals over the tiny per-lang aggregate; sum the
     terms and alert at PSI > 0.2 by convention."""
-    d = table(spark, sf_dir, "documents")
+    return psi_drift_terms(table(spark, sf_dir, "documents"))
+
+
+def psi_drift_terms(d: DataFrame) -> DataFrame:
+    """PSI terms per language for a documents frame, batch split =
+    doc_id % 10 == 0. Shared by dq_distribution_drift and the streaming
+    twin's equality tests (tests/test_streaming.py runs it over arbitrary
+    file layouts to check the multi-micro-batch merge)."""
     counted = d.groupBy("lang").agg(
         F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
         .cast("long")

@@ -621,7 +621,8 @@ _FUNNEL_NGRAMS = D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=4)  # 5-grams
         count(*) FILTER (is_keeper AND lang_ok) AS n_after_lang,
         count(*) FILTER (is_keeper AND lang_ok AND quality_ok) AS n_after_quality,
         count(*) FILTER (is_keeper AND lang_ok AND quality_ok
-                         AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+                         AND NOT EXISTS (SELECT 1 FROM contaminated c
+                                         WHERE c.doc_id = keepers.doc_id))
             AS n_after_decontam
     FROM keepers
     """,
@@ -778,7 +779,11 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the token row count since empty terms are pre-filtered) and the
     # probability join; without the cache each reference re-evaluates the
     # tokenize + term-shuffle subtree (ReuseExchange does not collapse it).
-    vocab = toks.groupBy("term").agg(F.count("*").alias("tf")).persist()
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    vocab = scoped_persist(
+        toks.groupBy("term").agg(F.count("*").alias("tf")), "t_unigram_logprob.vocab"
+    )
     total = vocab.agg(F.sum("tf").cast("double").alias("n"))
     scored = (
         toks.join(vocab, "term")
@@ -953,48 +958,60 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_mixture_rebalance",
     oracle=f"""
-    WITH counts AS (
-        SELECT lang, count(*) AS n_before,
-               least(1.0, (CAST(sum(count(*)) OVER () AS DOUBLE)
-                           / count(*) OVER ()) / count(*)) AS keep_rate
-        FROM documents GROUP BY lang
+    WITH toks AS (
+        SELECT lang, text, {TS.BPEISH_SQL.format(col='text')} AS n_tok FROM documents
+    ), counts AS (
+        SELECT lang, count(*) AS n_before, sum(n_tok) AS tokens_before,
+               least(1.0, (CAST(sum(sum(n_tok)) OVER () AS DOUBLE)
+                           / count(*) OVER ()) / sum(n_tok)) AS keep_rate
+        FROM toks GROUP BY lang
     ), kept AS (
-        SELECT d.lang
-        FROM documents d JOIN counts c USING (lang)
+        SELECT d.lang, d.n_tok
+        FROM toks d JOIN counts c USING (lang)
         WHERE CAST(('0x' || substr(md5('s1' || d.text), 1, 8)) AS BIGINT)
               < c.keep_rate * 4294967296.0
     )
     SELECT c.lang, CAST(c.n_before AS BIGINT) AS n_before,
+           CAST(c.tokens_before AS BIGINT) AS tokens_before,
            round(c.keep_rate, 6) AS keep_rate,
-           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
     FROM counts c
-    LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1) k USING (lang)
+    LEFT JOIN (SELECT lang, count(*) AS n_kept, sum(n_tok) AS tokens_kept
+               FROM kept GROUP BY 1) k USING (lang)
     """,
-    tags=("sampling", "mixture"),
+    tags=("sampling", "mixture", "tokens"),
 )
 def t_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture rebalancing: derive per-language keep-rates IN-PLAN
-    from the measured distribution (target = uniform share; rate =
-    min(1, target_count / actual_count)) and apply them with the same
-    retry-safe content-hash filter as t_stratified_sample — the 'remix
-    the corpus toward a target mixture' pass (Pile/DoReMi-style static
-    reweighting), where t_stratified_sample's rates are hard-coded
-    inputs. Over-represented languages are down-sampled, the rest pass
-    through whole. One scan for counts (broadcast back), one for the
-    filtered count — no shuffle of the corpus itself."""
+    """Domain-mixture rebalancing in TOKEN units: derive per-language
+    keep-rates IN-PLAN from the measured TOKEN distribution (target =
+    uniform token share; rate = min(1, target_tokens / lang_tokens) with
+    est_tokens from the BPE-ish heuristic — tokens, not doc counts, are
+    what a training-mixture budget is written in) and apply them with the
+    same retry-safe content-hash filter as t_stratified_sample — the
+    'remix the corpus toward a target mixture' pass (Pile/DoReMi-style
+    static reweighting). Over-represented languages are down-sampled, the
+    rest pass through whole; the report carries before/after doc AND token
+    volumes. One scan for counts (broadcast back), one for the filtered
+    count — no shuffle of the corpus itself. Sampling docs by token-derived
+    rates only approximates the token target (long docs weigh more) —
+    exactly how production mixers do it; the tokens_kept column is the
+    achieved number."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select(
+        "lang", "text", TS.bpe_ish_token_count("text").alias("n_tok")
+    )
     w = Window.partitionBy()
     counts = (
         d.groupBy("lang")
-        .agg(F.count("*").alias("n_before"))
+        .agg(F.count("*").alias("n_before"), F.sum("n_tok").alias("tokens_before"))
         .withColumn(
             "keep_rate",
             F.least(
                 F.lit(1.0),
-                (F.sum("n_before").over(w).cast("double") / F.count("*").over(w))
-                / F.col("n_before"),
+                (F.sum("tokens_before").over(w).cast("double") / F.count("*").over(w))
+                / F.col("tokens_before"),
             ),
         )
     )
@@ -1003,15 +1020,17 @@ def t_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(counts), "lang")
         .filter(bucket < F.col("keep_rate") * F.lit(4294967296.0))
         .groupBy("lang")
-        .agg(F.count("*").alias("n_kept"))
+        .agg(F.count("*").alias("n_kept"), F.sum("n_tok").alias("tokens_kept"))
     )
     return (
         counts.join(kept, "lang", "left")
         .select(
             "lang",
             "n_before",
+            F.col("tokens_before").cast("long").alias("tokens_before"),
             F.round("keep_rate", 6).alias("keep_rate"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
         )
     )
 
@@ -1117,7 +1136,8 @@ def t_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (
         SELECT doc_id, lang, md5({_NORM}) AS fp, length(text) AS n_chars,
-               len(list_filter(string_split({_NORM}, ' '), t -> t <> '')) AS n_words
+               len(list_filter(string_split({_NORM}, ' '), t -> t <> '')) AS n_words,
+               {TS.BPEISH_SQL.format(col='text')} AS n_tok
         FROM documents
     )
     SELECT
@@ -1126,7 +1146,8 @@ def t_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
         round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
         CAST(sum(n_words) AS BIGINT) AS total_words,
-        CAST(sum(n_chars) AS BIGINT) AS total_chars
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(n_tok) AS BIGINT) AS est_tokens
     FROM base
     """,
     tags=("text", "datacard"),
@@ -1134,11 +1155,13 @@ def t_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset datasheet in one row: corpus size, language spread,
     exact-duplicate rate (distinct content fingerprints vs rows), and
-    token/char volume — the header of every data card / dataset release
-    note, produced in ONE scan + one aggregate (count(DISTINCT fp) and
-    count(DISTINCT lang) share the Expand pass; at 100 TB swap the
-    fingerprint distinct for approx_count_distinct and keep the scan
-    count at one)."""
+    word/char/TOKEN volume — est_tokens uses the open BPE-ish regex
+    heuristic (letter/digit runs + single marks, operators/textstats.
+    bpe_ish_token_count), the unit LLM-pipeline users budget corpora in.
+    The header of every data card / dataset release note, produced in ONE
+    scan + one aggregate (count(DISTINCT fp) and count(DISTINCT lang)
+    share the Expand pass; at 100 TB swap the fingerprint distinct for
+    approx_count_distinct and keep the scan count at one)."""
     d = table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(D.normalized_text("text"), " "), lambda t: t != ""
@@ -1148,7 +1171,8 @@ def t_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.normalized_text("text").alias("_n"),
         F.length("text").alias("n_chars"),
         F.size(words).alias("n_words"),
-    ).select("lang", F.md5("_n").alias("fp"), "n_chars", "n_words")
+        TS.bpe_ish_token_count("text").alias("n_tok"),
+    ).select("lang", F.md5("_n").alias("fp"), "n_chars", "n_words", "n_tok")
     return base.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").cast("int").alias("n_langs"),
@@ -1156,4 +1180,44 @@ def t_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6).alias("dup_rate"),
         F.sum("n_words").alias("total_words"),
         F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("est_tokens"),
+    )
+
+
+@register(
+    "t_lang_token_mix",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang, {TS.BPEISH_SQL.format(col='text')} AS n_tok FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS est_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / sum(sum(n_tok)) OVER (), 6)
+               AS token_share
+    FROM base GROUP BY lang
+    """,
+    tags=("text", "datacard", "tokens"),
+)
+def t_lang_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budget: document count, estimated tokens
+    (BPE-ish regex heuristic) and each language's share of the corpus
+    token total — the datacard's language-mix section in the unit training
+    runs are budgeted in. One scan + one tiny per-lang aggregate; the
+    share's global total is a window over the handful of lang rows."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    return (
+        d.select("lang", TS.bpe_ish_token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("est_tokens"))
+        .select(
+            "lang",
+            "n_docs",
+            "est_tokens",
+            F.round(
+                F.col("est_tokens").cast("double") / F.sum("est_tokens").over(w), 6
+            ).alias("token_share"),
+        )
     )

@@ -61,32 +61,33 @@ _QUERY_MODULES = [
 ]
 
 # Queries pulled to the very front of load_all() order regardless of module,
-# so they land inside the driver's 50-entry correctness window: the flagship,
-# plus entries whose oracle is new this round and needs its first driver row.
-# (e_schema_introspection, pinned in round 2, earned its green row in
-# CORRECTNESS_r02 and rotates out.)
+# so they land inside the driver's 50-entry correctness window. Round-4
+# rotation (VERDICT r03 item 1): the nine oracle-backed queries the union of
+# r01–r03 windows never covered go first, then every query whose plan or
+# oracle changed this round and therefore needs a fresh driver row. Round-3
+# pins (a_approx_stats, a_hll_sketch_rollup, ...) earned their green rows in
+# CORRECTNESS_r03 and rotate out.
 _PINNED = [
     "flagship_daily_topk_delta",
-    "a_approx_stats",  # oracle added round 3 (sketch error-contract booleans)
-    "a_hll_sketch_rollup",  # new round 3; registers in the late aggregates module
-    "a_grouping_sets",  # new round 3; late aggregates module
-    "e_snapshot_diff",  # new round 3; late etl module
-    "dq_k_anonymity",  # new round 3; sits just past the window unpinned
-    "g_pagerank_authority",  # new round 3; iterative — most needs a driver row
-    "dq_profile",
-    "dq_price_outliers",
-    "w_gap_fill_locf",
-    "j_interval_overlap_promo",
-    "m_training_pairs",
-    "e_deletion_propagation",
-    "e_incremental_agg_maintenance",
-    "t_bigram_backoff_logprob",  # early module but displaced as pins grow — pin explicitly
-    "t_bm25_search",
-    "m_modality_storage_stats",
-    "v_knn_label_consistency",
-    "v_hard_negatives",
-    "t_train_val_test_split",
-    "t_corpus_datacard",
+    # -- the 9 never-driver-checked oracle-backed queries (r01–r03 gap)
+    "q_udtf_chunk_words",
+    "dq_distribution_drift",
+    "dq_fk_orphans",
+    "a_exact_median",
+    "a_histogram",
+    "w_trailing_range_sum",
+    "w_ntile_quartiles",
+    "e_scd2_history",
+    "p_intersect_repeat_buyers",
+    # -- plan or oracle changed round 4: fresh evidence required
+    "g_pagerank_authority",  # top-k rewritten limit-first (no global window)
+    "j_fuzzy_tiered",  # tier-3 raw-substring fallback added
+    "t_corpus_datacard",  # est_tokens column added
+    "t_lang_token_mix",  # NEW round 4: per-language token budget
+    "t_mixture_rebalance",  # token-aware weights
+    "t_bm25_search",  # repeated-query-term dedup
+    "t_curation_funnel",  # oracle NOT IN -> NOT EXISTS
+    "t_unigram_logprob",  # scoped-persist cache change
 ]
 
 

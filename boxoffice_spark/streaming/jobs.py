@@ -282,16 +282,23 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     but inside foreachBatch each update is a plain batch DataFrame).
 
     The stream aggregates per-language counts in update mode; each batch
-    joins the (broadcast) corpus counts and rewrites the PSI table. After
-    the availableNow drain the final table equals the batch query's
-    output exactly — asserted in tests/test_streaming.py.
+    MERGES the changed languages' counts into a standing count view first
+    (update-mode batches carry only changed languages, each with its full
+    updated total), then recomputes EVERY language's PSI term from the
+    merged count table — so denominators are always global, never the
+    current update's partial sum, and the table is correct after any
+    number of micro-batches (maxFilesPerTrigger=1 forces one batch per
+    input file). After the availableNow drain the final table equals the
+    batch query's output exactly — asserted in tests/test_streaming.py
+    for both the single-file and the split-file (multi-batch) layouts.
     """
     from pyspark.sql import Window
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     raw = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", "documents*.parquet")
+        .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
     batch_counts = (
@@ -300,16 +307,35 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
         .filter(F.col("doc_id") % 10 != 0)
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_corpus"))
     )
     name = "s_drift_" + uuid.uuid4().hex[:12]
+    counts_name = name + "_counts"
 
     def emit_psi(update: DataFrame, batch_id: int) -> None:
+        # 1) merge this update's per-language counts into the standing count
+        # view (replace changed languages, keep the rest). foreachBatch runs
+        # in a CLONED session, so the handoff must be a GLOBAL temp view
+        # (plain temp views die with the micro-batch session).
+        s = update.sparkSession
+        try:
+            prev = s.table(f"global_temp.{counts_name}")
+            merged = prev.join(update.select("lang"), "lang", "left_anti").unionByName(
+                update
+            )
+        except Exception:
+            merged = update
+        merged = merged.localCheckpoint()
+        merged.createOrReplaceGlobalTempView(counts_name)
+        # 2) recompute ALL psi terms from the merged counts — global
+        # denominators every batch, so intermediate tables are internally
+        # consistent and the final one matches the batch query exactly.
         w = Window.partitionBy()
-        joined = update.join(corpus, "lang", "full_outer").select(
+        joined = merged.join(corpus, "lang", "full_outer").select(
             "lang",
             F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
             F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
@@ -319,17 +345,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = joined.select(
             "lang", "n_corpus", "n_batch", F.round((q - p) * F.log(q / p), 6).alias("psi_term")
         )
-        # update-mode batches carry only CHANGED languages; merge into the
-        # standing view so the final table covers every language. foreachBatch
-        # runs in a CLONED session, so the handoff must be a GLOBAL temp view
-        # (plain temp views die with the micro-batch session).
-        s = update.sparkSession
-        try:
-            prev = s.table(f"global_temp.{name}")
-            merged = prev.join(out.select("lang"), "lang", "left_anti").unionByName(out)
-        except Exception:
-            merged = out
-        merged.localCheckpoint().createOrReplaceGlobalTempView(name)
+        out.localCheckpoint().createOrReplaceGlobalTempView(name)
 
     q = (
         batch_counts.writeStream.outputMode("update")

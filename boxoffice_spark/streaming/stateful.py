@@ -188,11 +188,10 @@ def latest_stock_state(
         )
     )
     log = _drain_stream(out, max_polls)
-    from pyspark.sql import Window as W, functions as F
+    from pyspark.sql import functions as F
 
-    w = W.partitionBy("event_id", "theater_name").orderBy(F.desc("scraped_at"))
-    return (
-        log.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("event_id", "theater_name", "quantity", "scraped_at")
-    )
+    from boxoffice_spark.operators.temporal import latest_per_key
+
+    return latest_per_key(
+        log, ["event_id", "theater_name"], [F.desc("scraped_at")]
+    ).select("event_id", "theater_name", "quantity", "scraped_at")

@@ -111,3 +111,12 @@ def test_pagerank_invariants_and_determinism(spark):
     a = sorted(map(tuple, pagerank(star.repartition(1), n_iters=3).collect()))
     b = sorted(map(tuple, pagerank(star.repartition(7), n_iters=3).collect()))
     assert a == b, "pagerank not partitioning-independent"
+
+
+def test_pagerank_empty_edges(spark):
+    """An empty edge list returns an empty ranking (regression: used to
+    raise ZeroDivisionError on 1/n)."""
+    from boxoffice_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).collect() == []

@@ -126,6 +126,45 @@ def test_pq_recall_vs_exact_and_determinism(spark, sf_dir):
     assert approx == again, "PQ run not deterministic"
 
 
+def test_pq_small_corpus_clamps_ksub(spark, sf_dir):
+    """A corpus with fewer rows than ksub must still index (ksub clamps to
+    the corpus size instead of rng.choice(replace=False) raising); with the
+    shortlist covering the whole corpus the exact rerank makes the result
+    exact."""
+    from boxoffice_spark.operators.similarity import ann_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_pq_topk(emb, queries, k=3, ksub=16).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bm25_repeated_query_term_not_double_counted(spark):
+    """A term repeated in a query's term list must score identically to
+    listing it once (regression: duplicate (query_id, term) rows summed
+    that term's contribution twice)."""
+    from boxoffice_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple cherry date")],
+        "doc_id long, text string",
+    )
+    once = sorted(
+        map(tuple, bm25_topk(docs, "doc_id", "text", [(1, ["apple"])]).collect())
+    )
+    twice = sorted(
+        map(tuple, bm25_topk(docs, "doc_id", "text", [(1, ["apple", "apple"])]).collect())
+    )
+    assert once == twice and len(once) > 0
+
+
 def test_content_chunks_cover_and_share(spark, sf_dir):
     """CDC chunks must tile each document exactly (contiguous, full
     coverage), be deterministic, and near-duplicate documents must share

@@ -84,3 +84,15 @@ def test_snapshot_diff_null_transitions(spark):
         5: ("delete", "e"),    # only in old
         6: ("insert", None),   # only in new, all-NULL compare value
     }  # 3 (unchanged) and 4 (NULL == NULL) are absent
+
+
+def test_snapshot_diff_empty_compare_cols(spark):
+    """compare_cols=[] degrades to presence-only diffing: inserts and
+    deletes classify, keys present on both sides are never 'update'
+    (regression: F.when(None, ...) used to raise here)."""
+    from boxoffice_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], []).collect()}
+    assert got == {1: "delete", 3: "insert"}

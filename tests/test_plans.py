@@ -146,6 +146,15 @@ def test_vocab_topk_takeordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_pagerank_topk_takeordered_not_global_window(spark, sf_dir):
+    """g_pagerank_authority's top-20 must plan as TakeOrderedAndProject
+    (per-partition top-k merged on the driver); the rank column's window
+    then runs over just the 20 survivors. A row_number window over the
+    FULL node set would pull every node through one partition."""
+    plan = physical(SPECS["g_pagerank_authority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_histogram_single_shuffle(spark, sf_dir):
     plan = physical(SPECS["a_histogram"].fn(spark, sf_dir))
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]

@@ -168,3 +168,58 @@ def test_stream_drift_monitor_equals_batch(spark, sf_dir):
     got = sorted(map(tuple, stream_drift_monitor(spark, sf_dir).collect()))
     want = sorted(map(tuple, dq_distribution_drift(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stock_poll_stateful_equals_latest_state_view_semantics(spark):
+    """s_stock_poll_stateful_latest (applyInPandasWithState over the
+    bounded poll stream) must equal i_latest_state_view's EXACT code path —
+    operators/temporal.latest_per_key — applied to the full replayed poll
+    log. Two-sided equality: the stream's last-arrival state and the batch
+    window's latest-row pick agree key-for-key, value-for-value."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.temporal import latest_per_key
+    from boxoffice_spark.sources.rest_source import _poll_stock
+    from boxoffice_spark.streaming.stateful import latest_stock_state
+
+    n_events, n_theaters, max_polls = 4, 3, 6
+    streamed = latest_stock_state(spark, n_events, n_theaters, max_polls)
+
+    rows = [r for p in range(max_polls) for r in _poll_stock(p, n_events, n_theaters)]
+    log = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "theater_name", "quantity", "scraped_at"])
+    )
+    batch = latest_per_key(
+        log, ["event_id", "theater_name"], [F.desc("scraped_at")]
+    ).select("event_id", "theater_name", "quantity", "scraped_at")
+
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == n_events * n_theaters
+
+
+def test_stream_drift_monitor_multi_batch(spark, sf_dir, tmp_path):
+    """Split the documents table across two files so maxFilesPerTrigger=1
+    forces TWO update-mode micro-batches; the merged PSI table must still
+    equal the batch formula over the full set — this is exactly the
+    stale-denominator bug class: a merge that keeps earlier batches' psi
+    rows (computed with partial denominators) diverges here."""
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.quality import psi_drift_terms
+    from boxoffice_spark.streaming.jobs import stream_drift_monitor
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    cut = t.num_rows // 2
+    # split straddles languages: both halves contain every lang with high
+    # probability, so batch 2 UPDATES counts batch 1 already emitted
+    pq.write_table(t.slice(0, cut), str(tmp_path / "documents.parquet"))
+    pq.write_table(t.slice(cut), str(tmp_path / "documents_2.parquet"))
+
+    got = sorted(map(tuple, stream_drift_monitor(spark, str(tmp_path)).collect()))
+    full = spark.read.option("pathGlobFilter", "documents*.parquet").parquet(
+        str(tmp_path)
+    )
+    want = sorted(map(tuple, psi_drift_terms(full).collect()))
+    assert got == want and len(got) > 0

@@ -1,0 +1,167 @@
+"""sf1 scale validation of the heavy operator tier (round-4 VERDICT item 3).
+
+Materializes an sf1 dataset (10x sf0.1: ~6M lineitem, 50k documents, 20k
+embeddings) with DuckDB, then measures the heavy-tier queries at sf0.1 AND
+sf1 and reports the observed growth exponent
+
+    alpha = log(t_sf1 / t_sf0.1) / log(10)
+
+(alpha ~ 1.0 = linear in corpus size; alpha ~ 2.0 would be the quadratic
+pair blowup the posting caps exist to prevent). Optionally runs the DuckDB
+oracle sweep for the oracle-backed subset at sf1 (--oracle).
+
+Inflation preserves workload character (same rules as tools/scale_probe.py):
+- documents: vowel-rotated text per copy -> distinct shingles, postings grow
+  linearly, pair output stays bounded. n_chars is length-preserving.
+- embeddings: the vector is cyclically rotated per copy -> copies are
+  ~orthogonal, so the near-dup/ANN structure doesn't quadratically densify.
+- lineitem: shifted l_orderkey (new fact rows, same dims/groups).
+- dimension/other tables copied verbatim.
+
+Usage:
+    python tools/sf1_probe.py [--oracle] [--regen]
+Env: SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1),
+     SPARK_GRAFT_SF_DIR (sf0.1 source, default /root/testdata/sf0.1)
+Prints one JSON line:
+    {"sf1_probe": {op: {"sf0.1_s": .., "sf1_s": .., "alpha": ..}, ...},
+     "oracle": {op: "OK"/"MISMATCH: ..."} | null}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+COPIES = 10
+VOWELS = "aeiou"
+
+# the heavy tier named by the round-3 verdict; oracle-backed subset marked
+HEAVY = [
+    ("t_winnow_dup_pairs", True),
+    ("t_chunk_dup_pairs", True),
+    ("t_minhash_lsh_pairs", True),
+    ("t_bm25_search", True),
+    ("t_curation_funnel", True),
+    ("v_ann_lsh_topk", False),
+    ("v_ann_ivf_topk", False),
+    ("v_ann_pq_topk", False),
+    ("v_embedding_near_dup_lsh", False),
+    ("flagship_daily_topk_delta", True),
+]
+
+
+def generate(regen: bool = False) -> None:
+    """Build the sf1 directory with DuckDB (single parquet file per table —
+    both Spark and the DuckDB oracle read them unchanged)."""
+    import duckdb
+
+    if os.path.isdir(DST) and not regen:
+        return
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy_union(table: str, select_for_copy) -> None:
+        parts = [select_for_copy(i) for i in range(COPIES)]
+        union = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({union}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+
+    def doc_select(i: int) -> str:
+        if i == 0:
+            return f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"
+        rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        return (
+            f"SELECT doc_id + {i * 10_000_000} AS doc_id,"
+            f" translate(text, '{VOWELS}', '{rot}') AS text,"
+            f" lang, source, n_chars"
+            f" FROM read_parquet('{SRC}/documents.parquet')"
+        )
+
+    def emb_select(i: int) -> str:
+        if i == 0:
+            return f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet')"
+        # cyclic rotation by i: distinct, ~orthogonal copies
+        return (
+            f"SELECT vec_id + {i * 10_000_000} AS vec_id,"
+            f" CAST(list_slice(embedding, {i + 1}, len(embedding))"
+            f"  || list_slice(embedding, 1, {i}) AS FLOAT[]) AS embedding,"
+            f" label"
+            f" FROM read_parquet('{SRC}/embeddings.parquet')"
+        )
+
+    def li_select(i: int) -> str:
+        if i == 0:
+            return f"SELECT * FROM read_parquet('{SRC}/lineitem.parquet')"
+        return (
+            f"SELECT l_orderkey + {i * 100_000_000} AS l_orderkey,"
+            f" l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
+            f" l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+            f" FROM read_parquet('{SRC}/lineitem.parquet')"
+        )
+
+    copy_union("documents", doc_select)
+    copy_union("embeddings", emb_select)
+    copy_union("lineitem", li_select)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "events"]:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    con.close()
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    do_oracle = "--oracle" in sys.argv
+    generate(regen="--regen" in sys.argv)
+
+    import math
+
+    from boxoffice_spark.registry import load_all
+    from boxoffice_spark.session import get_spark
+
+    spark = get_spark("sf1_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    specs = load_all()
+
+    def run(fn, sf_dir: str) -> float:
+        runs = []
+        for _ in range(2):  # run 1 pays codegen; run 2 is steady-state
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    results: dict[str, dict[str, float]] = {}
+    for name, _ in HEAVY:
+        fn = specs[name].fn
+        t_small = run(fn, SRC)
+        t_big = run(fn, DST)
+        alpha = math.log(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log(COPIES)
+        results[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "alpha": round(alpha, 2)}
+
+    oracle_out = None
+    if do_oracle:
+        from boxoffice_spark.testing import compare, duckdb_connect
+
+        con = duckdb_connect(DST)
+        oracle_out = {}
+        for name, has_oracle in HEAVY:
+            if not has_oracle:
+                continue
+            spec = specs[name]
+            r = compare(name, spec.fn(spark, DST), con, spec.oracle)
+            oracle_out[name] = "OK" if r.ok else str(r)
+
+    print(json.dumps({"sf1_probe": results, "oracle": oracle_out, "sf1_dir": DST}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
