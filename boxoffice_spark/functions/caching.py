@@ -23,14 +23,23 @@ _SCOPED: dict[str, DataFrame] = {}
 
 def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
     """Persist ``df`` under ``scope``, unpersisting whatever the same scope
-    persisted previously. Non-blocking unpersist: in-flight jobs that still
-    reference the old cache recompute missing blocks instead of failing."""
-    prev = _SCOPED.pop(scope, None)
+    persisted previously — UNLESS the new plan is semantically identical to
+    the cached one, in which case the existing handle is returned and its
+    (possibly already materialized) cache is reused. Re-running the same
+    operator on the same inputs is the common steady-state (dashboards,
+    benchmark warm runs); evicting a cache only to rebuild the identical
+    one would throw that warm state away. Non-blocking unpersist: in-flight
+    jobs that still reference the old cache recompute missing blocks
+    instead of failing."""
+    prev = _SCOPED.get(scope)
     if prev is not None:
         try:
+            if prev.sparkSession is df.sparkSession and prev.sameSemantics(df):
+                return prev
             prev.unpersist(blocking=False)
         except Exception:
             pass  # session of the previous handle may already be stopped
+        _SCOPED.pop(scope, None)
     out = df.persist()
     _SCOPED[scope] = out
     return out

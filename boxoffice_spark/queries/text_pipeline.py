@@ -799,6 +799,83 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents)
+        WHERE term <> ''
+    ), vocab AS (
+        SELECT term, count(*) AS tf FROM t GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM t
+    ), scored AS (
+        SELECT doc_id, round(log10(CAST(tf AS DOUBLE) / n), 6) AS lp
+        FROM t JOIN vocab USING (term) CROSS JOIN tot
+    ), doclp AS (
+        SELECT doc_id, {davg_sql('lp', 6)} AS avg_logprob
+        FROM scored GROUP BY 1
+    ), labeled AS (
+        SELECT d.lang, doclp.avg_logprob,
+               ntile(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY doclp.avg_logprob DESC, doclp.doc_id
+               ) AS t3
+        FROM doclp JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           {davg_sql('avg_logprob', 12)} AS mean_logprob
+    FROM labeled GROUP BY 1, 2
+    """,
+    bench=True,
+    tags=("text", "quality", "lm", "mixture"),
+)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document lands in its
+    language's head/middle/tail third by LM score (here the corpus-unigram
+    mean log-prob from t_unigram_logprob — the same composition CCNet does
+    with KenLM perplexity), reported as per-(lang, bucket) counts and mean
+    scores. The head third is what CCNet keeps outright; the tail is what
+    quality-focused corpora drop or down-weight.
+
+    Composition, not re-implementation: the per-doc score IS
+    t_unigram_logprob's output joined back to the language column. Exact
+    tertiles via ntile(3) per language (rank-based, deterministic with the
+    (score, doc_id) total order, oracle-able). Scale note: per-lang ntile
+    is a per-lang sort; at 100 TB compute the two cutoff scores per
+    language on a sample (approx_percentile) and assign buckets with a
+    scan-side threshold compare instead — the reported aggregate is the
+    same shape, only the boundary is approximate (that IS what CCNet
+    ships)."""
+    from pyspark.sql import Window
+
+    from boxoffice_spark.functions.numeric import davg
+
+    lp = t_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    t3 = F.ntile(3).over(w)
+    bucket = (
+        F.when(t3 == 1, "head").when(t3 == 2, "middle").otherwise("tail")
+    )
+    return (
+        lp.join(d, "doc_id")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # scale=12, not 6: the inputs are sum(6dp-decimals)/n quotients
+            # whose doubles can sit exactly ON a 6dp .5 boundary (observed:
+            # one bucket mean split HALF_UP/down across engines at scale 6);
+            # at 12dp the quotient's true value is far from any boundary.
+            davg("avg_logprob", 12).alias("mean_logprob"),
+        )
+    )
+
+
 _BIGRAM_PAIRS = (
     "CASE WHEN len(ws) >= 2 THEN "
     "list_transform(generate_series(2, len(ws)), i -> {{'w1': ws[i-1], 'w2': ws[i]}}) "
@@ -1043,6 +1120,69 @@ _BM25_QUERIES = [
 _BM25_Q_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
 )
+
+
+@register(
+    "t_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, doc_id % 8 AS shard,
+               {TS.BPEISH_SQL.format(col='text')} AS n_tok
+        FROM documents
+    ), binned AS (
+        SELECT lang, shard, n_tok,
+               CAST(floor(coalesce(sum(n_tok) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / 2048.0, 6) AS fill_rate
+    FROM binned GROUP BY lang, shard, bin_id
+    """,
+    bench=True,
+    tags=("text", "packing", "tokens"),
+)
+def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed token-budget
+    bins (2048 est. tokens) by deterministic contiguous fill — each doc
+    joins the bin its cumulative-token start position falls in, streaming
+    in doc_id order. The 'sample packing' step every pretraining loader
+    runs before writing shuffled training shards; a doc longer than the
+    budget overflows its bin (belongs where it starts), matching greedy
+    contiguous packers.
+
+    Scale shape: packing is per (lang, shard) — doc_id % 8 here, file- or
+    partition-sized shards in production — NEVER a global stream: each
+    shard's cumulative sum is an independent window partition, so the
+    packing of a 100 TB corpus is embarrassingly parallel and adding
+    shards never reassigns existing bins within a shard. One shuffle on
+    (lang, shard), one partition-local sort, tiny per-bin aggregate out."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        TS.bpe_ish_token_count("text").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(2048.0)),
+    )
+    return binned.groupBy("lang", "shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.round(F.sum("n_tok").cast("double") / F.lit(2048.0), 6).alias("fill_rate"),
+    )
 
 
 @register(

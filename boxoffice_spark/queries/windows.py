@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import davg, davg_sql
+from boxoffice_spark.functions.numeric import davg, davg_sql, dsum_sql
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -324,15 +324,39 @@ def w_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("w_ewma_daily_revenue", oracle=None, tags=("window", "timeseries", "pandas-op"))
+@register(
+    "w_ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+               {dsum_sql('o_totalprice', 2)} AS revenue
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
+        GROUP BY 1, 2
+    ), series AS (
+        SELECT status,
+               list(day ORDER BY day) AS days,
+               list(revenue ORDER BY day) AS revs
+        FROM daily GROUP BY status
+    )
+    SELECT status, unnest(days) AS day, unnest(revs) AS revenue,
+           unnest(list_transform(range(1, len(revs)+1),
+               i -> round(list_reduce(revs[1:i], (acc, x) -> 0.3*x + 0.7*acc), 6)))
+               AS ewma
+    FROM series
+    """,
+    tags=("window", "timeseries", "pandas-op"),
+)
 def w_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status EWMA (alpha=0.3) of daily revenue — the anomaly-baseline
     smoother, via the canonical groupBy().applyInPandas per-key ordered
     recursion (operators/temporal.ewma_by_key): EWMA's y_t = a*x_t +
-    (1-a)*y_{t-1} recursion is not expressible as a SQL window frame.
-    Rows-only by construction; tests/test_temporal.py asserts equality
-    against a single-machine reference on the collected series and
-    partitioning-independence."""
+    (1-a)*y_{t-1} recursion is not expressible as a SQL window FRAME —
+    but it IS expressible as a per-key list fold, which is exactly what
+    the DuckDB oracle does (list_reduce prefix folds per row, identical
+    IEEE recursion, 6dp-rounded on both sides), upgrading this from
+    rows-only to a cell-exact oracle row. tests/test_temporal.py
+    additionally asserts partitioning-independence."""
     from boxoffice_spark.functions.numeric import dsum
     from boxoffice_spark.operators.temporal import ewma_by_key
 

@@ -84,10 +84,13 @@ _PINNED = [
     "j_fuzzy_tiered",  # tier-3 raw-substring fallback added
     "t_corpus_datacard",  # est_tokens column added
     "t_lang_token_mix",  # NEW round 4: per-language token budget
+    "t_sequence_packing",  # NEW round 4: token-budget sample packing
+    "t_perplexity_buckets",  # NEW round 4: CCNet-style head/middle/tail
     "t_mixture_rebalance",  # token-aware weights
     "t_bm25_search",  # repeated-query-term dedup
     "t_curation_funnel",  # oracle NOT IN -> NOT EXISTS
     "t_unigram_logprob",  # scoped-persist cache change
+    "w_ewma_daily_revenue",  # oracle added round 4 (list_reduce prefix folds)
 ]
 
 

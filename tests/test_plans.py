@@ -155,6 +155,15 @@ def test_pagerank_topk_takeordered_not_global_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """Packing shuffles ONCE on (lang, shard): the per-bin aggregate's
+    grouping keys are a superset of the window's partition keys, so the
+    window exchange must satisfy the groupBy with no second exchange."""
+    plan = physical(SPECS["t_sequence_packing"].fn(spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) == 1, plan
+
+
 def test_histogram_single_shuffle(spark, sf_dir):
     plan = physical(SPECS["a_histogram"].fn(spark, sf_dir))
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]

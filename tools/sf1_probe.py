@@ -19,7 +19,7 @@ Inflation preserves workload character (same rules as tools/scale_probe.py):
 - dimension/other tables copied verbatim.
 
 Usage:
-    python tools/sf1_probe.py [--oracle] [--regen]
+    python tools/sf1_probe.py [--oracle] [--oracle-only] [--regen]
 Env: SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1),
      SPARK_GRAFT_SF_DIR (sf0.1 source, default /root/testdata/sf0.1)
 Prints one JSON line:
@@ -42,18 +42,20 @@ DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 COPIES = 10
 VOWELS = "aeiou"
 
-# the heavy tier named by the round-3 verdict; oracle-backed subset marked
+# the heavy tier named by the round-3 verdict; the oracle sweep runs for
+# whichever of these carry an oracle in the registry (the LSH/CDC pair
+# generators and the ANN family are rows-only by construction)
 HEAVY = [
-    ("t_winnow_dup_pairs", True),
-    ("t_chunk_dup_pairs", True),
-    ("t_minhash_lsh_pairs", True),
-    ("t_bm25_search", True),
-    ("t_curation_funnel", True),
-    ("v_ann_lsh_topk", False),
-    ("v_ann_ivf_topk", False),
-    ("v_ann_pq_topk", False),
-    ("v_embedding_near_dup_lsh", False),
-    ("flagship_daily_topk_delta", True),
+    "t_winnow_dup_pairs",
+    "t_chunk_dup_pairs",
+    "t_minhash_lsh_pairs",
+    "t_bm25_search",
+    "t_curation_funnel",
+    "v_ann_lsh_topk",
+    "v_ann_ivf_topk",
+    "v_ann_pq_topk",
+    "v_embedding_near_dup_lsh",
+    "flagship_daily_topk_delta",
 ]
 
 
@@ -115,7 +117,8 @@ def generate(regen: bool = False) -> None:
 
 def main() -> None:
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
-    do_oracle = "--oracle" in sys.argv
+    oracle_only = "--oracle-only" in sys.argv
+    do_oracle = "--oracle" in sys.argv or oracle_only
     generate(regen="--regen" in sys.argv)
 
     import math
@@ -139,25 +142,35 @@ def main() -> None:
         return round(min(runs), 3)
 
     results: dict[str, dict[str, float]] = {}
-    for name, _ in HEAVY:
-        fn = specs[name].fn
-        t_small = run(fn, SRC)
-        t_big = run(fn, DST)
-        alpha = math.log(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log(COPIES)
-        results[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "alpha": round(alpha, 2)}
+    if not oracle_only:
+        for name in HEAVY:
+            fn = specs[name].fn
+            t_small = run(fn, SRC)
+            t_big = run(fn, DST)
+            alpha = math.log(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log(COPIES)
+            results[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "alpha": round(alpha, 2)}
+            print(f"# timed {name}: {results[name]}", file=sys.stderr)
 
     oracle_out = None
     if do_oracle:
         from boxoffice_spark.testing import compare, duckdb_connect
 
-        con = duckdb_connect(DST)
         oracle_out = {}
-        for name, has_oracle in HEAVY:
-            if not has_oracle:
-                continue
+        for name in HEAVY:
             spec = specs[name]
-            r = compare(name, spec.fn(spark, DST), con, spec.oracle)
-            oracle_out[name] = "OK" if r.ok else str(r)
+            if spec.oracle is None:
+                continue
+            # fresh connection per query: a DuckDB internal error poisons
+            # the connection it happened on
+            con = duckdb_connect(DST)
+            try:
+                r = compare(name, spec.fn(spark, DST), con, spec.oracle)
+                oracle_out[name] = "OK" if r.ok else str(r)
+            except Exception as exc:  # engine error, not a value mismatch
+                oracle_out[name] = f"ORACLE-ERROR: {type(exc).__name__}: {exc}"
+            finally:
+                con.close()
+            print(f"# oracle {name}: {oracle_out[name][:120]}", file=sys.stderr)
 
     print(json.dumps({"sf1_probe": results, "oracle": oracle_out, "sf1_dir": DST}))
     spark.stop()
