@@ -703,6 +703,35 @@ FROM totals t LEFT JOIN hits hi USING (doc_id)
 """
 
 
+def doc_units(
+    df: DataFrame, id_col: str, text_col: str, unit_words: int = 8
+) -> DataFrame:
+    """Segment every document into consecutive ``unit_words``-word units:
+    (id, pos, line) rows, empty units dropped. The shared tiling step
+    under line_dedup (keep-first span dedup) and boilerplate mining —
+    scan-local (posexplode), zero shuffles."""
+    norm = normalized_text(text_col)
+    words = F.split(norm, " ")
+    # built on the materialized _w column, not the original text — the
+    # Generate projection below drops text_col
+    n_units = F.ceil(F.size(F.col("_w")) / F.lit(unit_words)).cast("int")
+    return (
+        df.select(F.col(id_col), F.explode(F.array(words)).alias("_w"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_units, F.lit(0)) - 1),
+                    lambda s: F.array_join(
+                        F.slice(F.col("_w"), s * unit_words + 1, unit_words), " "
+                    ),
+                )
+            ).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,
@@ -729,26 +758,7 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
-    norm = normalized_text(text_col)
-    words = F.split(norm, " ")
-    # built on the materialized _w column, not the original text — the
-    # Generate projection below drops text_col
-    n_units = F.ceil(F.size(F.col("_w")) / F.lit(unit_words)).cast("int")
-    segs = (
-        df.select(F.col(id_col), F.explode(F.array(words)).alias("_w"))
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(n_units, F.lit(0)) - 1),
-                    lambda s: F.array_join(
-                        F.slice(F.col("_w"), s * unit_words + 1, unit_words), " "
-                    ),
-                )
-            ).alias("pos", "line"),
-        )
-        .filter(F.col("line") != "")
-    )
+    segs = doc_units(df, id_col, text_col, unit_words)
     w = Window.partitionBy("line").orderBy(id_col, "pos")
     kept = segs.withColumn("keep", F.row_number().over(w) == 1)
     agg = kept.groupBy(id_col).agg(

@@ -189,6 +189,90 @@ def v_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "v_embedding_drift",
+    oracle="""
+    WITH ex AS (
+        SELECT label, is_batch, p.dim AS dim, CAST(p.val AS DOUBLE) AS val
+        FROM (
+            SELECT label, vec_id % 10 = 0 AS is_batch,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {'dim': i, 'val': embedding[i]})) AS p
+            FROM embeddings
+        )
+    ), per_dim AS (
+        SELECT label, dim,
+               cast(sum(cast(CASE WHEN NOT is_batch THEN val END
+                             as decimal(27,9))) as double)
+                   / count(CASE WHEN NOT is_batch THEN val END) AS cm,
+               cast(sum(cast(CASE WHEN is_batch THEN val END
+                             as decimal(27,9))) as double)
+                   / count(CASE WHEN is_batch THEN val END) AS bm
+        FROM ex GROUP BY 1, 2
+    ), counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_batch
+        FROM embeddings GROUP BY 1
+    )
+    SELECT p.label, c.n_corpus, c.n_batch,
+           round(cast(sum(cast((cm - bm) * (cm - bm) as decimal(27,12)))
+                      as double), 9) AS centroid_shift_sq
+    FROM per_dim p JOIN counts c USING (label)
+    GROUP BY p.label, c.n_corpus, c.n_batch
+    """,
+    bench=True,
+    tags=("similarity", "drift", "quality"),
+)
+def v_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift monitor: per label, the squared L2
+    distance between the incoming batch's mean vector (vec_id % 10 == 0 —
+    the same batch split as dq_distribution_drift) and the standing
+    corpus's — the vector-space analog of the PSI language gate. Catches a
+    silently retrained/mismatched embedding model or a poisoned feed
+    before it contaminates ANN indexes and semantic dedup.
+
+    Determinism: per-dimension means use decimal-summed conditional
+    aggregates (order-independent), the shift is a decimal sum of squared
+    mean deltas — cell-exact against the DuckDB oracle. Scale shape: one
+    posexplode scan -> one (label, dim) partial-agg shuffle (tiny: labels
+    x dims rows) -> per-label fold; the corpus is never shuffled whole."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 10 == 0).alias("is_batch"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        (
+            dsum(F.when(~F.col("is_batch"), F.col("val")), 9)
+            / F.count(F.when(~F.col("is_batch"), F.col("val")))
+        ).alias("cm"),
+        (
+            dsum(F.when(F.col("is_batch"), F.col("val")), 9)
+            / F.count(F.when(F.col("is_batch"), F.col("val")))
+        ).alias("bm"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 10 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    shift = (F.col("cm") - F.col("bm")) * (F.col("cm") - F.col("bm"))
+    return (
+        per_dim.join(F.broadcast(counts), "label")
+        .groupBy("label", "n_corpus", "n_batch")
+        .agg(F.round(dsum(shift, 12), 9).alias("centroid_shift_sq"))
+    )
+
+
 @register("v_ann_ivf_topk", oracle=None, bench=True, tags=("similarity", "ann", "ivf"))
 def v_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer + probe-nearest-cells + exact

@@ -84,3 +84,15 @@ def s_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_drift_monitor
 
     return stream_drift_monitor(spark, sf_dir)
+
+
+@register("s_stream_embedding_drift", oracle=None, tags=("streaming", "drift", "vector"))
+def s_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch embedding-centroid drift via foreachBatch: the
+    stream's per-(label, dim) decimal sums merge into a standing view and
+    every label's centroid shift is recomputed per batch (multi-batch-safe
+    denominators, O(labels x dims) state). Batch twin: v_embedding_drift;
+    final-table equality asserted in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_embedding_drift
+
+    return stream_embedding_drift(spark, sf_dir)

@@ -800,6 +800,79 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_source_quality_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, md5({_NORM}) AS fp,
+               round({_QUALITY_EXPR_SQL}, 6) AS q,
+               {TS.BPEISH_SQL.format(col='text')} AS n_tok
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+           {davg_sql('q', 6)} AS mean_quality,
+           CAST(sum(n_tok) AS BIGINT) AS est_tokens
+    FROM base GROUP BY source
+    """,
+    tags=("text", "quality", "datacard", "source"),
+)
+def t_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: document count, within-source exact-dup
+    rate, mean heuristic quality, and estimated token volume — the
+    domain/feed-level scorecard (RefinedWeb/Dolma-style source triage:
+    which feeds to keep, down-weight, or drop before any per-document
+    filtering spends compute). One scan, one per-source aggregate; the
+    fingerprint distinct swaps for approx_count_distinct at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.md5(D.normalized_text("text")).alias("fp"),
+        F.round(TS.quality_score("text"), 6).alias("q"),
+        TS.bpe_ish_token_count("text").alias("n_tok"),
+    )
+    from boxoffice_spark.functions.numeric import davg
+
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        davg("q", 6).alias("mean_quality"),
+        F.sum("n_tok").cast("long").alias("est_tokens"),
+    )
+
+
+@register(
+    "t_dup_cluster_sizes",
+    oracle=f"""
+    WITH groups AS (
+        SELECT md5({_NORM}) AS fp, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    )
+    SELECT n_copies AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_removable
+    FROM groups GROUP BY 1
+    """,
+    tags=("dedup", "report"),
+)
+def t_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many exact-dup groups of each
+    size exist, how many documents they hold, and how many rows dedup
+    would remove (size - 1 per cluster) — the before/after sizing report
+    every dedup run publishes (cluster_size 1 = unique docs). Composes
+    exact_dedup's grouping; two narrow aggregates, output rows = number
+    of distinct cluster sizes (tiny at any corpus scale)."""
+    groups = D.exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return groups.groupBy(F.col("n_copies").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        (F.sum("n_copies") - F.count("*")).cast("long").alias("n_removable"),
+    )
+
+
+@register(
     "t_perplexity_buckets",
     oracle=f"""
     WITH t AS (
@@ -1030,6 +1103,54 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     back reassembled with duplicate spans cut and kept/dropped counts.
     The span-level tier between exact-dedup and the pair generators."""
     return D.line_dedup(table(spark, sf_dir, "documents"), "doc_id", "text", unit_words=8)
+
+
+@register(
+    "t_boilerplate_units",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ), segs AS (
+        SELECT doc_id,
+               array_to_string(list_slice(words, s * 8 + 1, s * 8 + 8), ' ') AS line
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(CAST(ceil(len(words) / 8.0) AS BIGINT))) AS s
+            FROM w WHERE len(words) > 0
+        )
+        WHERE array_to_string(list_slice(words, s * 8 + 1, s * 8 + 8), ' ') <> ''
+    ), freq AS (
+        SELECT line, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+    )
+    SELECT line, n_docs, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, line) AS INT) AS rnk
+    FROM freq ORDER BY rnk LIMIT 50
+    """,
+    tags=("dedup", "span", "boilerplate"),
+)
+def t_boilerplate_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 8-word units shared by >= 3 distinct
+    documents, ranked by document reach — the survey step before span
+    dedup (t_line_dedup removes repeats mechanically; this query shows
+    WHAT the repeated spans are: navigation chrome, license headers,
+    template sentences — CCNet/RefinedWeb run exactly this to build
+    boilerplate blocklists). Same scan-local tiling as line_dedup
+    (operators/dedup.doc_units); one (unit) shuffle folds both counts
+    from the (line, doc) pre-aggregate; top-k before rank keeps the
+    global window off the full unit vocabulary."""
+    segs = D.doc_units(table(spark, sf_dir, "documents"), "doc_id", "text", 8)
+    per_doc = segs.groupBy("line", "doc_id").agg(F.count("*").alias("c"))
+    freq = (
+        per_doc.groupBy("line")
+        .agg(F.count("*").alias("n_docs"), F.sum("c").alias("n_occurrences"))
+        .filter(F.col("n_docs") >= 3)
+    )
+    top = freq.orderBy(F.desc("n_docs"), F.asc("line")).limit(50)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("n_docs"), F.asc("line")))
+    return top.withColumn("rnk", rnk).orderBy("rnk")
 
 
 @register(

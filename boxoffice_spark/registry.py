@@ -86,6 +86,10 @@ _PINNED = [
     "t_lang_token_mix",  # NEW round 4: per-language token budget
     "t_sequence_packing",  # NEW round 4: token-budget sample packing
     "t_perplexity_buckets",  # NEW round 4: CCNet-style head/middle/tail
+    "t_source_quality_report",  # NEW round 4: per-source triage scorecard
+    "t_dup_cluster_sizes",  # NEW round 4: dedup sizing histogram
+    "v_embedding_drift",  # NEW round 4: centroid-shift ingest gate
+    "t_boilerplate_units",  # NEW round 4: boilerplate blocklist mining
     "t_mixture_rebalance",  # token-aware weights
     "t_bm25_search",  # repeated-query-term dedup
     "t_curation_funnel",  # oracle NOT IN -> NOT EXISTS

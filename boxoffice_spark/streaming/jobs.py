@@ -355,3 +355,90 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(f"global_temp.{name}")
+
+
+def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of v_embedding_drift: the incoming embedding stream's
+    per-label centroid is tracked incrementally and compared against the
+    STATIC standing-corpus centroid per micro-batch. Same multi-batch-safe
+    foreachBatch pattern as stream_drift_monitor: the update-mode stream
+    aggregates per-(label, dim) decimal sums + counts (each update row
+    carries the full new total for its key), each batch MERGES changed
+    keys into a standing sum view, then recomputes EVERY label's shift
+    from the merged sums — so intermediate tables always use complete
+    totals, and after the drain the final table equals the batch query
+    exactly (asserted in tests/test_streaming.py, single- and split-file
+    layouts). State is O(labels x dims) — independent of stream length."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    schema = "vec_id long, embedding array<float>, label int"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    batch_sums = (
+        raw.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+        )
+        .groupBy("label", "dim")
+        .agg(dsum("val", 9).alias("s_batch"), F.count("*").alias("n_batch"))
+    )
+    static = spark.read.option("pathGlobFilter", "embeddings*.parquet").parquet(sf_dir)
+    corpus_dims = (
+        static.filter(F.col("vec_id") % 10 != 0)
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (dsum("val", 9) / F.count("val")).alias("cm"),
+            F.count("*").alias("n_corpus"),
+        )
+    )
+    name = "s_edrift_" + uuid.uuid4().hex[:12]
+    sums_name = name + "_sums"
+
+    def emit_shift(update: DataFrame, batch_id: int) -> None:
+        s = update.sparkSession
+        try:
+            prev = s.table(f"global_temp.{sums_name}")
+            merged = prev.join(
+                update.select("label", "dim"), ["label", "dim"], "left_anti"
+            ).unionByName(update)
+        except Exception:
+            merged = update
+        merged = merged.localCheckpoint()
+        merged.createOrReplaceGlobalTempView(sums_name)
+        per_dim = merged.join(corpus_dims, ["label", "dim"]).select(
+            "label",
+            "dim",
+            "cm",
+            (F.col("s_batch") / F.col("n_batch")).alias("bm"),
+            "n_corpus",
+            "n_batch",
+        )
+        shift = (F.col("cm") - F.col("bm")) * (F.col("cm") - F.col("bm"))
+        out = (
+            per_dim.groupBy("label")
+            .agg(
+                F.max("n_corpus").alias("n_corpus"),  # per-dim counts all equal
+                F.max("n_batch").cast("long").alias("n_batch"),
+                F.round(dsum(shift, 12), 9).alias("centroid_shift_sq"),
+            )
+            .select("label", "n_corpus", "n_batch", "centroid_shift_sq")
+        )
+        out.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        batch_sums.writeStream.outputMode("update")
+        .foreachBatch(emit_shift)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"global_temp.{name}")

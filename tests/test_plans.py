@@ -155,6 +155,22 @@ def test_pagerank_topk_takeordered_not_global_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_boilerplate_units_takeordered(spark, sf_dir):
+    """Boilerplate top-50 must plan as TakeOrderedAndProject — the rank
+    window runs over 50 survivors, never the full unit vocabulary."""
+    plan = physical(SPECS["t_boilerplate_units"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_drift_no_cartesian_no_python(spark, sf_dir):
+    """The centroid-drift plan stays pure Catalyst (posexplode + partial
+    aggs): no Python evaluation, no cartesian product, counts broadcast."""
+    plan = physical(SPECS["v_embedding_drift"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_sequence_packing_single_shuffle(spark, sf_dir):
     """Packing shuffles ONCE on (lang, shard): the per-bin aggregate's
     grouping keys are a superset of the window's partition keys, so the

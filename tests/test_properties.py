@@ -178,3 +178,44 @@ def test_line_dedup_identity_and_conservation(spark, texts):
         for i, units in units_by_doc.items():
             assert out[i].cleaned_text == " ".join(units)
             assert out[i].n_dropped == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # latin, digits, punctuation, whitespace, Hangul, CJK, accents —
+            # the alphabets where Java-regex and RE2 classes could drift
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                whitelist_characters="가힣한글漢字中文éüñ\t\n",
+            ),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bpeish_token_count_matches_duckdb(spark, texts):
+    """The BPE-ish token estimator must agree cell-for-cell between the
+    Spark expression (Java regex) and the DuckDB oracle twin (RE2) for ANY
+    unicode input — three oracle-backed queries (datacard, token mix,
+    sequence packing) ride this parity."""
+    import duckdb
+
+    from boxoffice_spark.operators.textstats import BPEISH_SQL, bpe_ish_token_count
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", bpe_ish_token_count("text").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(f"SELECT i, {BPEISH_SQL.format(col='text')} FROM t").fetchall()
+    )
+    assert got == want

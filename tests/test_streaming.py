@@ -170,6 +170,73 @@ def test_stream_drift_monitor_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_embedding_drift_equals_batch(spark, sf_dir):
+    """After the drain, the incremental centroid-shift table must equal
+    v_embedding_drift's batch output exactly (decimal sums make the
+    streaming accumulation order irrelevant)."""
+    from boxoffice_spark.queries.similarity import v_embedding_drift
+    from boxoffice_spark.streaming.jobs import stream_embedding_drift
+
+    got = sorted(map(tuple, stream_embedding_drift(spark, sf_dir).collect()))
+    want = sorted(map(tuple, v_embedding_drift(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_embedding_drift_multi_batch(spark, sf_dir, tmp_path):
+    """Split the embeddings across two files -> two update-mode
+    micro-batches; the merged sums must still reproduce the batch result
+    (the stale-denominator bug class for the vector gate)."""
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.streaming.jobs import stream_embedding_drift
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    cut = t.num_rows // 2
+    pq.write_table(t.slice(0, cut), str(tmp_path / "embeddings.parquet"))
+    pq.write_table(t.slice(cut), str(tmp_path / "embeddings_2.parquet"))
+
+    got = sorted(map(tuple, stream_embedding_drift(spark, str(tmp_path)).collect()))
+
+    # batch expected over the SAME two-file layout, same formula
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.functions.numeric import dsum
+
+    e = spark.read.option("pathGlobFilter", "embeddings*.parquet").parquet(
+        str(tmp_path)
+    )
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 10 == 0).alias("is_batch"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        (
+            dsum(F.when(~F.col("is_batch"), F.col("val")), 9)
+            / F.count(F.when(~F.col("is_batch"), F.col("val")))
+        ).alias("cm"),
+        (
+            dsum(F.when(F.col("is_batch"), F.col("val")), 9)
+            / F.count(F.when(F.col("is_batch"), F.col("val")))
+        ).alias("bm"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 10 != 0, 1).otherwise(0)).cast("long").alias("n_corpus"),
+        F.sum(F.when(F.col("vec_id") % 10 == 0, 1).otherwise(0)).cast("long").alias("n_batch"),
+    )
+    shift = (F.col("cm") - F.col("bm")) * (F.col("cm") - F.col("bm"))
+    want = sorted(
+        map(
+            tuple,
+            per_dim.join(F.broadcast(counts), "label")
+            .groupBy("label", "n_corpus", "n_batch")
+            .agg(F.round(dsum(shift, 12), 9).alias("centroid_shift_sq"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stock_poll_stateful_equals_latest_state_view_semantics(spark):
     """s_stock_poll_stateful_latest (applyInPandasWithState over the
     bounded poll stream) must equal i_latest_state_view's EXACT code path —
