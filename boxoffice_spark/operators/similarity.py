@@ -384,7 +384,12 @@ def ann_pq_topk(
     import numpy as np
     import pandas as pd
 
-    d_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    probe_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe_row is None:
+        # must precede the d-probe subscript and the train collect — an
+        # empty corpus would otherwise die with an opaque NoneType error
+        raise ValueError("ann_pq_topk: corpus is empty — nothing to index")
+    d_probe = probe_row["d"]
     if d_probe % m != 0:
         raise ValueError(f"dim {d_probe} not divisible by m={m}")
     dsub = d_probe // m
@@ -403,8 +408,6 @@ def ann_pq_topk(
     # clamp instead of letting rng.choice(replace=False) raise; fewer
     # centroids only coarsens the quantizer, ADC stays well-defined
     ksub = min(ksub, len(train_rows))
-    if ksub == 0:
-        raise ValueError("ann_pq_topk: corpus is empty — nothing to index")
     rng = np.random.default_rng(seed)
     codebooks = np.empty((m, ksub, dsub))
     for j in range(m):

@@ -306,12 +306,16 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_batch")
         )
     )
+    # localCheckpoint once: the static side is identical for every
+    # micro-batch — without it the closure would re-run the corpus
+    # aggregation per batch (lazy plan captured in foreachBatch).
     corpus = (
         spark.read.option("pathGlobFilter", "documents*.parquet")
         .parquet(sf_dir)
         .filter(F.col("doc_id") % 10 != 0)
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_corpus"))
+        .localCheckpoint()
     )
     name = "s_drift_" + uuid.uuid4().hex[:12]
     counts_name = name + "_counts"
@@ -320,14 +324,17 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1) merge this update's per-language counts into the standing count
         # view (replace changed languages, keep the rest). foreachBatch runs
         # in a CLONED session, so the handoff must be a GLOBAL temp view
-        # (plain temp views die with the micro-batch session).
+        # (plain temp views die with the micro-batch session). Existence is
+        # checked explicitly — a bare try/except here would silently reset
+        # the standing counts on any OTHER failure (lost checkpoint blocks,
+        # concurrent replace), recreating the partial-denominator bug class.
         s = update.sparkSession
-        try:
+        if s.catalog.tableExists(f"global_temp.{counts_name}"):
             prev = s.table(f"global_temp.{counts_name}")
             merged = prev.join(update.select("lang"), "lang", "left_anti").unionByName(
                 update
             )
-        except Exception:
+        else:
             merged = update
         merged = merged.localCheckpoint()
         merged.createOrReplaceGlobalTempView(counts_name)
@@ -354,7 +361,13 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(f"global_temp.{name}")
+    # hand back the (tiny, already-checkpointed) final table and DROP the
+    # handoff views — repeated monitor calls must not accumulate
+    # uuid-named global temp views in a long-lived session
+    out = spark.table(f"global_temp.{name}").localCheckpoint()
+    spark.catalog.dropGlobalTempView(name)
+    spark.catalog.dropGlobalTempView(counts_name)
+    return out
 
 
 def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,6 +401,10 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("val", 9).alias("s_batch"), F.count("*").alias("n_batch"))
     )
     static = spark.read.option("pathGlobFilter", "embeddings*.parquet").parquet(sf_dir)
+    # localCheckpoint once: the static-side posexplode + aggregate over the
+    # WHOLE corpus would otherwise re-execute inside every micro-batch (the
+    # lazy plan is captured by the foreachBatch closure) — the expensive
+    # side here, unlike the PSI monitor's tiny per-lang counts.
     corpus_dims = (
         static.filter(F.col("vec_id") % 10 != 0)
         .select(
@@ -399,22 +416,29 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("val", 9) / F.count("val")).alias("cm"),
             F.count("*").alias("n_corpus"),
         )
+        .localCheckpoint()
     )
     name = "s_edrift_" + uuid.uuid4().hex[:12]
     sums_name = name + "_sums"
 
     def emit_shift(update: DataFrame, batch_id: int) -> None:
+        # explicit existence check (not try/except): any OTHER read failure
+        # must propagate, not silently reset the standing sums
         s = update.sparkSession
-        try:
+        if s.catalog.tableExists(f"global_temp.{sums_name}"):
             prev = s.table(f"global_temp.{sums_name}")
             merged = prev.join(
                 update.select("label", "dim"), ["label", "dim"], "left_anti"
             ).unionByName(update)
-        except Exception:
+        else:
             merged = update
         merged = merged.localCheckpoint()
         merged.createOrReplaceGlobalTempView(sums_name)
-        per_dim = merged.join(corpus_dims, ["label", "dim"]).select(
+        # FULL OUTER on (label, dim): a label with no batch vectors (or no
+        # corpus vectors) must still emit its row — with count 0 and a NULL
+        # shift — exactly as the batch twin's conditional aggregates do; an
+        # inner join would silently drop one-sided labels.
+        per_dim = merged.join(corpus_dims, ["label", "dim"], "full_outer").select(
             "label",
             "dim",
             "cm",
@@ -426,8 +450,9 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             per_dim.groupBy("label")
             .agg(
-                F.max("n_corpus").alias("n_corpus"),  # per-dim counts all equal
-                F.max("n_batch").cast("long").alias("n_batch"),
+                # per-dim counts are all equal; coalesce covers one-sided labels
+                F.coalesce(F.max("n_corpus"), F.lit(0)).alias("n_corpus"),
+                F.coalesce(F.max("n_batch"), F.lit(0)).cast("long").alias("n_batch"),
                 F.round(dsum(shift, 12), 9).alias("centroid_shift_sq"),
             )
             .select("label", "n_corpus", "n_batch", "centroid_shift_sq")
@@ -441,4 +466,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(f"global_temp.{name}")
+    out = spark.table(f"global_temp.{name}").localCheckpoint()
+    spark.catalog.dropGlobalTempView(name)
+    spark.catalog.dropGlobalTempView(sums_name)
+    return out

@@ -14,6 +14,9 @@ def spark():
 
     spark = get_spark("boxoffice_spark_tests")
     yield spark
+    from boxoffice_spark.functions.caching import release_all
+
+    release_all()  # drop scoped operator caches before the JVM goes away
     spark.stop()
 
 

@@ -145,6 +145,11 @@ def test_pq_small_corpus_clamps_ksub(spark, sf_dir):
     }
     assert got == want and len(got) > 0
 
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus is empty"):
+        ann_pq_topk(emb.filter(F.col("vec_id") < 0), queries, k=3)
+
 
 def test_bm25_repeated_query_term_not_double_counted(spark):
     """A term repeated in a query's term list must score identically to

@@ -237,6 +237,42 @@ def test_stream_embedding_drift_multi_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_embedding_drift_one_sided_labels(spark, tmp_path):
+    """A label with ONLY corpus vectors (none with vec_id % 10 == 0) and a
+    label with ONLY batch vectors must both still appear in the streaming
+    table — count 0 on the missing side, NULL shift — exactly as the batch
+    twin's conditional aggregates emit them (regression: an inner join
+    between stream sums and corpus dims silently dropped one-sided
+    labels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.similarity import v_embedding_drift
+    from boxoffice_spark.streaming.jobs import stream_embedding_drift
+
+    rows = [
+        (10, [1.0, 0.0], 0), (20, [0.0, 1.0], 0),   # label 0: batch-only
+        (1, [1.0, 1.0], 1), (2, [1.0, -1.0], 1),    # label 1: corpus-only
+        (30, [0.5, 0.5], 2), (3, [0.25, 0.75], 2),  # label 2: both sides
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(map(tuple, stream_embedding_drift(spark, str(tmp_path)).collect()))
+    want = sorted(map(tuple, v_embedding_drift(spark, str(tmp_path)).collect()))
+    assert got == want and len(got) == 3
+    by_label = {r[0]: r for r in got}
+    assert by_label[0][1] == 0 and by_label[0][3] is None  # no corpus side
+    assert by_label[1][2] == 0 and by_label[1][3] is None  # no batch side
+    assert by_label[2][3] is not None                      # real shift
+
+
 def test_stock_poll_stateful_equals_latest_state_view_semantics(spark):
     """s_stock_poll_stateful_latest (applyInPandasWithState over the
     bounded poll stream) must equal i_latest_state_view's EXACT code path —

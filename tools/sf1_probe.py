@@ -10,6 +10,11 @@ sf1 and reports the observed growth exponent
 pair blowup the posting caps exist to prevent). Optionally runs the DuckDB
 oracle sweep for the oracle-backed subset at sf1 (--oracle).
 
+Timings are WARM steady-state (min of 2 runs, same contract as bench.py:
+run 2 reuses scoped-persist caches where a query has them — identically at
+both scale factors, so the exponent compares like with like; bench.py's
+``cold`` field is where cache-population cost is visible).
+
 Inflation preserves workload character (same rules as tools/scale_probe.py):
 - documents: vowel-rotated text per copy -> distinct shingles, postings grow
   linearly, pair output stays bounded. n_chars is length-preserving.
