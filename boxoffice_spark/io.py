@@ -96,10 +96,31 @@ def compact(
     file per trigger; at 100 TB the file-count tax is paid on EVERY read
     (footer fetches, scheduler overhead, tiny row groups defeating column
     pruning). Compaction = read → repartition to ceil(bytes/target) →
-    atomic swap via a temp dir (readers never see a half-written dataset).
+    swap via a temp dir + two renames.
+
+    Swap semantics, honestly: directory renames on a LOCAL filesystem are
+    each atomic, but the two-step swap still leaves a tiny window where
+    ``path`` is absent; crash recovery is manual but lossless (data lives
+    at ``._compact_old`` / ``._compact_tmp``, never half-written). This
+    operator therefore targets local/dev datasets only and REFUSES remote
+    schemes — production compaction belongs to a table format's
+    transactional rewrite (Delta OPTIMIZE / Iceberg rewrite_data_files),
+    the mapping the module docstring documents.
+
+    With ``partition_by``, the repartition hashes on the partition columns
+    so each partition directory is written by (at most) a few tasks — a
+    plain ``repartition(n)`` would spread EVERY partition value across all
+    n tasks and emit up to n files per directory, defeating compaction.
     """
     import math
+    import os
     import shutil
+
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"compact() swaps directories on the local filesystem only; "
+            f"use your table format's rewrite for {path!r}"
+        )
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # size via FS, not listing parquet
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -108,12 +129,17 @@ def compact(
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
-    w = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        w = df.repartition(n_files, *[F.col(c) for c in partition_by]).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_by)
+    else:
+        w = df.repartition(n_files).write.mode("overwrite")
     w.parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)  # atomic on a local FS
+    os.rename(tmp, path)  # atomic; the absent-path window is just these two
+    shutil.rmtree(old)
     return n_files
 
 

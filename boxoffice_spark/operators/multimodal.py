@@ -55,8 +55,12 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
     Real path requires PIL — unavailable here, so a deterministic fake
-    derives pseudo-dimensions from the payload header. Replace the except
-    branch with ``raise`` to make missing codecs loud instead.
+    derives pseudo-dimensions from the payload header. The fallback covers
+    BOTH missing-codec (ImportError) and undecodable-payload cases: the
+    fixture payloads are utf-8 text bytes, so in an environment where PIL
+    IS installed Image.open raises UnidentifiedImageError — that must fall
+    back too, not kill the whole extract_features stage. Replace the
+    except branch with ``raise`` to make decode failures loud instead.
     """
     try:
         from PIL import Image  # codec libs not in this container
@@ -64,7 +68,7 @@ def decode_image(payload: bytes) -> tuple[int, int]:
 
         with Image.open(io.BytesIO(payload)) as im:
             return im.size
-    except ImportError:
+    except Exception:
         h = hashlib.sha1(payload[:64]).digest()
         return (64 + h[0] % 192, 64 + h[1] % 192)  # deterministic fake decode
 

@@ -22,20 +22,33 @@ from pyspark.sql import Column, DataFrame, functions as F
 def check_constraints(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate named boolean rules (True = row passes) in one aggregate
     pass. Null rule results count as violations (SQL three-valued logic
-    would otherwise let null-valued rows pass silently)."""
+    would otherwise let null-valued rows pass silently). Rule names are
+    arbitrary strings — they are backtick/quote-escaped into the unpivot,
+    so 'non-empty text' or names with quotes work; the internal row-count
+    column uses a collision-proof name."""
+    if not rules:
+        raise ValueError("check_constraints: at least one rule is required")
     aggs = []
     for name, cond in rules.items():
         bad = F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
         aggs.append(bad.cast("long").alias(name))
-    counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    total = "__check_constraints_n__"
+    counted = df.agg(F.count(F.lit(1)).alias(total), *aggs)
+
+    def _lit(s: str) -> str:  # SQL string literal
+        return "'" + s.replace("'", "''") + "'"
+
+    def _ident(s: str) -> str:  # backticked identifier
+        return "`" + s.replace("`", "``") + "`"
+
     # one row per rule via stack (unpivot) — still a single scan
-    pairs = ", ".join(f"'{name}', {name}" for name in rules)
+    pairs = ", ".join(f"{_lit(name)}, {_ident(name)}" for name in rules)
     return counted.selectExpr(
-        "_n", f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"
+        _ident(total), f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"
     ).select(
         "rule",
         "n_violations",
-        F.col("_n").alias("n_rows"),
+        F.col(total).alias("n_rows"),
         (F.col("n_violations") == 0).alias("pass"),
     )
 

@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _threshold_hex(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        # 'g…' sorts after every hex bucket, so strict '<' keeps ALL rows —
+        # capping at 'ffffffff' would drop rows whose bucket equals the cap
+        # (~1 in 2^32: guaranteed misses on a 100 TB corpus)
+        return "g0000000"
+    # min() guards float rounding at the top of the range (0.999..9 * 2^32
+    # can round to exactly 2^32, which would format to 9 digits)
     return format(min(int(rate * 2**32), 2**32 - 1), "08x")
 
 

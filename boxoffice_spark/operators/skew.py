@@ -43,7 +43,17 @@ def salted_join(
     join, split hot keys out by frequency and union the two joins instead.
     """
     src = salt_source or [c for c in big.columns if c != on]
-    b = big.withColumn("_salt", _salt_of([F.col(c) for c in src], salt))
+    if not src:
+        # a bare keys table has nothing to derive a spreading hash from —
+        # xxhash64() with zero args would die with an opaque AnalysisException.
+        # monotonically_increasing_id is fine HERE: the salt only spreads
+        # rows, so retry/partitioning nondeterminism cannot change the join
+        # RESULT, merely which reducer handled a row.
+        b = big.withColumn(
+            "_salt", _salt_of([F.monotonically_increasing_id()], salt)
+        )
+    else:
+        b = big.withColumn("_salt", _salt_of([F.col(c) for c in src], salt))
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return b.join(s, [on, "_salt"]).drop("_salt")
 

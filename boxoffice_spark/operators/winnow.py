@@ -254,7 +254,13 @@ def winnow_fast(
         for pdf in it:
             out_id, out_pos, out_fp = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+                # EXACT twin of dedup.normalized_text: Java regex \s is
+                # ASCII-only, so the Python collapse must use re.ASCII (a
+                # Unicode \xa0 etc. must survive on both sides), and Spark
+                # F.trim strips only ' ' — so strip(' '), not strip().
+                norm = re.sub(
+                    r"\s+", " ", (text or "").lower(), flags=re.ASCII
+                ).strip(" ")
                 # one uint32 per CODEPOINT (utf-32-le = the codepoint
                 # sequence), so k-gram boundaries are character-aligned
                 # with the exact substring() form — not UTF-8 bytes.
@@ -294,8 +300,10 @@ def winnow_fast(
                 out_fp.extend(uniq[:, 1].tolist())
             yield pd.DataFrame({id_col: out_id, "pos": out_pos, "fp": out_fp})
 
-    return (
-        spread(df)
-        .select(id_col, text_col)
-        .mapInPandas(fingerprints, schema=f"{id_col} long, pos int, fp long")
+    # output schema preserves the caller's id type (string/uuid doc ids
+    # work like they do in the exact form; hardcoding 'long' broke them)
+    src = spread(df).select(id_col, text_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(
+        fingerprints, schema=f"{id_col} {id_type}, pos int, fp long"
     )

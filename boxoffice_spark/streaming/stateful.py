@@ -141,22 +141,25 @@ def stream_upsert_sink(
     keys = ["event_id", "theater_name"]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        try:
-            current = s.read.parquet(path)
-        except Exception:  # first batch: nothing at rest yet
-            batch.write.mode("overwrite").parquet(path)
-            return
-        # batch may span several polls of the same key: reduce to its own
-        # latest per key before merging
-        from pyspark.sql import Window as W, functions as F
+        import os
 
-        w = W.partitionBy(*keys).orderBy(F.desc("scraped_at"))
-        latest = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        from pyspark.sql import functions as F
+
+        from boxoffice_spark.operators.temporal import latest_per_key
+
+        s = batch.sparkSession
+        # ANY batch may span several polls of the same key (slow trigger,
+        # source lag) — including batch 0: always reduce to the batch's own
+        # latest per key first, or the state table is seeded with duplicate
+        # keys that merge_upsert's contract does not allow.
+        latest = latest_per_key(batch, keys, [F.desc("scraped_at")])
+        # explicit existence check, not try/except: a transient READ failure
+        # must not be mistaken for 'first batch' and silently overwrite all
+        # accumulated state with just this batch
+        if not os.path.exists(path):
+            latest.write.mode("overwrite").parquet(path)
+            return
+        current = s.read.parquet(path)
         merged = merge_upsert(current, latest, keys)
         # materialize before overwriting the path being read
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

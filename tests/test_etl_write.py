@@ -110,6 +110,28 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
 
 
+def test_compaction_partitioned_few_files_per_dir(spark, sf_dir, tmp_path):
+    """With partition_by, each partition directory must end up with ~1 file
+    (regression: a plain repartition(n) spread every partition value over
+    all n tasks, emitting up to n files per directory)."""
+    import glob
+
+    out = str(tmp_path / "bydate")
+    o = table(spark, sf_dir, "orders").limit(2000).withColumn(
+        "om", F.month("o_orderdate")
+    )
+    for _ in range(3):
+        o.repartition(4).write.partitionBy("om").mode("append").parquet(out)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    bio.compact(spark, out, target_file_bytes=10 * 1024 * 1024, partition_by=["om"])
+    for d in glob.glob(out + "/om=*"):
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) <= 2, f"{d} still fragmented: {len(files)} files"
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == before
+
+
 def test_sorted_write_disjoint_ranges_and_file_skipping(spark, sf_dir, tmp_path):
     """write_sorted must produce files whose sort-key min/max footer stats
     are pairwise disjoint (ordered ranges — what makes parquet stats an

@@ -286,6 +286,69 @@ def test_single_word_docs_do_not_crash_repetition_stats(spark):
     assert out[2].n_words == 3 and out[2].top_word_frac == round(2 / 3, 6)
 
 
+def test_sampling_rate_one_keeps_all_rows(spark, sf_dir):
+    """rate=1.0 must be a true pass-through and a val+test=1.0 split must
+    leave zero train rows (regression: the 'ffffffff' threshold cap dropped
+    rows whose hash bucket equals the cap)."""
+    from boxoffice_spark.operators.sampling import (
+        _threshold_hex,
+        hash_sample,
+        train_val_test_split,
+    )
+
+    assert _threshold_hex(1.0) > "ffffffff"  # sorts after every hex bucket
+    docs = table(spark, sf_dir, "documents")
+    assert hash_sample(docs, "text", 1.0).count() == docs.count()
+    splits = {
+        r.split: r.n
+        for r in train_val_test_split(docs, "text", val_rate=0.5, test_rate=0.5)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert splits.get("train", 0) == 0 and sum(splits.values()) == docs.count()
+
+
+def test_check_constraints_arbitrary_rule_names(spark, sf_dir):
+    """Rule names with spaces/quotes must work (they are escaped into the
+    stack unpivot), and an empty rule dict must raise."""
+    import pytest
+
+    from boxoffice_spark.operators.quality import check_constraints
+
+    docs = table(spark, sf_dir, "documents")
+    out = {
+        r.rule: (r.n_violations, r["pass"])
+        for r in check_constraints(
+            docs,
+            {
+                "non-empty text": F.length("text") > 0,
+                "lang's present": F.col("lang").isNotNull(),
+            },
+        ).collect()
+    }
+    assert out["non-empty text"][1] and out["lang's present"][1]
+    with pytest.raises(ValueError):
+        check_constraints(docs, {})
+
+
+def test_salted_join_bare_keys_table(spark, sf_dir):
+    """salted_join must work when the big side has ONLY the join key
+    (regression: empty salt_source made xxhash64() arity fail) and equal
+    the plain join."""
+    from boxoffice_spark.operators.skew import salted_join
+
+    big = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).limit(500)
+    small = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    got = sorted(map(tuple, salted_join(big, small, "k").collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want and len(got) > 0
+
+
 def test_hash_sample_deterministic_and_salt_independent(spark, sf_dir):
     """Hash sampling must return the identical row set on every run (the
     retry-safety property rand() lacks), hit the target rate within
