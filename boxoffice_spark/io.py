@@ -167,16 +167,19 @@ def read_jsonl_quarantine(
     here) — Spark only populates the quarantine column when it is part
     of the declared schema.
     """
+    from boxoffice_spark.functions.caching import scoped_persist
+
     full = schema.rstrip().rstrip(",") + ", _corrupt_record string"
-    raw = (
+    raw = scoped_persist(
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+        .json(path),
         # one materialization serves both splits; also required for
         # correctness: referencing only _corrupt_record straight off the
-        # scan is disallowed (Spark needs a non-internal column parsed)
-        .cache()
+        # scan is disallowed (Spark needs a non-internal column parsed).
+        # scoped: repeated quarantine reads don't accumulate cached scans.
+        "read_jsonl_quarantine.raw",
     )
     good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(

@@ -104,7 +104,6 @@ def sample_frames(assets: DataFrame, n_frames: int = 4, frame_size: int = 32) ->
     'frames' (what video frame extraction looks like to the engine: an
     explode with per-frame payloads). Pure JVM — no Python in the path."""
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
-    total = F.length("payload")
     return (
         assets.select("asset_id", F.explode(idx).alias("frame_no"), F.col("payload"))
         .withColumn(

@@ -72,7 +72,9 @@ def stratified_hash_sample_sql(
 ) -> str:
     """DuckDB twin of :func:`stratified_hash_sample` (WHERE clause)."""
     whens = " ".join(
-        f"WHEN {stratum} = '{v}' THEN '{_threshold_hex(r)}'"
+        "WHEN {s} = '{v}' THEN '{t}'".format(
+            s=stratum, v=v.replace("'", "''"), t=_threshold_hex(r)
+        )
         for v, r in sorted(rates.items())
     )
     case = f"CASE {whens} ELSE '{_threshold_hex(default_rate)}' END"

@@ -60,18 +60,32 @@ def heavy_hitters(
     tokens: DataFrame, term_col: str = "term", phi: float = 0.02
 ) -> DataFrame:
     """Exact phi-heavy hitters of a token stream: every term with
-    count > phi * total, with its exact count and frequency."""
+    count > phi * total, with its exact count and frequency.
+
+    Exactly TWO evaluations of the token stream, as the module docstring
+    promises: the MG candidate pass and ONE recount pass that folds the
+    global total in with the candidate counts — non-candidate tokens
+    collapse into a single null group (their count contributes to the
+    denominator without a per-term shuffle), so no separate count(*) scan.
+    """
+    from pyspark.sql import Window
+
     capacity = max(1, math.ceil(1.0 / phi))
     cands = _mg_candidates(tokens, term_col, capacity).distinct()
-    total = tokens.agg(F.count("*").alias("_n"))
+    marked = tokens.join(
+        F.broadcast(cands.withColumn("_is_cand", F.lit(True))), term_col, "left"
+    )
+    grouped = marked.groupBy(
+        F.when(F.col("_is_cand"), F.col(term_col)).alias("_t")
+    ).agg(F.count("*").alias("term_count"))
+    # grouped is tiny (<= capacity * partitions + 1 rows) — the global
+    # window for the total is over the aggregate, never the stream
+    w = Window.partitionBy()
     return (
-        tokens.join(F.broadcast(cands), term_col, "left_semi")
-        .groupBy(term_col)
-        .agg(F.count("*").alias("term_count"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("term_count") > F.col("_n") * phi)
+        grouped.withColumn("_n", F.sum("term_count").over(w))
+        .filter(F.col("_t").isNotNull() & (F.col("term_count") > F.col("_n") * phi))
         .select(
-            term_col,
+            F.col("_t").alias(term_col),
             "term_count",
             F.round(F.col("term_count") / F.col("_n"), 6).alias("frac"),
         )
