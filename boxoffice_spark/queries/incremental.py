@@ -16,12 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from boxoffice_spark.functions.numeric import dsum, dsum_sql
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import table
-
-_EVENTS_US = """
-    SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
-    FROM events
-"""
+from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
 
 
 @register(

@@ -16,21 +16,30 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from boxoffice_spark.functions.numeric import dsum, dsum_sql
 from boxoffice_spark.operators.temporal import asof_join, interval_join
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import table
+from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
 
 
 @register(
     "j_asof_last_purchase",
-    oracle="""
-    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-         r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+         l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'purchase'),
+         pairs AS (
+             SELECT l.event_id,
+                    r.event_id AS purchase_id, r.ts AS purchase_ts,
+                    r.value AS purchase_value,
+                    row_number() OVER (
+                        PARTITION BY l.event_id
+                        ORDER BY r.ts DESC, r.event_id DESC
+                    ) AS rn
+             FROM l JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+         )
     SELECT
         l.event_id, l.user_id, l.ts,
-        r.event_id AS purchase_id,
-        r.ts AS purchase_ts,
-        r.value AS purchase_value,
-        (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS secs_since_purchase
-    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        s.purchase_id, s.purchase_ts, s.purchase_value,
+        (epoch_us(l.ts) - epoch_us(s.purchase_ts)) // 1000000 AS secs_since_purchase
+    FROM l LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) s ON s.event_id = l.event_id
     """,
     bench=True,
     tags=("join", "asof", "temporal"),
@@ -39,8 +48,13 @@ def j_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: attach to every click the same user's most recent
     purchase at or before the click (null if none yet). Executed with the
     union+running-window trick — one shuffle per side on user_id, no
-    per-key cross product (operators/temporal.asof_join). The oracle is
-    DuckDB's native ASOF LEFT JOIN."""
+    per-key cross product (operators/temporal.asof_join). The oracle is an
+    explicit windowed formulation rather than DuckDB's native ASOF JOIN:
+    ASOF cannot express the (ts DESC, event_id DESC) tie-break the
+    operator guarantees, so with two purchases in the same microsecond the
+    native form would pick an arbitrary one and the cell-exact compare
+    would flap. Events route through the shared microsecond-truncation
+    CTE so a TIMESTAMP(NANOS) fixture compares at Spark's precision."""
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -64,11 +78,12 @@ def j_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j_attribution_window",
-    oracle="""
-    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
-               FROM events WHERE event_type = 'purchase'),
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+         p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM ev WHERE event_type = 'purchase'),
          e AS (SELECT user_id, ts, event_type
-               FROM events WHERE event_type IN ('click', 'view'))
+               FROM ev WHERE event_type IN ('click', 'view'))
     SELECT
         p.purchase_id, p.user_id, p.purchase_ts,
         count(CASE WHEN e.event_type = 'click' THEN 1 END) AS clicks_1h,
@@ -120,7 +135,8 @@ def j_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_sliding_interval_count",
     bench=True,
     oracle=f"""
-    WITH w AS (
+    WITH ev AS ({_EVENTS_US}),
+    w AS (
         SELECT ts AS win_start, ts + INTERVAL 7 DAY AS win_end
         FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
                                             TIMESTAMP '2024-01-29',
@@ -128,7 +144,7 @@ def j_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w.win_start, count(*) AS n_events,
            {dsum_sql('e.value', 4)} AS total_value
-    FROM w JOIN events e ON e.ts >= w.win_start AND e.ts < w.win_end
+    FROM w JOIN ev e ON e.ts >= w.win_start AND e.ts < w.win_end
     GROUP BY 1
     """,
     tags=("join", "range", "temporal", "binned"),

@@ -16,12 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from boxoffice_spark.functions.numeric import davg, davg_sql, dsum_sql
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import table
-
-_EVENTS_US = """
-    SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
-    FROM events
-"""
+from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
 
 
 @register(
@@ -180,10 +175,10 @@ def w_rank_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS ({_EVENTS_US})
     SELECT event_id, user_id, ts,
-           round(sum(value) OVER (
+           round(CAST(sum(CAST(value AS DECIMAL(27,4))) OVER (
                PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ), 4) AS value_1h,
+           ) AS DOUBLE), 4) AS value_1h,
            CAST(count(*) OVER (
                PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
@@ -203,7 +198,11 @@ def w_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     unix_micros(ts) with a 3.6e9-microsecond preceding bound is the exact
     event-time window, and ties (same-microsecond events) are handled
     identically in both engines because RANGE frames include ALL peers of
-    the current value."""
+    the current value. The frame sum goes through DECIMAL like every other
+    double aggregate here: engines associate sliding-frame sums
+    differently (re-scan vs segment tree), so a raw double frame sum is
+    not bit-reproducible across engines — the repo-wide decimal rule
+    applies to window frames too."""
     ev = table(spark, sf_dir, "events")
     hour_us = 3_600_000_000
     w = (
@@ -215,7 +214,9 @@ def w_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 4).alias("value_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,4)")).over(w).cast("double"), 4
+        ).alias("value_1h"),
         F.count("*").over(w).alias("n_1h"),
     )
 

@@ -26,6 +26,17 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# DuckDB-oracle twin of table()'s events ingestion rule: whatever the
+# fixture's physical timestamp type, Spark sees microsecond precision, so
+# every oracle touching events.ts must truncate the same way. ONE shared
+# definition — per-module copies drifted (temporal.py lacked it entirely
+# until round 4) and this fragment is correctness-critical under a
+# TIMESTAMP(NANOS) fixture generation.
+EVENTS_US_SQL = """
+    SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value
+    FROM events
+"""
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a lazy DataFrame.
@@ -50,8 +61,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            # a TIMESTAMP(NANOS) footer cannot be read without the legacy
+            # conf — flip it only when actually needed, so a micros fixture
+            # session never has its parquet conf mutated as a side effect
+            # (the flip is session-wide by nature; under a nanos fixture it
+            # stays set, and only events gets the ns->us fixup below)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         dt = df.schema["ts"].dataType
         if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
