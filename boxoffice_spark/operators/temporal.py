@@ -113,7 +113,10 @@ def asof_join(
         null_as(r_struct_type, "__r"),
         *([null_as(tie_type, "__tie")] if tie_col else []),
     )
-    rt = right.select(
+    # a right row with a NULL event time can never be "most recent at/
+    # before" (or "next after") anything — drop it, or the backward scan's
+    # NULLS FIRST ordering would carry it as a universal fallback match
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -151,8 +154,12 @@ def asof_join(
 
     if tolerance_secs is not None:
         matched_ts = F.col(right_prefix + right_ts)
-        gap = F.abs(F.col(left_ts).cast("long") - matched_ts.cast("long"))
-        keep = matched_ts.isNotNull() & (gap <= F.lit(tolerance_secs))
+        # microsecond arithmetic: cast('long') truncates to whole seconds,
+        # which mis-classifies matches within a second of the cutoff
+        gap_us = F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts))
+        keep = matched_ts.isNotNull() & (
+            gap_us <= F.lit(int(tolerance_secs) * 1_000_000)
+        )
         out = out.select(
             *keys,
             left_ts,
@@ -264,6 +271,7 @@ def ewma_by_key(
     value_col: str,
     alpha: float = 0.3,
     out_col: str = "ewma",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average in event order —
     the smoothing step behind anomaly baselines and trend charts.
@@ -279,15 +287,26 @@ def ewma_by_key(
     as any per-key pandas op); for million-row keys, chunk by time range
     first. Rounded to 6dp so the result is comparable across runs and
     engines.
+
+    Determinism caveat: EWMA is order-defined, so the result is
+    reproducible only if (key, order_col) is unique per group — pass
+    ``tie_col`` (a unique column) when it is not, or equal-``order_col``
+    rows recurse in partition-arrival order, which varies across runs.
     """
     import pandas as pd
 
-    out_fields = df.select(*key_cols, order_col, value_col).schema.fieldNames()
-    schema_src = df.select(*key_cols, order_col, value_col).schema
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    sel_cols = [*key_cols, order_col, value_col] + (
+        [tie_col] if tie_col and tie_col not in (*key_cols, order_col, value_col) else []
+    )
+    out_fields = df.select(*sel_cols).schema.fieldNames()
+    schema_src = df.select(*sel_cols).schema
     out_schema = schema_src.add(out_col, "double")
 
     def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        # stable mergesort: equal-order rows keep a consistent relative
+        # order within one run (cross-run determinism still needs tie_col)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         pdf[out_col] = (
             pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
         )

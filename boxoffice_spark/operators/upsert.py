@@ -150,5 +150,10 @@ def idempotent_backfill(
     With a date-partitioned sink this is exactly a dynamic partition
     overwrite — re-running the same backfill is a no-op on the final state
     (the reference's idempotency contract, backfill_boxoffice.py:27-47).
+
+    DELETE-WHERE null semantics: only rows where the predicate is TRUE are
+    deleted — a NULL predicate (e.g. a null date outside the backfill
+    range) keeps the row, exactly like SQL DELETE. A bare ``~predicate``
+    would silently drop NULL-predicate rows forever.
     """
-    return current.filter(~predicate).unionByName(replacement)
+    return current.filter(~F.coalesce(predicate, F.lit(False))).unionByName(replacement)

@@ -20,9 +20,13 @@ from boxoffice_spark.functions.cleaning import (
     truncate_ellipsis,
 )
 from boxoffice_spark.functions.numeric import dsum, dsum_sql
-from boxoffice_spark.operators.upsert import idempotent_backfill, merge_upsert
+from boxoffice_spark.operators.upsert import (
+    idempotent_backfill,
+    merge_upsert,
+    snapshot_diff,
+)
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import describe_tables, table
+from boxoffice_spark.tables import EVENTS_US_SQL, describe_tables, table
 
 
 @register(
@@ -211,7 +215,7 @@ WITH new_rows AS (
            o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
     FROM orders WHERE o_orderkey % 10 = 0
     UNION ALL
-    SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+    SELECT o_orderkey + 10000000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
     FROM orders WHERE o_orderkey % 97 = 0
 ),
 tagged AS (
@@ -245,7 +249,7 @@ def e_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (F.col("o_orderkey") + 10000000000).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
@@ -325,8 +329,6 @@ def e_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 7th (-> deletes) and bumps prices on every 3rd (-> updates,
     null-safe value compare). One full-outer shuffle join on the key;
     bucketed snapshots make it exchange-free."""
-    from boxoffice_spark.operators.upsert import snapshot_diff
-
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
     old_snap = o.filter(F.col("o_orderkey") % 5 != 0)
     new_snap = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
@@ -448,12 +450,13 @@ def e_display_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e_scd2_history",
-    oracle="""
+    oracle=f"""
+    WITH ev AS ({EVENTS_US_SQL})
     SELECT user_id, ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
            value AS attr_value
-    FROM events
+    FROM ev
     WHERE event_type = 'signup'
     """,
     tags=("etl", "scd2"),
@@ -567,8 +570,6 @@ def e_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle asserts. avg derives as sum/count at read time; only
     algebraic/mergeable aggregates (sum, count, min, max, HLL sketches —
     see a_hll_sketch_rollup) maintain this way."""
-    from boxoffice_spark.functions.numeric import dsum
-
     o = table(spark, sf_dir, "orders")
 
     def agg_of(part: DataFrame) -> DataFrame:

@@ -74,11 +74,12 @@ def dq_lineitem_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(n_corpus AS BIGINT) AS n_corpus,
            CAST(n_batch AS BIGINT) AS n_batch,
-           round((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ()
-                  - CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())
-                 * ln((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ())
-                      / (CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())), 6)
-               AS psi_term
+           CASE WHEN n_corpus > 0 AND n_batch > 0 THEN
+               round((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ()
+                      - CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())
+                     * ln((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ())
+                          / (CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())), 6)
+           END AS psi_term
     FROM counted
     """,
     tags=("quality", "drift"),
@@ -98,7 +99,13 @@ def psi_drift_terms(d: DataFrame) -> DataFrame:
     """PSI terms per language for a documents frame, batch split =
     doc_id % 10 == 0. Shared by dq_distribution_drift and the streaming
     twin's equality tests (tests/test_streaming.py runs it over arbitrary
-    file layouts to check the multi-micro-batch merge)."""
+    file layouts to check the multi-micro-batch merge).
+
+    Zero-count buckets: a language with NO batch (or no corpus) members
+    makes the classic term undefined (log 0) — both sides emit an explicit
+    NULL psi_term for it. NULL here means ONE-SIDED BUCKET = maximal
+    drift: alert on it directly, never sum it away. (The guard also keeps
+    the DuckDB oracle from hard-erroring on ln(0).)"""
     counted = d.groupBy("lang").agg(
         F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
         .cast("long")
@@ -112,12 +119,11 @@ def psi_drift_terms(d: DataFrame) -> DataFrame:
     w = Window.partitionBy()
     p = F.col("n_corpus").cast("double") / F.sum("n_corpus").over(w)
     q = F.col("n_batch").cast("double") / F.sum("n_batch").over(w)
-    return counted.select(
-        "lang",
-        "n_corpus",
-        "n_batch",
-        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    term = F.when(
+        (F.col("n_corpus") > 0) & (F.col("n_batch") > 0),
+        F.round((q - p) * F.log(q / p), 6),
     )
+    return counted.select("lang", "n_corpus", "n_batch", term.alias("psi_term"))
 
 
 @register(

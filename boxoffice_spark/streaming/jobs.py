@@ -349,9 +349,13 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         p = F.col("n_corpus").cast("double") / F.sum("n_corpus").over(w)
         q = F.col("n_batch").cast("double") / F.sum("n_batch").over(w)
-        out = joined.select(
-            "lang", "n_corpus", "n_batch", F.round((q - p) * F.log(q / p), 6).alias("psi_term")
+        # zero-count guard mirrors quality.psi_drift_terms: NULL psi_term
+        # = one-sided language = alert, never log(0)
+        term = F.when(
+            (F.col("n_corpus") > 0) & (F.col("n_batch") > 0),
+            F.round((q - p) * F.log(q / p), 6),
         )
+        out = joined.select("lang", "n_corpus", "n_batch", term.alias("psi_term"))
         out.localCheckpoint().createOrReplaceGlobalTempView(name)
 
     q = (

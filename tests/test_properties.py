@@ -52,6 +52,21 @@ def test_merge_upsert_properties(spark, old, new):
     assert {r.k: (r.v, r.tag) for r in merge_upsert(again, df_new, ["k"]).collect()} == got
 
 
+def test_backfill_null_predicate_keeps_row(spark):
+    """DELETE-WHERE null semantics: a row whose predicate evaluates to
+    NULL (null date outside the range) must survive the backfill
+    (regression: ~predicate silently deleted it forever)."""
+    from boxoffice_spark.operators.upsert import idempotent_backfill
+
+    cur = spark.createDataFrame(
+        [(1, "1996-01-15"), (2, None), (3, "1997-05-01")], "k int, d string"
+    ).select("k", F.col("d").cast("date").alias("d"))
+    pred = F.col("d").between("1996-01-01", "1996-01-31")
+    repl = cur.filter(pred)
+    out = {r.k for r in idempotent_backfill(cur, repl, pred).collect()}
+    assert out == {1, 2, 3}
+
+
 @given(data=keyed_rows, repl=keyed_rows)
 @settings(**_SETTINGS)
 def test_backfill_idempotent(spark, data, repl):

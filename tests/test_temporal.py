@@ -56,6 +56,28 @@ def test_asof_backward_inclusive_and_unmatched_null(spark):
     assert out[3] == (None, None)  # k2 has no right rows at all
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with a NULL event time must never be attached
+    (regression: backward's NULLS FIRST scan carried it as a universal
+    fallback match for left rows earlier than every real right row)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "k", dt.datetime(2025, 1, 1))], "lid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "k", None, 1.0), (11, "k", dt.datetime(2025, 1, 2), 2.0)],
+        "rid long, k string, ts timestamp, v double",
+    )
+    out = {
+        r.lid: (r.r_rid, r.r_v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", tie_col="rid"
+        ).collect()
+    }
+    assert out[1] == (None, None)  # no purchase at/before 2025-01-01
+
+
 def test_asof_forward(spark):
     left, right = _frames(spark)
     out = {
