@@ -563,3 +563,68 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cluster_balance(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Topic-balance audit over an embedding corpus: seeded KMeans on the
+    unit sphere (the same coarse quantizer ann_ivf_topk indexes with),
+    then per-cluster size, corpus share, and mean cosine-to-centroid
+    (cluster tightness). This is the clustering step of cluster-balanced
+    curation (SemDeDup / DataComp-style): oversized loose clusters flag
+    redundant mass to downsample, tiny tight ones flag rare modes to
+    protect before any mixture decision.
+
+    Shape at 100 TB: the KMeans fit is the amortized index build (sampled
+    or incremental at scale); assignment + the tightness join are one
+    broadcast of the n_cells-row centroid table against the corpus scan,
+    then an n_cells-group aggregate that partial-combines to nothing.
+    Rows-only (no KMeans in the oracle); determinism (fixed seed) and
+    share/tightness invariants are asserted in tests/test_llm_ops.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from boxoffice_spark.functions.numeric import davg
+
+    def _unit(col):
+        norm = F.sqrt(
+            F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        return F.transform(col, lambda x: x / norm)
+
+    feats = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("features", array_to_vector(_unit(F.col("_v"))))
+    model = KMeans(
+        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(feats)
+    assigned = model.transform(feats).select("_id", "_v", "cell")
+
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    sim = F.round(cosine(_unit(F.col("_v")), _unit(F.col("centroid"))), 6)
+    per_vec = assigned.join(F.broadcast(centroids), "cell").select(
+        "cell", sim.alias("_cs")
+    )
+    stats = per_vec.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        davg("_cs", 6).alias("mean_cos_to_centroid"),
+    )
+    grand = stats.agg(F.sum("n_vectors").alias("_n"))
+    return (
+        stats.crossJoin(F.broadcast(grand))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_n"), 6).alias("share"),
+            F.round("mean_cos_to_centroid", 6).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("cell")
+    )

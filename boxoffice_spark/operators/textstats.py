@@ -354,3 +354,50 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def compression_signal(df, id_col: str, text_col: str, level: int = 6):
+    """Compression-ratio quality signal: zlib(level)-compressed size over
+    raw utf-8 size per document. Highly compressible text (ratio well
+    below the corpus norm) is repetitive/boilerplate/template spam; near-
+    or above-1 ratios are high-entropy noise (binary soup, hash dumps) —
+    the cheap entropy-based filter used alongside the length/punct
+    heuristics in public curation pipelines (e.g. the compression filters
+    described for C4/RefinedWeb-class corpora).
+
+    Not expressible in Catalyst (no codec expression), so this is a
+    mapInPandas operator: Arrow-batched, one pass inside the scan
+    partition, zero shuffle, output one short row per doc — the payload
+    never leaves the executor. At 100 TB this is scan-bound and embarr-
+    assingly parallel; determinism is per-zlib-build (fixed level, no
+    wall-clock or RNG inputs), asserted in tests/test_llm_ops.py.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from boxoffice_spark.tables import spread
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = [t.encode("utf-8") if isinstance(t, str) else b"" for t in pdf[text_col]]
+            n_bytes = [len(b) for b in raw]
+            z_bytes = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "zlib_bytes": pd.Series(z_bytes, dtype="int64"),
+                    "compression_ratio": pd.Series(
+                        [round(z / n, 6) if n else None for z, n in zip(z_bytes, n_bytes)],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    return spread(df).select(id_col, text_col).mapInPandas(
+        batches,
+        schema=f"{id_col} long, n_bytes long, zlib_bytes long, compression_ratio double",
+    )

@@ -466,3 +466,14 @@ def v_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dropped"),
         )
     )
+
+
+@register("v_cluster_balance", oracle=None, bench=True, tags=("similarity", "clustering", "datacard"))
+def v_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic-balance audit: seeded-KMeans cluster sizes, shares and
+    tightness over the embedding table (operators/similarity.
+    cluster_balance) — the cluster-and-balance curation step. Rows-only;
+    seed-determinism + invariants in tests/test_llm_ops.py."""
+    from boxoffice_spark.operators.similarity import cluster_balance
+
+    return cluster_balance(table(spark, sf_dir, "embeddings"))

@@ -1482,3 +1482,215 @@ def t_lang_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+@register(
+    "t_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, substr(md5(term), 1, 2) AS b
+        FROM (SELECT doc_id, source, unnest(string_split({_NORM}, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ), bucket AS (
+        SELECT b,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+        FROM t GROUP BY 1
+    ), tot AS (
+        SELECT sum(ct) AS nt, sum(cr) AS nr FROM bucket
+    ), lw AS (
+        SELECT b, round(log10(
+                   ((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 256.0))
+                 / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 256.0))
+               ), 6) AS lw
+        FROM bucket CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tok, {dsum_sql('lw', 6)} AS dsir_logratio
+    FROM t JOIN lw USING (b)
+    WHERE source <> 'src0'
+    GROUP BY 1
+    """,
+    bench=True,
+    tags=("text", "sampling", "dsir"),
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score
+    every RAW document (source != 'src0') by its hashed-unigram importance
+    log-ratio against the TARGET distribution (source = 'src0'). Words
+    hash into 256 md5 buckets; per-bucket add-one-smoothed probabilities
+    under target and raw give log10(p_target/p_raw) per bucket; a doc's
+    weight is the sum of its tokens' bucket log-ratios. Downstream,
+    resampling keeps the top-weight slice (or hash-thinned
+    weight-proportional acceptance — see operators/sampling.py).
+
+    Shape at 100 TB: one tokenize pass -> 256-row bucket aggregate
+    (map-side partial combine collapses everything to 256 groups per
+    partition — the shuffle is bytes, not rows), broadcast back onto the
+    token stream, then ONE per-doc aggregation shuffle. No vocab-sized
+    join state, no skew exposure (bucket cardinality is fixed at 256 by
+    construction). Per-token log-ratios are 6dp-rounded and
+    decimal-summed (functions/numeric.dsum) for cross-engine
+    bit-determinism."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(D.normalized_text("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("doc_id", "source", F.substring(F.md5("term"), 1, 2).alias("b"))
+    )
+    is_t = (F.col("source") == "src0").cast("long")
+    bucket = toks.groupBy("b").agg(
+        F.sum(is_t).alias("ct"), F.sum(1 - is_t).alias("cr")
+    )
+    tot = bucket.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log10(
+                ((F.col("ct").cast("double") + 1.0) / (F.col("nt").cast("double") + 256.0))
+                / ((F.col("cr").cast("double") + 1.0) / (F.col("nr").cast("double") + 256.0))
+            ),
+            6,
+        ).alias("lw"),
+    )
+    return (
+        toks.filter(F.col("source") != "src0")
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), dsum("lw", 6).alias("dsir_logratio"))
+    )
+
+
+@register(
+    "t_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {D.simhash_hamming_pairs_sql("documents", "doc_id", "text")}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    members AS (
+        SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT m.cluster_id, m.doc_id, round({_QUALITY_EXPR_SQL}, 6) AS q
+        FROM members m JOIN documents USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+        FROM scored
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           max(CASE WHEN rn = 1 THEN q END) AS keeper_q
+    FROM ranked GROUP BY 1
+    """,
+    tags=("dedup", "graph", "quality"),
+)
+def t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization decision AFTER clustering: within each
+    near-dup cluster keep the highest-quality member (quality_score
+    desc, doc_id asc tiebreak) — real pipelines keep the best duplicate,
+    not an arbitrary min-id one. Output: one row per cluster with its
+    size, the surviving doc, and its quality.
+
+    Shape at 100 TB: cluster labels from connected_components (pair graph
+    is LSH/Hamming-bucketed, far smaller than the corpus), one key join
+    back to documents for the quality column, then a window partitioned
+    by cluster_id — clusters are small by construction (pair caps bound
+    them), so the window never sees a giant partition."""
+    from pyspark.sql import Window
+    from boxoffice_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.simhash_hamming_pairs(d, "doc_id", "text")
+    members = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    scored = members.join(
+        d.select("doc_id", TS.quality_score("text").alias("q")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("keeper_q"),
+    )
+
+
+@register(
+    "t_cross_source_dup_matrix",
+    oracle=f"""
+    WITH pairs AS (
+        {D.simhash_hamming_pairs_sql("documents", "doc_id", "text")}
+    )
+    SELECT least(a.source, b.source) AS source_lo,
+           greatest(a.source, b.source) AS source_hi,
+           count(*) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "datacard", "sources"),
+)
+def t_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: near-dup pair counts by (unordered)
+    source pair — the datacard view that exposes mirror sites and
+    cross-source scrapes (a hot off-diagonal cell means two feeds crawl
+    the same upstream; a hot diagonal cell means one feed re-serves its
+    own content). Drives source-level triage before any per-doc work.
+
+    Shape at 100 TB: the pair table is LSH/Hamming-bucketed (tiny vs the
+    corpus); two key joins attach each endpoint's source — at cluster
+    scale the (doc_id, source) projection is itself small enough to
+    broadcast or bucket — then a low-cardinality aggregate (sources x
+    sources) that partial-combines to almost nothing."""
+    d = table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = D.simhash_hamming_pairs(d, "doc_id", "text")
+    joined = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "_sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "_sb"), "id_b")
+    )
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+@register("t_compression_gate", oracle=None, bench=True, tags=("text", "quality", "pandas-udf"))
+def t_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy gate: per-doc zlib compression ratio
+    (operators/textstats.compression_signal) with pass/fail flags at the
+    standard band — too-compressible (< 0.25: repetitive boilerplate) and
+    too-incompressible (> 0.95: non-text noise) both fail. Rows-only (no
+    codec in the oracle); determinism + band properties are asserted in
+    tests/test_llm_ops.py. Scan-bound Arrow pass, zero shuffle."""
+    sig = TS.compression_signal(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return sig.withColumn(
+        "entropy_ok",
+        F.col("compression_ratio").between(0.25, 0.95),
+    )

@@ -371,3 +371,106 @@ def w_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", scale=2).alias("revenue"))
     )
     return ewma_by_key(daily, ["status"], "day", "revenue", alpha=0.3)
+
+
+@register(
+    "w_event_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT * FROM ({_EVENTS_US}) WHERE event_id % 7 = 0
+    ),
+    per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+        FROM ev GROUP BY 1
+    ),
+    clicked AS (
+        SELECT p.user_id, p.view_ts, min(e.ts) AS click_ts
+        FROM per_user p
+        LEFT JOIN ev e
+          ON e.user_id = p.user_id AND e.event_type = 'click'
+         AND e.ts >= p.view_ts
+        GROUP BY 1, 2
+    ),
+    purchased AS (
+        SELECT c.user_id, c.view_ts, c.click_ts, min(e.ts) AS purchase_ts
+        FROM clicked c
+        LEFT JOIN ev e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts >= c.click_ts
+        GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_users,
+           count(view_ts) AS n_viewed,
+           count(click_ts) AS n_clicked,
+           count(purchase_ts) AS n_purchased,
+           round(CAST(count(click_ts) AS DOUBLE)
+                 / nullif(count(view_ts), 0), 6) AS view_to_click,
+           round(CAST(count(purchase_ts) AS DOUBLE)
+                 / nullif(count(click_ts), 0), 6) AS click_to_purchase
+    FROM purchased
+    """,
+    tags=("window", "funnel", "sequence"),
+)
+def w_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: for each user,
+    the first view, the first click AT OR AFTER that view, and the first
+    purchase at or after that click — strict event-ORDER matching, not
+    mere per-type existence (a purchase before any view does not count).
+
+    Shape at 100 TB: ONE shuffle on user_id; the three stage timestamps
+    are chained conditional-min window aggregates over that single
+    partitioning (WindowExec chain reuses the exchange — no self-joins,
+    no per-user collects), then a single-row global rollup. The oracle
+    spells the same semantics as left-join chains, which is how a naive
+    engine would execute it (per-stage self-joins); the window form reads
+    the event log exactly once. The deterministic ``event_id % 7``
+    campaign slice keeps the funnel non-trivial at every SF (without it
+    the dense fixture completes all stages for all users)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("view_ts").alias("view_ts"),
+        F.first("click_ts").alias("click_ts"),
+        F.first("purchase_ts").alias("purchase_ts"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("view_ts").alias("n_viewed"),
+        F.count("click_ts").alias("n_clicked"),
+        F.count("purchase_ts").alias("n_purchased"),
+        F.round(
+            F.count("click_ts").cast("double")
+            / F.nullif(F.count("view_ts"), F.lit(0)),
+            6,
+        ).alias("view_to_click"),
+        F.round(
+            F.count("purchase_ts").cast("double")
+            / F.nullif(F.count("click_ts"), F.lit(0)),
+            6,
+        ).alias("click_to_purchase"),
+    )

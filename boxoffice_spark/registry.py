@@ -95,6 +95,11 @@ _PINNED = [
     "t_curation_funnel",  # oracle NOT IN -> NOT EXISTS
     "t_unigram_logprob",  # scoped-persist cache change
     "w_ewma_daily_revenue",  # oracle added round 4 (list_reduce prefix folds)
+    # -- NEW round 5: fresh driver evidence required
+    "t_dsir_weights",  # DSIR hashed-unigram importance weights
+    "t_dedup_keep_best",  # keep-highest-quality canonicalization per cluster
+    "t_cross_source_dup_matrix",  # near-dup pair counts by source pair
+    "w_event_funnel",  # ordered view->click->purchase funnel
 ]
 
 

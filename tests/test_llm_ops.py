@@ -616,3 +616,51 @@ def test_line_dedup_keep_first_semantics(spark):
     assert got[3] == ("", 0, 1)
     assert got[4] == ("", 0, 0)
     assert got[5] == ("", 0, 1)
+
+
+def test_compression_signal_properties(spark):
+    """zlib ratio: repetitive text compresses far better than high-entropy
+    text; ratios are deterministic across runs; byte accounting is exact."""
+    from boxoffice_spark.operators.textstats import compression_signal
+
+    rows = [
+        (1, "spam " * 200),                     # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog. " * 5),
+        (3, "9f8a7b6c5d4e3f2a1b0c" * 30),        # hashy but still patterned
+        (4, ""),                                 # empty -> null ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_signal(df, "doc_id", "text").collect()}
+    assert out[1]["compression_ratio"] < 0.1          # boilerplate collapses
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"]
+    assert out[4]["n_bytes"] == 0 and out[4]["compression_ratio"] is None
+    for i in (1, 2, 3):
+        assert out[i]["n_bytes"] == len(rows[i - 1][1].encode("utf-8"))
+        assert 0 < out[i]["zlib_bytes"] <= out[i]["n_bytes"] + 16
+    # determinism: identical second run
+    again = {r["doc_id"]: r for r in compression_signal(df, "doc_id", "text").collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_compression_gate_runs_and_flags(spark, sf_dir):
+    from boxoffice_spark.registry import load_all
+
+    q = load_all()["t_compression_gate"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert {"doc_id", "n_bytes", "zlib_bytes", "compression_ratio", "entropy_ok"} <= set(rows[0].asDict())
+
+
+def test_cluster_balance_invariants_and_determinism(spark, sf_dir):
+    """Shares sum to 1, every vector lands in exactly one cluster, the
+    fixed seed makes back-to-back runs identical."""
+    from boxoffice_spark.operators.similarity import cluster_balance
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = cluster_balance(emb).collect()
+    n_total = emb.count()
+    assert sum(r["n_vectors"] for r in out) == n_total
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-3
+    assert all(-1.0 <= r["mean_cos_to_centroid"] <= 1.0 for r in out)
+    again = cluster_balance(emb).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
