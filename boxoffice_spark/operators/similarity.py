@@ -580,16 +580,25 @@ def cluster_balance(
     protect before any mixture decision.
 
     Shape at 100 TB: the KMeans fit is the amortized index build (sampled
-    or incremental at scale); assignment + the tightness join are one
-    broadcast of the n_cells-row centroid table against the corpus scan,
-    then an n_cells-group aggregate that partial-combines to nothing.
-    Rows-only (no KMeans in the oracle); determinism (fixed seed) and
+    or incremental at scale); the ASSIGNMENT is one Arrow mapInPandas
+    pass — the n_cells x dim centroid matrix ships in the closure, each
+    batch does a single BLAS matmul and argmax (on the unit sphere
+    argmax-cosine == argmin-distance; numpy argmax's first-max rule gives
+    the same lowest-index tiebreak as the ML predictor), emitting only
+    (cell, cos) per row. Zero shuffle on the corpus, then an
+    n_cells-group aggregate that partial-combines to nothing. Rows-only
+    (no KMeans in the oracle); determinism (fixed seed) and
     share/tightness invariants are asserted in tests/test_llm_ops.py.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from boxoffice_spark.functions.numeric import davg
+    from boxoffice_spark.tables import spread
 
     def _unit(col):
         norm = F.sqrt(
@@ -603,28 +612,47 @@ def cluster_balance(
     model = KMeans(
         k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
     ).fit(feats)
-    assigned = model.transform(feats).select("_id", "_v", "cell")
+    cmat = np.array([c for c in model.clusterCenters()], dtype=np.float64)
+    cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
-    centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-    sim = F.round(cosine(_unit(F.col("_v")), _unit(F.col("centroid"))), 6)
-    per_vec = assigned.join(F.broadcast(centroids), "cell").select(
-        "cell", sim.alias("_cs")
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            # KMeans assigns by Euclidean distance to the RAW centroid:
+            # argmin(|c|^2 - 2 x.c) for unit x — not max-cosine, which
+            # would re-rank when centroid norms differ. np.argmin's
+            # first-min rule reproduces the predictor's lowest-index
+            # tiebreak.
+            d2 = (cmat**2).sum(axis=1)[None, :] - 2.0 * (x @ cmat.T)
+            cell = d2.argmin(axis=1)
+            sims = x @ cunit.T  # cosine tightness of the chosen cell
+            yield pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int32),
+                    "_cs": np.round(sims[np.arange(len(cell)), cell], 6),
+                }
+            )
+
+    per_vec = (
+        spread(corpus)
+        .select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .mapInPandas(batches, schema="cell int, _cs double")
     )
     stats = per_vec.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),
         davg("_cs", 6).alias("mean_cos_to_centroid"),
     )
-    grand = stats.agg(F.sum("n_vectors").alias("_n"))
-    return (
-        stats.crossJoin(F.broadcast(grand))
-        .select(
-            "cell",
-            "n_vectors",
-            F.round(F.col("n_vectors") / F.col("_n"), 6).alias("share"),
-            F.round("mean_cos_to_centroid", 6).alias("mean_cos_to_centroid"),
-        )
-        .orderBy("cell")
-    )
+    # corpus share via a window over the n_cells-row aggregate — NOT a
+    # crossJoin against a separate grand-total aggregate, which would
+    # re-evaluate the whole assignment subtree (KMeans transform included)
+    # a second time; the window sees 16 rows, the corpus is scanned once
+    w_all = W.partitionBy()
+    return stats.select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.sum("n_vectors").over(w_all), 6).alias("share"),
+        F.round("mean_cos_to_centroid", 6).alias("mean_cos_to_centroid"),
+    ).orderBy("cell")

@@ -1546,8 +1546,16 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.substring(F.md5("term"), 1, 2).alias("b"))
     )
     is_t = (F.col("source") == "src0").cast("long")
-    bucket = toks.groupBy("b").agg(
-        F.sum(is_t).alias("ct"), F.sum(1 - is_t).alias("cr")
+    # the 256-row bucket table feeds BOTH the totals and the log-weight
+    # join; uncached, each consumer re-runs the full corpus tokenize +
+    # bucket shuffle (Spark does not collapse the shared subtree) — the
+    # cache turns 3 corpus passes into 2 (count pass + scoring pass, the
+    # inherent minimum for a two-pass estimator)
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    bucket = scoped_persist(
+        toks.groupBy("b").agg(F.sum(is_t).alias("ct"), F.sum(1 - is_t).alias("cr")),
+        "t_dsir_weights.bucket",
     )
     tot = bucket.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     lw = bucket.crossJoin(F.broadcast(tot)).select(

@@ -234,3 +234,22 @@ def test_pair_generation_single_scan(spark, sf_dir):
         plan = physical(SPECS[name].fn(spark, sf_dir))
         n_scans = plan.count("Scan parquet")
         assert n_scans == 1, f"{name}: {n_scans} scans\n{plan}"
+
+
+def test_event_funnel_single_user_shuffle(spark, sf_dir):
+    """The three funnel stages must chain over ONE user_id exchange
+    (WindowExec reuse), with only the final 1-row rollup adding a
+    SinglePartition exchange — no per-stage self-joins."""
+    plan = physical(SPECS["w_event_funnel"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_dsir_weights_broadcasts_bucket_table(spark, sf_dir):
+    """The 256-row log-weight table must broadcast onto the token stream;
+    the corpus-side token stream must never be build-side of a join."""
+    plan = physical(SPECS["t_dsir_weights"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

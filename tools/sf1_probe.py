@@ -61,6 +61,11 @@ HEAVY = [
     "v_ann_pq_topk",
     "v_embedding_near_dup_lsh",
     "flagship_daily_topk_delta",
+    # round 5 additions: token-heavy two-pass scoring and the
+    # cluster-then-choose canonicalization chain
+    "t_dsir_weights",
+    "t_dedup_keep_best",
+    "t_compression_gate",
 ]
 
 
