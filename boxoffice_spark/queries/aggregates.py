@@ -410,3 +410,37 @@ def a_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("exact_users")
         ).alias("reagg_consistent"),
     )
+
+
+@register(
+    "a_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grouping_id,
+           {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grains — detail, each
+    one-dimension margin, grand total — in ONE scan + one Expand shuffle
+    (completes the rollup/grouping-sets OLAP trio). grouping_id
+    disambiguates a NULL group value from a rolled-up level, matching
+    a_grouping_sets' convention."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("grouping_id"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_id", "sum_qty", "n")
+    )

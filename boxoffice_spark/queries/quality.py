@@ -308,3 +308,52 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem.orderkey->orders").alias("fk"), "n_orphans")
     )
     return orphan_orders.unionByName(orphan_items)
+
+
+@register(
+    "dq_completeness_by_day",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id, event_type, value, props
+        FROM events
+    )
+    SELECT day,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS n_null_value,
+           CAST(count(*) FILTER (value <= 0) AS BIGINT) AS n_nonpos_value,
+           CAST(count(*) FILTER (props IS NULL OR props = '') AS BIGINT) AS n_empty_props,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(count(value) AS DOUBLE) / count(*), 6) AS value_completeness
+    FROM ev GROUP BY 1
+    """,
+    tags=("quality", "temporal"),
+)
+def dq_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-partition data-quality trend: daily event counts, null /
+    non-positive value rates, empty-props counts, distinct users and a
+    value-completeness ratio. The global audits (dq_profile,
+    dq_orders_constraints) say WHETHER the table is healthy; this one
+    says WHEN it stopped being healthy — the view an ingest monitor
+    alerts on (a day whose completeness dips is a bad upstream batch).
+
+    Shape at 100 TB: one scan, one narrow shuffle keyed by day (the
+    natural ingest partition — with partitioned storage the groupBy
+    collapses to per-partition aggregates and the scan prunes to the
+    audited window). Exact distinct-user counts per day; swap to
+    approx_count_distinct when days hold billions of users."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum((F.col("value") <= 0).cast("long")).alias("n_nonpos_value"),
+        F.sum(
+            (F.col("props").isNull() | (F.col("props") == "")).cast("long")
+        ).alias("n_empty_props"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.count("value").cast("double") / F.count("*"), 6).alias(
+            "value_completeness"
+        ),
+    )

@@ -1702,3 +1702,70 @@ def t_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_ok",
         F.col("compression_ratio").between(0.25, 0.95),
     )
+
+
+@register(
+    "t_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {D.simhash_hamming_pairs_sql("documents", "doc_id", "text")}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    members AS (
+        SELECT node AS doc_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT m.doc_id,
+               row_number() OVER (
+                   PARTITION BY (SELECT min(r2.comp) FROM reach r2 WHERE r2.node = m.doc_id)
+                   ORDER BY round({_QUALITY_EXPR_SQL}, 6) DESC, m.doc_id ASC) AS rn
+        FROM members m JOIN documents USING (doc_id)
+    )
+    SELECT d.doc_id, 'unique' AS kept_reason
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.doc_id = d.doc_id)
+    UNION ALL
+    SELECT doc_id, 'cluster_keeper' AS kept_reason FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "apply"),
+)
+def t_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZATION step of near-dup dedup: the surviving corpus
+    view. Every document outside any near-dup cluster passes through as
+    'unique'; each cluster contributes exactly its keep-best member
+    (quality desc, doc_id asc — same rule as t_dedup_keep_best) as
+    'cluster_keeper'. This is the frame a pipeline actually writes out
+    after t_dedup_keep_best makes the per-cluster decision.
+
+    Shape at 100 TB: cluster membership (tiny vs corpus) LEFT ANTI-probes
+    the corpus for the unique tier — members broadcast when small,
+    hash-keyed semi otherwise; the keeper tier is the bounded per-cluster
+    window from t_dedup_keep_best. Corpus scanned once per tier."""
+    from pyspark.sql import Window
+    from boxoffice_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.simhash_hamming_pairs(d, "doc_id", "text")
+    members = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    uniques = d.select("doc_id").join(members, "doc_id", "left_anti").select(
+        "doc_id", F.lit("unique").alias("kept_reason")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    keepers = (
+        members.join(d.select("doc_id", TS.quality_score("text").alias("q")), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit("cluster_keeper").alias("kept_reason"))
+    )
+    return uniques.unionByName(keepers)

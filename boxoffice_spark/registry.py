@@ -100,6 +100,9 @@ _PINNED = [
     "t_dedup_keep_best",  # keep-highest-quality canonicalization per cluster
     "t_cross_source_dup_matrix",  # near-dup pair counts by source pair
     "w_event_funnel",  # ordered view->click->purchase funnel
+    "dq_completeness_by_day",  # per-ingest-partition DQ trend
+    "a_cube",  # CUBE margins completing the rollup/grouping-sets trio
+    "t_dedup_apply",  # surviving-corpus materialization (unique + keepers)
 ]
 
 

@@ -68,6 +68,13 @@ HEAVY = [
     "t_compression_gate",
 ]
 
+# queries whose DuckDB oracle is impractical at sf1 even though the
+# engine side scales fine: t_dedup_keep_best's recursive-CTE oracle
+# expands the simhash vote table (~180M rows at 50k docs) inside the
+# recursion — DuckDB grinds for 30+ min. Its correctness evidence is the
+# sf0.01/sf0.1 oracle greens; sf1 keeps the timing-only row.
+ORACLE_SKIP_AT_SF1 = {"t_dedup_keep_best"}
+
 
 def generate(regen: bool = False) -> None:
     """Build the sf1 directory with DuckDB (single parquet file per table —
@@ -168,7 +175,7 @@ def main() -> None:
         oracle_out = {}
         for name in HEAVY:
             spec = specs[name]
-            if spec.oracle is None:
+            if spec.oracle is None or name in ORACLE_SKIP_AT_SF1:
                 continue
             # fresh connection per query: a DuckDB internal error poisons
             # the connection it happened on
