@@ -1769,3 +1769,53 @@ def t_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit("cluster_keeper").alias("kept_reason"))
     )
     return uniques.unionByName(keepers)
+
+
+# Deliberately tame placeholder blocklist: the operator contract is the
+# SHAPE (broadcast term set -> per-doc hit counts -> gate), not the list;
+# production swaps in a real curated blocklist of any size.
+_BLOCKLIST = ["slow", "error", "crash", "broken", "fail"]
+_BLOCKLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
+
+
+@register(
+    "t_blocklist_gate",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split({_NORM}, ' '),
+                               w -> list_contains({_BLOCKLIST_SQL}, w))) AS n_hits,
+               len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS n_words
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(CAST(n_hits AS DOUBLE) / greatest(n_words, 1), 6) AS hit_ratio,
+           n_hits = 0 AS blocklist_ok
+    FROM scored
+    """,
+    tags=("text", "quality", "safety"),
+)
+def t_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based content gate (the C4-style badword filter shape):
+    per-document count of blocklist-term OCCURRENCES over normalized
+    words, the hit ratio, and the pass flag. The list here is a tame
+    5-term placeholder — the contract is the mechanics: the blocklist
+    broadcasts as a literal array, matching runs inside whole-stage
+    codegen (array_contains per token via a filter lambda), zero shuffle,
+    one corpus scan. At a 100k-term production list, swap the literal for
+    a broadcast join against the tokenized stream (the t_decontamination
+    probe layout) — same output contract."""
+    words = F.filter(
+        F.split(D.normalized_text("text"), " "), lambda w: w != F.lit("")
+    )
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(bl, w)))
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("n_hits"),
+        F.round(
+            hits.cast("double") / F.greatest(F.size(words), F.lit(1)), 6
+        ).alias("hit_ratio"),
+        (hits == 0).alias("blocklist_ok"),
+    )

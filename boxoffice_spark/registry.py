@@ -103,6 +103,7 @@ _PINNED = [
     "dq_completeness_by_day",  # per-ingest-partition DQ trend
     "a_cube",  # CUBE margins completing the rollup/grouping-sets trio
     "t_dedup_apply",  # surviving-corpus materialization (unique + keepers)
+    "t_blocklist_gate",  # wordlist content gate (C4 badword-filter shape)
 ]
 
 
