@@ -18,6 +18,12 @@ so even the Python path carries a cell-exact DuckDB gate.
 
 ``SplitSentences`` (split on ``[.!?]+``) shares the same contract for
 punctuated corpora.
+
+Both UDTFs run Arrow-optimized (``useArrow=True``): the row expansion
+crosses the JVM/Python boundary as Arrow batches (ArrowEvalPythonUDTF in
+the plan), not pickled rows — the same rule every other Python kernel in
+this package follows, enforced registry-wide by
+tests/test_plans.py::test_no_cartesian_or_row_python_anywhere.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ _TRIMCHARS = " \t\n\r"
 CHUNK_SIZE = 32
 
 
-@udtf(returnType="chunk_idx int, chunk string, n_words int")
+@udtf(returnType="chunk_idx int, chunk string, n_words int", useArrow=True)
 class ChunkWords:
     """One row per non-overlapping CHUNK_SIZE-word window of the text."""
 
@@ -44,7 +50,7 @@ class ChunkWords:
             yield c // CHUNK_SIZE + 1, " ".join(piece), len(piece)
 
 
-@udtf(returnType="sent_idx int, sentence string, n_words int")
+@udtf(returnType="sent_idx int, sentence string, n_words int", useArrow=True)
 class SplitSentences:
     """One row per non-empty sentence of the input text."""
 

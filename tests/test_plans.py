@@ -253,3 +253,29 @@ def test_dsir_weights_broadcasts_bucket_table(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
+    """Registry-wide anti-pattern gate (tools/plan_audit.py is the
+    reporting twin): no executed plan may contain a CartesianProduct or a
+    row-at-a-time Python UDF (BatchEvalPython). Arrow kernels
+    (ArrowEvalPython*, MapInPandas, FlatMapGroupsInPandas) are the
+    sanctioned Python boundary. Global windows over SinglePartition are
+    allowed only for the known bounded-aggregate inputs listed below."""
+    from tools.plan_audit import audit
+
+    result = audit(spark, sf_dir)
+    assert result["cartesian"] == [], result
+    assert result["row_python"] == [], result
+    # every global window must sit over a bounded aggregate (lang rows,
+    # k-means cells, candidate sets, exact-quantile scaffolds) — new
+    # entries here need a written scale justification in their docstring
+    allowed = {
+        "dq_distribution_drift",   # per-language PSI rows
+        "w_ntile_quartiles",       # exact global quantiles by contract
+        "t_lang_token_mix",        # handful of language rows
+        "t_mixture_rebalance",     # per-stratum rate table
+        "t_heavy_hitters",         # Misra-Gries candidate set
+        "v_cluster_balance",       # n_cells aggregate rows
+    }
+    assert set(result["global_windows"]) <= allowed, result["global_windows"]
