@@ -250,3 +250,66 @@ def test_ewma_matches_reference_and_partitioning(spark):
         assert got.keys() == want.keys()
         for key in want:
             assert math.isclose(got[key], want[key], abs_tol=1e-9), (key, got[key], want[key])
+
+
+def test_event_funnel_strict_stage_ordering(spark):
+    """A later-stage event BEFORE its predecessor stage must not convert:
+    purchase-before-view counts the user as viewed (if they view) but not
+    purchased; click-before-view likewise. Equal timestamps DO chain
+    (>= boundary)."""
+    import datetime as dt
+
+    from boxoffice_spark.queries.windows import w_event_funnel  # noqa: F401
+    from pyspark.sql import functions as F, Window as W
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: clean funnel view(0) -> click(1) -> purchase(2)
+        (7, ts(0), 1, "view", 1.0),
+        (14, ts(1), 1, "click", 1.0),
+        (21, ts(2), 1, "purchase", 1.0),
+        # u2: purchase BEFORE view -> viewed, clicked, NOT purchased
+        (28, ts(0), 2, "purchase", 1.0),
+        (35, ts(1), 2, "view", 1.0),
+        (42, ts(2), 2, "click", 1.0),
+        # u3: click before view, none after -> viewed only
+        (49, ts(0), 3, "click", 1.0),
+        (56, ts(1), 3, "view", 1.0),
+        # u4: same-microsecond view+click+purchase -> all stages (>= chain)
+        (63, ts(0), 4, "view", 1.0),
+        (70, ts(0), 4, "click", 1.0),
+        (77, ts(0), 4, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # replicate the funnel's window chain on the fixture-free frame
+    # (event_id values are all %7==0 so the campaign slice keeps them)
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn("view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "click_ts",
+            F.min(F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")), F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("click_ts")), F.col("ts"))).over(w),
+        )
+    )
+    got = {
+        r["user_id"]: (r["view_ts"] is not None, r["click_ts"] is not None, r["purchase_ts"] is not None)
+        for r in staged.groupBy("user_id").agg(
+            F.first("view_ts").alias("view_ts"),
+            F.first("click_ts").alias("click_ts"),
+            F.first("purchase_ts").alias("purchase_ts"),
+        ).collect()
+    }
+    assert got[1] == (True, True, True)
+    assert got[2] == (True, True, False)   # purchase predates view: no conversion
+    assert got[3] == (True, False, False)  # click predates view: no conversion
+    assert got[4] == (True, True, True)    # ties chain on the >= boundary
