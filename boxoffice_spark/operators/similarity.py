@@ -488,6 +488,78 @@ def ann_pq_topk(
     )
 
 
+def _lloyds(mat, k: int, iters: int = 10, seed: int = 42):
+    """Seeded Lloyd's k-means over a driver-side sample matrix — the
+    shared coarse-quantizer trainer for IVF and cluster_balance (PQ uses
+    the same loop per subspace). A bounded sample is all a quantizer
+    needs (coverage, not completeness), so the fit costs milliseconds
+    where a distributed ML fit pays seconds of scheduling overhead; at
+    corpus scale the sample comes from the hash-sample operator."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    cents = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = mat[mask].mean(axis=0)
+    return cents
+
+
+def _fit_unit_kmeans(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_size: int = 1024,
+    seed: int = 42,
+):
+    """Train centroids on the L2-normalized bounded sample (orderBy(id)
+    .limit keeps it deterministic under retries). On the unit sphere
+    Euclidean cells are cosine cells (||a-b||^2 = 2 - 2cos)."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_size).collect()
+    if not rows:
+        raise ValueError("kmeans fit: corpus is empty — nothing to index")
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    return _lloyds(mat, n_cells, seed=seed)
+
+
+def _assign_cells(df: DataFrame, out_cols: str, cmat) -> DataFrame:
+    """Arrow-kernel cell assignment: one BLAS pass per batch against the
+    closure-shipped centroid matrix; argmin Euclidean to the raw centroid
+    (np.argmin's first-min rule = lowest-index tiebreak). Input df must
+    have a ``_v`` array<double> column; all input columns pass through
+    plus an int ``cell``. Zero shuffle, corpus scanned once."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from boxoffice_spark.tables import spread
+
+    c2 = (cmat**2).sum(axis=1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            d2 = c2[None, :] - 2.0 * (x @ cmat.T)
+            out = pdf.copy()
+            out["cell"] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return spread(df).mapInPandas(batches, schema=f"{out_cols}, cell int")
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -504,36 +576,35 @@ def ann_ivf_topk(
 
     The scan-cost contract at scale: each query touches ~n_probe/n_cells of
     the corpus instead of all of it, and the cell assignment is a one-off
-    index build (the KMeans fit), amortized across every query batch — the
-    complementary trade to ann_lsh_topk (no training, but hash-bucket
-    recall). Rows-only; recall vs the exact operator is asserted in
-    tests/test_llm_ops.py.
+    index build (seeded Lloyd's on a bounded deterministic sample —
+    _fit_unit_kmeans — milliseconds on the driver where a distributed ML
+    fit costs seconds of scheduling), amortized across every query
+    batch — the complementary trade to ann_lsh_topk (no training, but
+    hash-bucket recall). Corpus cell assignment is one Arrow BLAS pass
+    (_assign_cells), no ML-predictor UDF in the scan. Rows-only; recall
+    vs the exact operator is asserted in tests/test_llm_ops.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    # L2-normalize for the quantizer: on the unit sphere Euclidean cells
-    # are cosine cells (||a-b||**2 = 2 - 2*cos), so KMeans partitions align
-    # with the cosine ranking the rerank uses. The rerank itself runs on the
-    # ORIGINAL vectors (cosine is scale-invariant).
     def _unit(col):
         norm = F.sqrt(
             F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         )
         return F.transform(col, lambda x: x / norm)
 
-    feats = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("features", array_to_vector(_unit(F.col("_cv"))))
-    km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(feats)
-    cells = model.transform(feats).select("neighbor_id", "_cv", "cell")
+    cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells)
+    cells = _assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "neighbor_id long, _v array<double>",
+        cmat,
+    ).withColumnRenamed("_v", "_cv")
 
     # centroid table is tiny (n_cells rows) -> broadcast to score query
     # probes JVM-side; ranking by Euclidean distance to centroid
     centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cmat)],
         "cell int, centroid array<double>",
     )
     q = queries.select(
@@ -579,41 +650,31 @@ def cluster_balance(
     redundant mass to downsample, tiny tight ones flag rare modes to
     protect before any mixture decision.
 
-    Shape at 100 TB: the KMeans fit is the amortized index build (sampled
-    or incremental at scale); the ASSIGNMENT is one Arrow mapInPandas
-    pass — the n_cells x dim centroid matrix ships in the closure, each
-    batch does a single BLAS matmul and argmax (on the unit sphere
-    argmax-cosine == argmin-distance; numpy argmax's first-max rule gives
-    the same lowest-index tiebreak as the ML predictor), emitting only
-    (cell, cos) per row. Zero shuffle on the corpus, then an
-    n_cells-group aggregate that partial-combines to nothing. Rows-only
-    (no KMeans in the oracle); determinism (fixed seed) and
-    share/tightness invariants are asserted in tests/test_llm_ops.py.
+    Shape at 100 TB: the fit is seeded Lloyd's on a bounded deterministic
+    sample (_fit_unit_kmeans — the same coarse quantizer ann_ivf_topk
+    indexes with, milliseconds on the driver); the ASSIGNMENT is one
+    Arrow mapInPandas pass — the n_cells x dim centroid matrix ships in
+    the closure, each batch does a single BLAS matmul, assigning by
+    Euclidean distance to the RAW centroid (argmin |c|^2 - 2 x.c for
+    unit x — not max-cosine, which would re-rank when centroid norms
+    differ; np.argmin's first-min rule gives a deterministic lowest-index
+    tiebreak), emitting only (cell, cos) per row. Zero shuffle on the
+    corpus, then an n_cells-group aggregate that partial-combines to
+    nothing. Rows-only (no KMeans in the oracle); determinism (fixed
+    seed) and share/tightness invariants are asserted in
+    tests/test_llm_ops.py.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from boxoffice_spark.functions.numeric import davg
     from boxoffice_spark.tables import spread
 
-    def _unit(col):
-        norm = F.sqrt(
-            F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-        return F.transform(col, lambda x: x / norm)
-
-    feats = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("features", array_to_vector(_unit(F.col("_v"))))
-    model = KMeans(
-        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
-    ).fit(feats)
-    cmat = np.array([c for c in model.clusterCenters()], dtype=np.float64)
+    cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells)
     cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    c2 = (cmat**2).sum(axis=1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -621,12 +682,7 @@ def cluster_balance(
                 continue
             x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-            # KMeans assigns by Euclidean distance to the RAW centroid:
-            # argmin(|c|^2 - 2 x.c) for unit x — not max-cosine, which
-            # would re-rank when centroid norms differ. np.argmin's
-            # first-min rule reproduces the predictor's lowest-index
-            # tiebreak.
-            d2 = (cmat**2).sum(axis=1)[None, :] - 2.0 * (x @ cmat.T)
+            d2 = c2[None, :] - 2.0 * (x @ cmat.T)
             cell = d2.argmin(axis=1)
             sims = x @ cunit.T  # cosine tightness of the chosen cell
             yield pd.DataFrame(
