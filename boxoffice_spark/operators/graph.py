@@ -37,9 +37,13 @@ def connected_components(
     if ``max_iters`` rounds aren't enough (a pathological chain —
     at that point use doubling/small-star variants, not a bigger budget).
     """
+    # checkpoint the DIRECTED pair list first: the symmetric union below
+    # references it twice, and without the cut the (expensive) pair-
+    # generation subtree — a banded similarity join upstream — would be
+    # evaluated twice inside one materialization job
+    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
@@ -117,7 +121,10 @@ def connected_components_star(
     oracle is tested (tests/test_graph.py), including a long-chain graph
     where this converges in ~log rounds while min-label would need
     O(n)."""
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the raw pair list first: nodes and _canonical below each
+    # reference it twice — without the cut the upstream pair-generation
+    # join would be evaluated four times across the two materializations
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     # canonicalization drops self-loops; remember every mentioned node so
     # singletons still come back self-labeled (same contract as
     # connected_components)

@@ -343,7 +343,12 @@ def dq_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to per-partition aggregates and the scan prunes to the
     audited window). Exact distinct-user counts per day; swap to
     approx_count_distinct when days hold billions of users."""
-    ev = table(spark, sf_dir, "events")
+    return completeness_by_day(table(spark, sf_dir, "events"))
+
+
+def completeness_by_day(ev: DataFrame) -> DataFrame:
+    """Frame-level form of dq_completeness_by_day (the streaming twin's
+    equality tests aggregate arbitrary event frames through it)."""
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),

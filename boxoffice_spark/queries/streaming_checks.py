@@ -96,3 +96,14 @@ def s_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_embedding_drift
 
     return stream_embedding_drift(spark, sf_dir)
+
+
+@register("s_stream_completeness", oracle=None, tags=("streaming", "quality"))
+def s_stream_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dq_completeness_by_day: per-day quality counters
+    maintained across micro-batches (streaming/jobs.py
+    stream_completeness_monitor); stream==batch equality on the shared
+    columns asserted in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_completeness_monitor
+
+    return stream_completeness_monitor(spark, sf_dir)

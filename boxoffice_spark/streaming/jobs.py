@@ -474,3 +474,72 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropGlobalTempView(name)
     spark.catalog.dropGlobalTempView(sums_name)
     return out
+
+
+def stream_completeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dq_completeness_by_day (minus distinct users —
+    countDistinct needs user-level state a streaming aggregation can't
+    keep; at scale you'd add an HLL sketch column for it): the incoming
+    event stream's per-day quality counters, maintained across
+    micro-batches with the same merge-by-key foreachBatch pattern as
+    stream_drift_monitor. The update-mode aggregation emits the FULL new
+    totals for each changed day, so the merge is replace-changed-days —
+    the standing table is correct after any number of micro-batches and
+    after the availableNow drain equals the batch query exactly on the
+    shared columns (asserted in tests/test_streaming.py, single- and
+    split-file layouts). State is O(days) — independent of stream length."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    daily = raw.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum((F.col("value") <= 0).cast("long")).alias("n_nonpos_value"),
+        F.sum(
+            (F.col("props").isNull() | (F.col("props") == "")).cast("long")
+        ).alias("n_empty_props"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error_events"),
+        F.count("value").alias("_n_value_present"),
+    )
+    name = "s_complete_" + uuid.uuid4().hex[:12]
+
+    def emit(update: DataFrame, batch_id: int) -> None:
+        s = update.sparkSession
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            prev = s.table(f"global_temp.{name}")
+            merged = prev.join(update.select("day"), "day", "left_anti").unionByName(update)
+        else:
+            merged = update
+        merged.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        daily.writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(f"global_temp.{name}")
+        .select(
+            "day",
+            "n_events",
+            "n_null_value",
+            "n_nonpos_value",
+            "n_empty_props",
+            "n_error_events",
+            F.round(
+                F.col("_n_value_present").cast("double") / F.col("n_events"), 6
+            ).alias("value_completeness"),
+        )
+        .localCheckpoint()
+    )
+    spark.catalog.dropGlobalTempView(name)
+    return out

@@ -326,3 +326,49 @@ def test_stream_drift_monitor_multi_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, psi_drift_terms(full).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_completeness_equals_batch(spark, sf_dir):
+    """After the availableNow drain the standing per-day table must equal
+    dq_completeness_by_day on the shared columns (the streaming twin
+    drops distinct-users — not expressible as mergeable streaming
+    state)."""
+    from boxoffice_spark.queries.quality import dq_completeness_by_day
+    from boxoffice_spark.streaming.jobs import stream_completeness_monitor
+
+    cols = [
+        "day", "n_events", "n_null_value", "n_nonpos_value",
+        "n_empty_props", "n_error_events", "value_completeness",
+    ]
+    got = sorted(map(tuple, stream_completeness_monitor(spark, sf_dir).select(*cols).collect()))
+    want = sorted(map(tuple, dq_completeness_by_day(spark, sf_dir).select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_completeness_multi_batch(spark, sf_dir, tmp_path):
+    """Two event files -> two update-mode micro-batches; days straddle the
+    split so batch 2 UPDATES days batch 1 already emitted — the merged
+    table must still equal the batch formula over the full set."""
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.quality import completeness_by_day
+    from boxoffice_spark.streaming.jobs import stream_completeness_monitor
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    # interleaved split (odd/even rows): every day appears in BOTH files
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    idx = pa.array(range(t.num_rows))
+    even = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 0))
+    odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
+    pq.write_table(even, str(tmp_path / "events.parquet"))
+    pq.write_table(odd, str(tmp_path / "events_2.parquet"))
+
+    cols = [
+        "day", "n_events", "n_null_value", "n_nonpos_value",
+        "n_empty_props", "n_error_events", "value_completeness",
+    ]
+    got = sorted(map(tuple, stream_completeness_monitor(spark, str(tmp_path)).select(*cols).collect()))
+    full = spark.read.option("pathGlobFilter", "events*.parquet").parquet(str(tmp_path))
+    want = sorted(map(tuple, completeness_by_day(full).select(*cols).collect()))
+    assert got == want and len(got) > 0
