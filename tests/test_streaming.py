@@ -330,9 +330,9 @@ def test_stream_drift_monitor_multi_batch(spark, sf_dir, tmp_path):
 
 def test_stream_completeness_equals_batch(spark, sf_dir):
     """After the availableNow drain the standing per-day table must equal
-    dq_completeness_by_day on the shared columns (the streaming twin
-    drops distinct-users — not expressible as mergeable streaming
-    state)."""
+    dq_completeness_by_day on the exact-counter columns, and the
+    mergeable HLL sketch's distinct-user estimate must be within 5% of
+    the exact per-day count."""
     from boxoffice_spark.queries.quality import dq_completeness_by_day
     from boxoffice_spark.streaming.jobs import stream_completeness_monitor
 
@@ -340,9 +340,15 @@ def test_stream_completeness_equals_batch(spark, sf_dir):
         "day", "n_events", "n_null_value", "n_nonpos_value",
         "n_empty_props", "n_error_events", "value_completeness",
     ]
-    got = sorted(map(tuple, stream_completeness_monitor(spark, sf_dir).select(*cols).collect()))
+    out = stream_completeness_monitor(spark, sf_dir)
+    got = sorted(map(tuple, out.select(*cols).collect()))
     want = sorted(map(tuple, dq_completeness_by_day(spark, sf_dir).select(*cols).collect()))
     assert got == want and len(got) > 0
+    # the HLL distinct-user estimate must land within 5% of the exact count
+    approx = {r["day"]: r["n_users_approx"] for r in out.collect()}
+    exact = {r["day"]: r["n_users"] for r in dq_completeness_by_day(spark, sf_dir).collect()}
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(0.05 * n, 2), (day, approx[day], n)
 
 
 def test_stream_completeness_multi_batch(spark, sf_dir, tmp_path):
