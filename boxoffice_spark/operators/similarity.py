@@ -399,10 +399,15 @@ def ann_pq_topk(
         return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
     # --- train: seeded Lloyd's per subspace on a bounded, deterministic
-    # sample (orderBy(id).limit keeps the sample stable across retries; at
-    # corpus scale swap in the hash-sample operator — any bounded sample
-    # trains equally well, PQ codebooks need coverage, not completeness).
-    train_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_size).collect()
+    # sample, ordered by salted content hash of the id — uniform over the
+    # corpus where a first-ids prefix would be biased toward the earliest
+    # ingest slice (see _fit_unit_kmeans); still TakeOrderedAndProject.
+    train_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit("pq"), F.col(id_col).cast("string"))), id_col)
+        .limit(train_size)
+        .collect()
+    )
     tmat = _unit_rows(train_rows, 1)
     # a corpus smaller than ksub cannot seed ksub distinct centroids —
     # clamp instead of letting rng.choice(replace=False) raise; fewer
@@ -518,12 +523,23 @@ def _fit_unit_kmeans(
     train_size: int = 1024,
     seed: int = 42,
 ):
-    """Train centroids on the L2-normalized bounded sample (orderBy(id)
-    .limit keeps it deterministic under retries). On the unit sphere
-    Euclidean cells are cosine cells (||a-b||^2 = 2 - 2cos)."""
+    """Train centroids on the L2-normalized bounded sample. The sample
+    orders by a salted content hash of the id — NOT by the id itself:
+    ids are typically assigned in ingest order (by source/topic/time), so
+    a first-ids prefix would train every centroid on the earliest slice
+    of the corpus and leave later topics without a nearby cell. The hash
+    order is uniform over the corpus, deterministic under retries, and
+    still a TakeOrderedAndProject (O(n log k) scan-side, no full sort).
+    On the unit sphere Euclidean cells are cosine cells
+    (||a-b||^2 = 2 - 2cos)."""
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_size).collect()
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit("km"), F.col(id_col).cast("string"))), id_col)
+        .limit(train_size)
+        .collect()
+    )
     if not rows:
         raise ValueError("kmeans fit: corpus is empty — nothing to index")
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -531,12 +547,21 @@ def _fit_unit_kmeans(
     return _lloyds(mat, n_cells, seed=seed)
 
 
-def _assign_cells(df: DataFrame, out_cols: str, cmat) -> DataFrame:
+def _assign_cells(
+    df: DataFrame, keep_cols: str, cmat, with_cos: bool = False
+) -> DataFrame:
     """Arrow-kernel cell assignment: one BLAS pass per batch against the
     closure-shipped centroid matrix; argmin Euclidean to the raw centroid
-    (np.argmin's first-min rule = lowest-index tiebreak). Input df must
-    have a ``_v`` array<double> column; all input columns pass through
-    plus an int ``cell``. Zero shuffle, corpus scanned once."""
+    (argmin |c|^2 - 2 x.c for unit x — NOT max-cosine, which would
+    re-rank when centroid norms differ; np.argmin's first-min rule =
+    lowest-index tiebreak). Input df must have a ``_v`` array<double>
+    column; ``keep_cols`` (a schema string) names the input columns that
+    pass through to the output — only those ship back across Arrow, so
+    callers that need nothing but the assignment (cluster_balance) don't
+    pay to round-trip the vectors. ``with_cos`` adds ``_cs``, the cosine
+    of each row to its chosen centroid. Zero shuffle, corpus scanned
+    once. The single shared kernel behind ann_ivf_topk's index cells and
+    cluster_balance's audit — one assignment rule, two consumers."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -545,6 +570,13 @@ def _assign_cells(df: DataFrame, out_cols: str, cmat) -> DataFrame:
     from boxoffice_spark.tables import spread
 
     c2 = (cmat**2).sum(axis=1)
+    cunit = cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+    )
+    names = [c.strip().split()[0] for c in keep_cols.split(",") if c.strip()]
+    schema = (f"{keep_cols}, " if names else "") + "cell int" + (
+        ", _cs double" if with_cos else ""
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -553,11 +585,15 @@ def _assign_cells(df: DataFrame, out_cols: str, cmat) -> DataFrame:
             x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
             d2 = c2[None, :] - 2.0 * (x @ cmat.T)
-            out = pdf.copy()
-            out["cell"] = d2.argmin(axis=1).astype(np.int32)
-            yield out
+            cell = d2.argmin(axis=1)
+            data = {n: pdf[n] for n in names}
+            data["cell"] = cell.astype(np.int32)
+            if with_cos:
+                sims = x @ cunit.T
+                data["_cs"] = np.round(sims[np.arange(len(cell)), cell], 6)
+            yield pd.DataFrame(data)
 
-    return spread(df).mapInPandas(batches, schema=f"{out_cols}, cell int")
+    return spread(df).mapInPandas(batches, schema=schema)
 
 
 def ann_ivf_topk(
@@ -664,38 +700,16 @@ def cluster_balance(
     seed) and share/tightness invariants are asserted in
     tests/test_llm_ops.py.
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     from boxoffice_spark.functions.numeric import davg
-    from boxoffice_spark.tables import spread
 
     cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells)
-    cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    c2 = (cmat**2).sum(axis=1)
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-            d2 = c2[None, :] - 2.0 * (x @ cmat.T)
-            cell = d2.argmin(axis=1)
-            sims = x @ cunit.T  # cosine tightness of the chosen cell
-            yield pd.DataFrame(
-                {
-                    "cell": cell.astype(np.int32),
-                    "_cs": np.round(sims[np.arange(len(cell)), cell], 6),
-                }
-            )
-
-    per_vec = (
-        spread(corpus)
-        .select(F.col(vec_col).cast("array<double>").alias("_v"))
-        .mapInPandas(batches, schema="cell int, _cs double")
+    # the SAME assignment kernel ann_ivf_topk indexes with (one rule, two
+    # consumers); keep_cols empty — only (cell, cos) ships back over Arrow
+    per_vec = _assign_cells(
+        corpus.select(F.col(vec_col).cast("array<double>").alias("_v")),
+        "",
+        cmat,
+        with_cos=True,
     )
     stats = per_vec.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),

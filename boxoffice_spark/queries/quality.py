@@ -346,17 +346,30 @@ def dq_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return completeness_by_day(table(spark, sf_dir, "events"))
 
 
+def completeness_counters() -> list:
+    """The per-day quality counters, defined ONCE and shared by the batch
+    query (completeness_by_day) and the streaming twin
+    (streaming/jobs.stream_completeness_monitor) so the two can never
+    drift. count(when(...)) — not sum(cast) — because a predicate over a
+    nullable column is NULL on NULL input, and summing all-NULLs yields
+    NULL where the oracle's count(*) FILTER yields 0 (the all-NULL day is
+    exactly the broken-upstream-batch case this monitor exists to flag)."""
+    return [
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.count(F.when(F.col("value") <= 0, 1)).alias("n_nonpos_value"),
+        F.count(
+            F.when(F.col("props").isNull() | (F.col("props") == ""), 1)
+        ).alias("n_empty_props"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error_events"),
+    ]
+
+
 def completeness_by_day(ev: DataFrame) -> DataFrame:
     """Frame-level form of dq_completeness_by_day (the streaming twin's
     equality tests aggregate arbitrary event frames through it)."""
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
-        F.sum((F.col("value") <= 0).cast("long")).alias("n_nonpos_value"),
-        F.sum(
-            (F.col("props").isNull() | (F.col("props") == "")).cast("long")
-        ).alias("n_empty_props"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error_events"),
+        *completeness_counters(),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.count("value").cast("double") / F.count("*"), 6).alias(
             "value_completeness"

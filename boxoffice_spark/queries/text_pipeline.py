@@ -1576,6 +1576,28 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_best_ranked(d: DataFrame) -> DataFrame:
+    """The SHARED keep-best pipeline: simhash near-dup pairs -> connected
+    components -> quality join -> per-cluster rank (quality desc, doc_id
+    asc tiebreak). t_dedup_keep_best (the decision report) and
+    t_dedup_apply (the materialization) both consume this — one
+    definition, so the canonicalization rule can never desynchronize
+    between the two queries that must agree doc-for-doc."""
+    from pyspark.sql import Window
+    from boxoffice_spark.operators.graph import connected_components
+
+    pairs = D.simhash_hamming_pairs(d, "doc_id", "text")
+    members = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    scored = members.join(
+        d.select("doc_id", TS.quality_score("text").alias("q")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+
 @register(
     "t_dedup_keep_best",
     oracle=f"""
@@ -1624,19 +1646,7 @@ def t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to documents for the quality column, then a window partitioned
     by cluster_id — clusters are small by construction (pair caps bound
     them), so the window never sees a giant partition."""
-    from pyspark.sql import Window
-    from boxoffice_spark.operators.graph import connected_components
-
-    d = table(spark, sf_dir, "documents")
-    pairs = D.simhash_hamming_pairs(d, "doc_id", "text")
-    members = connected_components(pairs, "id_a", "id_b").select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
-    scored = members.join(
-        d.select("doc_id", TS.quality_score("text").alias("q")), "doc_id"
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
+    ranked = _keep_best_ranked(table(spark, sf_dir, "documents"))
     return ranked.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
@@ -1750,23 +1760,13 @@ def t_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus for the unique tier — members broadcast when small,
     hash-keyed semi otherwise; the keeper tier is the bounded per-cluster
     window from t_dedup_keep_best. Corpus scanned once per tier."""
-    from pyspark.sql import Window
-    from boxoffice_spark.operators.graph import connected_components
-
     d = table(spark, sf_dir, "documents")
-    pairs = D.simhash_hamming_pairs(d, "doc_id", "text")
-    members = connected_components(pairs, "id_a", "id_b").select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
-    uniques = d.select("doc_id").join(members, "doc_id", "left_anti").select(
-        "doc_id", F.lit("unique").alias("kept_reason")
-    )
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
-    keepers = (
-        members.join(d.select("doc_id", TS.quality_score("text").alias("q")), "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.lit("cluster_keeper").alias("kept_reason"))
+    ranked = _keep_best_ranked(d)
+    uniques = d.select("doc_id").join(
+        ranked.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.lit("unique").alias("kept_reason"))
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", F.lit("cluster_keeper").alias("kept_reason")
     )
     return uniques.unionByName(keepers)
 

@@ -504,14 +504,12 @@ def stream_completeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
+    from boxoffice_spark.queries.quality import completeness_counters
+
+    # counter expressions are SHARED with the batch twin (one definition
+    # in queries/quality.py) so stream and batch can never drift
     daily = raw.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
-        F.sum((F.col("value") <= 0).cast("long")).alias("n_nonpos_value"),
-        F.sum(
-            (F.col("props").isNull() | (F.col("props") == "")).cast("long")
-        ).alias("n_empty_props"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error_events"),
+        *completeness_counters(),
         F.count("value").alias("_n_value_present"),
         F.hll_sketch_agg("user_id").alias("_users_sketch"),
     )

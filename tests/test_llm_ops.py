@@ -664,3 +664,30 @@ def test_cluster_balance_invariants_and_determinism(spark, sf_dir):
     assert all(-1.0 <= r["mean_cos_to_centroid"] <= 1.0 for r in out)
     again = cluster_balance(emb).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_completeness_counters_all_null_day(spark):
+    """A day whose value column is entirely NULL — the broken-upstream-
+    batch case the monitor exists to flag — must report n_nonpos_value=0
+    (count semantics), never NULL (the sum-of-NULL-predicates trap)."""
+    import datetime as dt
+
+    from boxoffice_spark.queries.quality import completeness_by_day
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10), 1, "view", None, "{}"),
+        (2, dt.datetime(2024, 3, 1, 11), 2, "error", None, None),
+        (3, dt.datetime(2024, 3, 2, 10), 1, "click", -1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["day"].isoformat(): r.asDict() for r in completeness_by_day(ev).collect()}
+    d1 = got["2024-03-01"]
+    assert d1["n_null_value"] == 2 and d1["n_nonpos_value"] == 0  # not NULL
+    assert d1["n_empty_props"] == 1 and d1["n_error_events"] == 1
+    assert d1["value_completeness"] == 0.0
+    d2 = got["2024-03-02"]
+    assert d2["n_nonpos_value"] == 1 and d2["n_empty_props"] == 1

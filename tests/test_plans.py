@@ -279,3 +279,27 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "v_cluster_balance",       # n_cells aggregate rows
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
+    # positive control: the detector must actually FIND the known global
+    # windows — an always-empty regex would pass the subset assertion
+    # vacuously while the gate fails open
+    assert "w_ntile_quartiles" in result["global_windows"], result["global_windows"]
+    assert "t_lang_token_mix" in result["global_windows"], result["global_windows"]
+
+
+def test_plan_audit_detects_window_inside_join_branch(spark):
+    """The global-window regex must match ':'-prefixed tree lines — a
+    globally-windowed subframe JOINED back to a fact table is exactly the
+    scale anti-pattern the gate exists to catch."""
+    import re as _re
+
+    from pyspark.sql import Window as W_, functions as F_
+    from tools.plan_audit import audit  # noqa: F401  (shared regex below)
+
+    left = spark.range(100).withColumn(
+        "rk", F_.row_number().over(W_.partitionBy().orderBy("id"))
+    )
+    right = spark.range(100).withColumnRenamed("id", "rid")
+    df = left.join(right, left.id == right.rid)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pat = r"Window .*\n(?:[\s:+-]*Sort .*\n)?[\s:+-]*Exchange SinglePartition"
+    assert _re.search(pat, plan), plan

@@ -41,19 +41,27 @@ def audit(spark, sf_dir: str) -> dict:
     global_windows: dict[str, int] = {}
     checked = 0
     for name, spec in specs.items():
-        try:
-            plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # streaming-only plans can't materialize here
-            if "streaming" in str(exc).lower() or name.startswith("s_"):
-                continue
-            raise
+        # streaming monitors (s_*) run a full availableNow drain just to
+        # build their result frame — skip BEFORE calling fn(), both to
+        # keep the audit cheap and so a genuine s_* failure isn't
+        # swallowed by an exception guard; their batch twins cover the
+        # plan shapes, and the stream==batch tests cover the monitors
+        if name.startswith("s_"):
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         checked += 1
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BatchEvalPython" in plan:
             row_python.append(name)
+        # tree-prefix-tolerant: lines inside a join branch are prefixed
+        # with ':'/':-'/':  +-' rather than plain '+-' — a global window
+        # nested under a join must still be detected
         n_glob = len(
-            re.findall(r"Window .*\n(?:\s*\+?-? ?Sort .*\n)?\s*\+- Exchange SinglePartition", plan)
+            re.findall(
+                r"Window .*\n(?:[\s:+-]*Sort .*\n)?[\s:+-]*Exchange SinglePartition",
+                plan,
+            )
         )
         if n_glob:
             global_windows[name] = n_glob
