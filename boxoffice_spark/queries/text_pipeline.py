@@ -1819,3 +1819,70 @@ def t_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hit_ratio"),
         (hits == 0).alias("blocklist_ok"),
     )
+
+
+@register(
+    "dq_pii_prevalence",
+    oracle=f"""
+    WITH aug AS (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN {_PII_AUG_SQL} ELSE text END AS t
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               len(regexp_extract_all(t, '{CL.EMAIL_RE}')) > 0 AS has_email,
+               len(regexp_extract_all(t, '{CL.PHONE_RE}')) > 0 AS has_phone
+        FROM aug
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (has_email) AS BIGINT) AS docs_with_email,
+           CAST(count(*) FILTER (has_phone) AS BIGINT) AS docs_with_phone,
+           round(CAST(count(*) FILTER (has_email OR has_phone) AS DOUBLE)
+                 / count(*), 6) AS pii_rate
+    FROM flags GROUP BY 1
+    """,
+    tags=("quality", "pii", "privacy"),
+)
+def dq_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII prevalence BY SOURCE — the privacy scorecard a
+    corpus publishes before shipping (and the triage view that decides
+    which feeds need the redaction pass at all; t_pii_redact is the
+    per-doc scrub). The fixture carries no organic PII, so a
+    deterministic third of documents (doc_id % 3 = 0) get the same
+    synthetic contact line t_pii_redact uses — prevalence is then a real
+    ~33% signal, not a vacuous 0% or 100%.
+
+    Shape at 100 TB: one scan, per-doc regex flags inside codegen, one
+    low-cardinality per-source aggregate. count(when(...)) counters —
+    never sum over a nullable predicate."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com tel +82 10-55"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-1234"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    flags = aug.select(
+        "source",
+        (F.regexp_count("t", F.lit(CL.EMAIL_RE)) > 0).alias("has_email"),
+        (F.regexp_count("t", F.lit(CL.PHONE_RE)) > 0).alias("has_phone"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("has_email"), 1)).alias("docs_with_email"),
+        F.count(F.when(F.col("has_phone"), 1)).alias("docs_with_phone"),
+        F.round(
+            F.count(F.when(F.col("has_email") | F.col("has_phone"), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pii_rate"),
+    )

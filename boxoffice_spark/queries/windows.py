@@ -474,3 +474,74 @@ def w_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "w_cohort_retention",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM ({_EVENTS_US})
+    ),
+    firsts AS (
+        SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, e.day) AS day_offset
+        FROM ev e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active, s.cohort_size,
+           round(CAST(count(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM activity a JOIN sizes s USING (cohort_day)
+    WHERE a.day_offset <= 7
+    GROUP BY 1, 2, s.cohort_size
+    """,
+    tags=("window", "cohort", "retention"),
+)
+def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by FIRST-activity day, tracked by
+    day offset — the day-N retention triangle (offsets 0..7) every
+    product-analytics stack computes. retention = distinct active users
+    at offset / cohort size.
+
+    Shape at 100 TB: one shuffle on user_id computes each user's cohort
+    day as a window min (no self-join back to the event log — the window
+    reuses the exchange), a distinct per (user, offset) on the same
+    partitioning, then a small (cohorts x offsets) aggregate; cohort
+    sizes join broadcast. The offset cap bounds output to a triangle."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    w = W.partitionBy("user_id")
+    acts = (
+        ev.withColumn("cohort_day", F.min("day").over(w))
+        .withColumn("day_offset", F.datediff("day", F.col("cohort_day")))
+        .filter(F.col("day_offset") <= 7)
+        .select("user_id", "cohort_day", "day_offset")
+        .distinct()
+    )
+    sizes = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("cohort_size"))
+    )
+    return (
+        acts.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

@@ -104,6 +104,8 @@ _PINNED = [
     "a_cube",  # CUBE margins completing the rollup/grouping-sets trio
     "t_dedup_apply",  # surviving-corpus materialization (unique + keepers)
     "t_blocklist_gate",  # wordlist content gate (C4 badword-filter shape)
+    "w_cohort_retention",  # day-N retention triangle by first-activity cohort
+    "dq_pii_prevalence",  # per-source PII scorecard (privacy triage)
 ]
 
 
