@@ -375,3 +375,66 @@ def completeness_by_day(ev: DataFrame) -> DataFrame:
             "value_completeness"
         ),
     )
+
+
+@register(
+    "dq_numeric_drift",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, value,
+               event_id % 10 = 0 AS is_batch
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                   FILTER (is_batch) AS bq,
+               quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                   FILTER (NOT is_batch) AS cq
+        FROM ev GROUP BY 1
+    )
+    SELECT event_type, round(i / 10.0, 2) AS pct,
+           round(bq[i], 4) AS batch_q, round(cq[i], 4) AS corpus_q,
+           round(abs(bq[i] - cq[i]), 4) AS gap
+    FROM q CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
+    """,
+    tags=("quality", "drift", "percentile"),
+)
+def dq_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-value drift gate: per event_type, the incoming batch's
+    deciles of ``value`` against the standing corpus's — the
+    quantile-comparison (KS-style) complement to the categorical PSI gate
+    (dq_distribution_drift) and the embedding centroid-shift gate
+    (v_embedding_drift). A large gap at any decile flags a shifted value
+    distribution even when category mix and means look unchanged.
+
+    One scan; exact interpolated percentiles per (type, split) — both
+    engines interpolate identically (type 7 / linear), 4dp-rounded. At
+    100 TB swap exact percentile for the approx_percentile sketch (same
+    comparison shape, a_approx_stats is the precedent); the decile
+    fan-out runs on the tiny per-split aggregate, never the event scan."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 10 == 0).alias("is_batch")
+    )
+    # percentile's percentage argument must be foldable — compute all nine
+    # deciles as one literal-array percentile per (type, split) group,
+    # then posexplode the 9-element result (no 9x data duplication: the
+    # decile fan-out happens on the tiny aggregate, not the event scan)
+    pcts = [i / 10.0 for i in range(1, 10)]
+    g = ev.groupBy("event_type", "is_batch").agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in pcts])).alias("qs")
+    )
+    e2 = g.select(
+        "event_type", "is_batch", F.posexplode("qs").alias("i", "q")
+    )
+    out = e2.groupBy("event_type", "i").agg(
+        F.round(F.max(F.when(F.col("is_batch"), F.col("q"))), 4).alias("batch_q"),
+        F.round(F.max(F.when(~F.col("is_batch"), F.col("q"))), 4).alias("corpus_q"),
+    )
+    return out.select(
+        "event_type",
+        F.round((F.col("i") + 1) / 10.0, 2).alias("pct"),
+        "batch_q",
+        "corpus_q",
+        F.round(F.abs(F.col("batch_q") - F.col("corpus_q")), 4).alias("gap"),
+    )

@@ -106,6 +106,7 @@ _PINNED = [
     "t_blocklist_gate",  # wordlist content gate (C4 badword-filter shape)
     "w_cohort_retention",  # day-N retention triangle by first-activity cohort
     "dq_pii_prevalence",  # per-source PII scorecard (privacy triage)
+    "dq_numeric_drift",  # decile-comparison drift gate for continuous values
 ]
 
 
