@@ -401,3 +401,49 @@ def compression_signal(df, id_col: str, text_col: str, level: int = 6):
         batches,
         schema=f"{id_col} long, n_bytes long, zlib_bytes long, compression_ratio double",
     )
+
+
+def rrf_fuse(rankings, k: int = 10, c: int = 60, round_to: int = 6):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    retrieval lists: each input frame carries (query_id, doc_id, rank) and
+    every appearance contributes ``1/(c + rank)``; candidates are ranked
+    per query by the summed contribution. The standard hybrid-retrieval
+    combiner — it needs only ranks, never score calibration, so a BM25
+    list and a cosine list fuse without normalizing incomparable scores.
+
+    Determinism contract: ``1/(c + rank)`` is a single IEEE double
+    division (bit-identical in any engine), rounded to 10dp so the
+    per-doc accumulation can run through decimal (functions/numeric.dsum
+    — order-independent under Spark's nondeterministic partial-agg
+    order); the fused score is rounded to ``round_to`` and ties break on
+    doc_id — hence a cell-exact DuckDB oracle.
+
+    Scale shape: the inputs are already top-k lists — |queries| x k rows
+    each, orders of magnitude smaller than the corpora that produced
+    them. The union + one narrow (query_id, doc_id) aggregate + per-query
+    window all run on that candidate set; the fusion itself never touches
+    corpus bytes. At 100 TB the cost lives in the upstream rankers.
+    """
+    from pyspark.sql import Window as W
+
+    from boxoffice_spark.functions.numeric import dsum
+
+    contrib = [
+        r.select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(float(c)) + F.col("rank")), 10).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    unioned = contrib[0]
+    for part in contrib[1:]:
+        unioned = unioned.unionByName(part)
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        unioned.groupBy("query_id", "doc_id")
+        .agg(F.round(dsum("contrib", 10), round_to).alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )

@@ -11,6 +11,7 @@ from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
 from boxoffice_spark.operators import sketch as SK
+from boxoffice_spark.operators.similarity import cosine_topk
 from boxoffice_spark.operators import winnow as WN
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -1365,6 +1366,120 @@ def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         table(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERIES, k=10
     )
+
+
+_RRF_PROBES = {1: 10, 2: 20, 3: 30}  # BM25 query_id -> probe embedding vec_id
+_RRF_PM_VALUES = ", ".join(f"({q}, {p})" for q, p in _RRF_PROBES.items())
+
+
+@register(
+    "t_hybrid_rrf_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+        ) WHERE term <> ''
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), doclen AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM doclen
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    bm_scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (1.0 - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 6)
+                   AS term_score
+        FROM q
+        JOIN tf ON tf.term = q.term
+        JOIN dfreq d ON d.term = q.term
+        JOIN doclen dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    ),
+    lex AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cast(sum(cast((term_score) as decimal(27,6))) as double) DESC,
+                                doc_id
+                   ) AS INT) AS rank
+            FROM bm_scored GROUP BY query_id, doc_id
+        ) WHERE rank <= 20
+    ),
+    pm(query_id, probe_id) AS (VALUES {_RRF_PM_VALUES}),
+    sem AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT pm.query_id, e2.vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY pm.query_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e1.embedding AS DOUBLE[]),
+                                    CAST(e2.embedding AS DOUBLE[])), 6) DESC,
+                                e2.vec_id
+                   ) AS INT) AS rank
+            FROM pm
+            JOIN embeddings e1 ON e1.vec_id = pm.probe_id
+            JOIN embeddings e2 ON e2.vec_id <> pm.probe_id
+        ) WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               round(cast(sum(cast((round(1.0 / (60 + rank), 10)) as decimal(27,10)))
+                          as double), 6) AS rrf_score
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+        SELECT query_id, doc_id, rrf_score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+               ) AS INT) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+    bench=True,
+    tags=("text", "retrieval", "hybrid", "vector"),
+)
+def t_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (operators/textstats.rrf_fuse): the BM25 top-20 list and an
+    embedding-cosine top-20 list (each query anchored to a probe doc's
+    vector — doc_id and vec_id align 1:1 in the corpus) fuse by
+    1/(60+rank) into a final top-10 per query. The standard two-tower
+    retrieval combiner: no score calibration across incomparable scales,
+    only ranks. Both input rankers are the already-registered oracle-
+    exact operators, and the fusion arithmetic is rounded + decimal-
+    summed, so the hybrid ranking itself is cell-exact against DuckDB.
+
+    Scale shape: corpus bytes are touched only inside the two upstream
+    rankers (each scale-audited on its own); the fusion runs on
+    |queries| x 20 candidate rows — broadcast-sized at any corpus SF."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = TS.bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    probe_to_query = F.create_map(
+        *[F.lit(x) for q, p in _RRF_PROBES.items() for x in (p, q)]
+    )
+    sem = (
+        cosine_topk(emb, emb.filter(F.col("vec_id").isin(list(_RRF_PROBES.values()))), k=20)
+        .select(
+            probe_to_query[F.col("query_id")].cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return TS.rrf_fuse([lex, sem], k=10, c=60)
 
 
 @register(
