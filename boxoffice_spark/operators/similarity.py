@@ -726,3 +726,89 @@ def cluster_balance(
         F.round(F.col("n_vectors") / F.sum("n_vectors").over(w_all), 6).alias("share"),
         F.round("mean_cos_to_centroid", 6).alias("mean_cos_to_centroid"),
     ).orderBy("cell")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 30,
+    k: int = 10,
+    lam: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
+    per query, greedily pick ``k`` of the top-``n_candidates`` cosine
+    neighbors maximizing ``lam * sim(q, d) - (1 - lam) * max_{s in S}
+    sim(d, s)`` — relevance traded against redundancy with what is
+    already selected. The standard diversity re-ranker for retrieval-
+    augmented pipelines: plain top-k hands a RAG context window five
+    paraphrases of one document; MMR spends the same slots on coverage.
+
+    Physical strategy: stage 1 is the exact top-``n_candidates`` operator
+    (cosine_topk — any ANN tier slots in unchanged); stage 2 attaches
+    candidate vectors and runs the greedy loop per query inside ONE
+    ``applyInPandas`` group — the kernel sees (n_candidates x dim), never
+    the corpus, so the sequential part is O(k * n_candidates) flops on
+    broadcast-sized state while corpus bytes stay in stage 1's scan.
+
+    Determinism: stage-1 relevances arrive rounded; candidate-pairwise
+    sims and every greedy score are rounded to ``round_to`` before
+    comparison; ties break on neighbor_id (np.lexsort) — so the selection
+    is invariant to partitioning and repeatable across runs (asserted in
+    tests). MMR's sequential greedy argmax is not SQL-expressible, so
+    this is a rows-only query with property tests pinning: first pick =
+    cosine rank-1, lam=1 reduces to plain top-k, duplicate candidates are
+    demoted, repartition invariance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = cosine_topk(corpus, queries, id_col, vec_col, k=n_candidates, round_to=round_to)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    joined = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cos_sim", "_v"
+    )
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: by (-relevance, id)
+        pdf = pdf.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True]
+                              ).reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel = pdf["cos_sim"].to_numpy(dtype=np.float64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        pair = np.round(mat @ mat.T, round_to)
+        n = len(ids)
+        kk = min(k, n)
+        picked: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(kk):
+            if picked:
+                redundancy = pair[:, picked].max(axis=1)
+            else:
+                redundancy = np.zeros(n)
+            score = np.round(lam * rel - (1.0 - lam) * redundancy, round_to)
+            score[~remaining] = -np.inf
+            # argmax with ties broken by smaller neighbor_id
+            best = np.lexsort((ids, -score))[0]
+            picked.append(best)
+            scores.append(score[best])
+            remaining[best] = False
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": np.full(kk, qid, dtype=np.int64),
+                "neighbor_id": ids[picked],
+                "mmr_score": np.asarray(scores, dtype=np.float64),
+                "pick": np.arange(1, kk + 1, dtype=np.int32),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        select_group, schema="query_id long, neighbor_id long, mmr_score double, pick int"
+    )

@@ -477,3 +477,20 @@ def v_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.operators.similarity import cluster_balance
 
     return cluster_balance(table(spark, sf_dir, "embeddings"))
+
+
+@register("v_mmr_diversify", oracle=None, bench=True, tags=("similarity", "mmr", "pandas-udf"))
+def v_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR re-rank (lambda=0.7) of the exact
+    top-30 cosine candidates down to 10 per probe query
+    (operators/similarity.mmr_rerank) — the greedy redundancy-penalized
+    selection RAG context assembly runs after ANN. Sequential greedy
+    argmax is not SQL-expressible -> rows-only; the selection's exactness
+    properties (first pick = rank-1, lam=1 degenerates to top-k,
+    duplicate demotion, repartition invariance) are pinned in
+    tests/test_retrieval_er.py."""
+    from boxoffice_spark.operators.similarity import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return mmr_rerank(emb, probes, n_candidates=30, k=10, lam=0.7)
