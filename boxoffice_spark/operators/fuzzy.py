@@ -112,3 +112,66 @@ def tiered_fuzzy_match(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def entity_resolution(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    max_block_names: int = 10_000,
+) -> DataFrame:
+    """Record linkage: group records whose ``name_col`` values are
+    near-identical strings into entities, labeling every record with a
+    deterministic canonical entity name (the lexicographic-min member of
+    its match cluster). The classic dirty-dimension consolidation step —
+    vendor/product/venue names arriving with spelling drift — done as
+    blocking -> bounded pairwise edit distance -> transitive closure:
+
+    1. dedupe to DISTINCT names (pairwise work scales with |names|, never
+       |records|);
+    2. blocking key = last whitespace token (swap in phonetic/prefix keys
+       per domain) — only same-block names are compared;
+    3. candidate pairs via self-join within block, ``levenshtein() <=
+       max_dist`` (JVM expression, codegen);
+    4. clusters = connected components over the pair graph
+       (operators/graph.py min-label propagation — handles chains like
+       cold->old->red that pairwise thresholds alone would split);
+    5. records join back on the name: entity = cluster label, singleton
+       names canonicalize to themselves.
+
+    Scale shape: the name self-join shuffles on the block key; a block
+    larger than ``max_block_names`` is excluded from pairing (its names
+    stay singleton entities) rather than allowed to go quadratic — the
+    same posting-cap discipline as the LSH bucket caps in
+    operators/dedup.py, trading recall on pathological blocks ("inc",
+    "llc" suffixes) for a bounded worst case. Components run on the pair
+    graph only (|pairs| rows, not |records|).
+    """
+    from boxoffice_spark.operators.graph import connected_components
+
+    names = records.select(F.col(name_col).alias("name")).distinct()
+    block = F.element_at(F.split(F.col("name"), " "), -1)
+    blocked = names.select("name", block.alias("_block"))
+    sizes = blocked.groupBy("_block").agg(F.count("*").alias("_block_n"))
+    blocked = blocked.join(F.broadcast(sizes), "_block").filter(
+        F.col("_block_n") <= max_block_names
+    )
+    a = blocked.select(F.col("_block"), F.col("name").alias("name_a"))
+    b = blocked.select(F.col("_block"), F.col("name").alias("name_b"))
+    pairs = (
+        a.join(b, "_block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        .select("name_a", "name_b")
+    )
+    labels = connected_components(pairs, "name_a", "name_b").select(
+        F.col("node").alias("_ent_name"), F.col("cluster_id").alias("_ent_label")
+    )
+    return records.join(
+        labels, records[name_col] == labels["_ent_name"], "left"
+    ).select(
+        id_col,
+        name_col,
+        F.coalesce(F.col("_ent_label"), F.col(name_col)).alias("entity_name"),
+    )

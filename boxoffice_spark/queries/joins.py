@@ -294,3 +294,52 @@ def j_fuzzy_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("raw", full, "p_name", False),
         ],
     )
+
+
+@register(
+    "j_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT DISTINCT p_name FROM part
+    ),
+    cand AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM names a JOIN names b
+          ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+        SELECT name_a AS a, name_b AS b FROM cand
+        UNION
+        SELECT name_b AS a, name_a AS b FROM cand
+    ),
+    reach AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    labels AS (
+        SELECT node, min(comp) AS entity_name FROM reach GROUP BY node
+    )
+    SELECT p.p_partkey, p.p_name,
+           coalesce(l.entity_name, p.p_name) AS entity_name
+    FROM part p LEFT JOIN labels l ON l.node = p.p_name
+    """,
+    tags=("join", "fuzzy", "entity-resolution", "iterative"),
+)
+def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part dimension
+    (operators/fuzzy.entity_resolution): names within one edit-block
+    (same trailing token, levenshtein <= 2) consolidate into entities via
+    connected components — chains like cold gear -> old gear -> red gear
+    land in ONE entity, which pairwise matching alone cannot do. Every
+    part row gets its canonical entity_name (lexicographic cluster min;
+    singletons canonicalize to themselves). Pairwise work runs on
+    DISTINCT names inside capped blocks, never on records — the oracle is
+    the same closure as a DuckDB recursive CTE."""
+    from boxoffice_spark.operators.fuzzy import entity_resolution
+
+    return entity_resolution(
+        table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2
+    )
