@@ -444,3 +444,44 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "grouping_id", "sum_qty", "n")
     )
+
+
+@register(
+    "a_pivot_segment_status",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           {dsum_sql("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END")} AS f_total,
+           {dsum_sql("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END")} AS o_total,
+           {dsum_sql("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END")} AS p_total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def a_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue matrix market-segment x order-status — the
+    wide-report shape every dashboard export needs. The status values are
+    passed EXPLICITLY to ``pivot()``: with the value list given, Catalyst
+    compiles straight to one hash aggregate carrying a pivot-agg per
+    value — no exchange beyond the group-key shuffle, and no eager
+    collect-distinct job (which an open-ended pivot runs first: a whole
+    extra pass at 100 TB). Upstream, the customer dim joins by key and
+    broadcasts under AQE when small. Cells are decimal-summed, so the
+    wide result is bit-deterministic and cell-exact against the oracle's
+    filtered-aggregate form (PIVOT is pure sugar over CASE aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderstatus", "o_totalprice"
+    )
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )

@@ -587,3 +587,81 @@ def e_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("revenue", scale=2).alias("revenue"),
         )
     )
+
+
+@register(
+    "e_unpivot_metrics",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_price,
+               {dsum_sql('l_discount', 4)} AS sum_disc
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM wide
+    )
+    """,
+    tags=("etl", "unpivot"),
+)
+def e_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-returnflag aggregate folded to long
+    (key, metric, value) rows — the inverse of a_pivot_segment_status and
+    the shape metric stores and plotting layers ingest. Spark's native
+    ``unpivot`` plans as a zero-shuffle Expand over the already-aggregated
+    frame (3 output rows per input row, no join, no UDF); the only
+    shuffle in the query is the upstream aggregation's. Values are
+    decimal-summed before the melt so the long table is cell-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount", 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    )
+
+
+@register(
+    "e_cdc_apply",
+    # The oracle is the NEW snapshot itself: apply(old, diff(old, new))
+    # must reproduce it cell-exactly — the round-trip contract of
+    # snapshot CDC, checked end-to-end by the driver.
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    tags=("etl", "cdc"),
+)
+def e_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset REPLAY (operators/upsert.apply_changeset): the
+    insert/update/delete changeset that e_snapshot_diff derives is
+    applied back onto the old snapshot — one LEFT ANTI against the
+    changed-key set plus a union, the algebraic MERGE INTO. The oracle is
+    the new snapshot verbatim, so the driver checks the full
+    diff -> apply round trip, not just the operator's own bookkeeping."""
+    from boxoffice_spark.operators.upsert import apply_changeset
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old_snap = o.filter(F.col("o_orderkey") % 5 != 0)
+    new_snap = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    diff = snapshot_diff(
+        old_snap, new_snap, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return apply_changeset(
+        old_snap, diff, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )

@@ -438,3 +438,84 @@ def dq_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_q",
         F.round(F.abs(F.col("batch_q") - F.col("corpus_q")), 4).alias("gap"),
     )
+
+
+@register(
+    "dq_schema_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN ts >= TIMESTAMP '2024-01-24' THEN 'new' ELSE 'ref' END AS split,
+               user_id, event_type, value, props
+        FROM events
+    ),
+    prof AS (
+        SELECT split, 'user_id' AS column_name, count(*) AS n,
+               count(user_id) AS n_nonnull, count(DISTINCT user_id) AS n_distinct
+        FROM tagged GROUP BY 1
+        UNION ALL
+        SELECT split, 'event_type', count(*), count(event_type),
+               count(DISTINCT event_type) FROM tagged GROUP BY 1
+        UNION ALL
+        SELECT split, 'value', count(*), count(value),
+               count(DISTINCT value) FROM tagged GROUP BY 1
+        UNION ALL
+        SELECT split, 'props', count(*), count(props),
+               count(DISTINCT props) FROM tagged GROUP BY 1
+    ),
+    r AS (SELECT * FROM prof WHERE split = 'ref'),
+    n AS (SELECT * FROM prof WHERE split = 'new')
+    SELECT r.column_name,
+           r.n AS n_ref, n.n AS n_new,
+           round(1.0 - CAST(r.n_nonnull AS DOUBLE) / r.n, 6) AS null_rate_ref,
+           round(1.0 - CAST(n.n_nonnull AS DOUBLE) / n.n, 6) AS null_rate_new,
+           round(round(1.0 - CAST(n.n_nonnull AS DOUBLE) / n.n, 6)
+                 - round(1.0 - CAST(r.n_nonnull AS DOUBLE) / r.n, 6), 6) AS null_rate_delta,
+           r.n_distinct AS distinct_ref, n.n_distinct AS distinct_new
+    FROM r JOIN n ON r.column_name = n.column_name
+    """,
+    tags=("quality", "drift", "profile"),
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level schema/stats drift between an incoming window (events
+    from 2024-01-24 on) and the standing reference: per column, row and
+    non-null counts, null-rate delta, and exact distinct cardinalities on
+    both sides — the ingest gate that catches a feed silently nulling a
+    field or an ID column collapsing to a constant, which the value-
+    distribution gates (PSI / deciles / centroid shift) cannot see.
+    Physical shape: ONE scan with a derived split tag -> one Expand
+    aggregation grouped by split (the dq_profile plan, doubled by the
+    2-value split key) -> stack to long + a 4x4-row self-join; at 100 TB
+    swap exact distincts for approx_count_distinct in the same pass."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "props"]
+    split = F.when(F.col("ts") >= F.lit("2024-01-24").cast("timestamp"), "new").otherwise("ref")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"_nn_{c}"), F.countDistinct(c).alias(f"_nd_{c}")]
+    wide = ev.withColumn("split", split).groupBy("split").agg(*aggs)
+    cells = ", ".join(f"'{c}', _n, _nn_{c}, _nd_{c}" for c in cols)
+    prof = wide.selectExpr(
+        "split", f"stack({len(cols)}, {cells}) AS (column_name, n, n_nonnull, n_distinct)"
+    )
+    r = prof.filter("split = 'ref'").select(
+        "column_name",
+        F.col("n").alias("n_ref"),
+        F.round(1.0 - F.col("n_nonnull").cast("double") / F.col("n"), 6).alias("null_rate_ref"),
+        F.col("n_distinct").alias("distinct_ref"),
+    )
+    n = prof.filter("split = 'new'").select(
+        "column_name",
+        F.col("n").alias("n_new"),
+        F.round(1.0 - F.col("n_nonnull").cast("double") / F.col("n"), 6).alias("null_rate_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    return r.join(n, "column_name").select(
+        "column_name",
+        "n_ref",
+        "n_new",
+        "null_rate_ref",
+        "null_rate_new",
+        F.round(F.col("null_rate_new") - F.col("null_rate_ref"), 6).alias("null_rate_delta"),
+        "distinct_ref",
+        "distinct_new",
+    )
