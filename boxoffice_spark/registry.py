@@ -107,6 +107,13 @@ _PINNED = [
     "w_cohort_retention",  # day-N retention triangle by first-activity cohort
     "dq_pii_prevalence",  # per-source PII scorecard (privacy triage)
     "dq_numeric_drift",  # decile-comparison drift gate for continuous values
+    # -- NEW round 6: fresh driver evidence required
+    "t_hybrid_rrf_search",  # BM25 + embedding-cosine reciprocal-rank fusion
+    "j_entity_resolution",  # blocked edit-distance record linkage + components
+    "a_pivot_segment_status",  # explicit-values PIVOT (single-pass wide report)
+    "e_unpivot_metrics",  # UNPIVOT/melt via zero-shuffle Expand
+    "e_cdc_apply",  # changeset replay; oracle = the new snapshot (round trip)
+    "dq_schema_drift",  # column-level null-rate/cardinality drift gate
 ]
 
 
