@@ -665,3 +665,47 @@ def e_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changeset(
         old_snap, diff, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
+
+
+@register(
+    "e_scd2_asof_read",
+    oracle=f"""
+    WITH ev AS ({EVENTS_US_SQL}),
+    scd AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               value AS attr_value
+        FROM ev
+        WHERE event_type = 'signup'
+    )
+    SELECT user_id, valid_from, attr_value
+    FROM scd
+    WHERE valid_from <= TIMESTAMP '2024-01-15'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+    """,
+    tags=("etl", "scd2", "time-travel"),
+)
+def e_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot reconstruction from the SCD2 dimension: the
+    row valid AS OF 2024-01-15 per user — ``valid_from <= T < valid_to``
+    with the open (is_current) interval treated as unbounded. The read
+    side of e_scd2_history ("what was the value on date X"), i.e. time
+    travel for engines without a transactional table format. At scale
+    the interval predicate is scan-side: with the dimension written
+    range-partitioned on valid_from (io.write_sorted), footer min/max
+    prune every file whose intervals cannot straddle T."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.lit("2024-01-15").cast("timestamp")
+    scd = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("value").alias("attr_value"),
+    )
+    return scd.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "valid_from", "attr_value")
