@@ -812,3 +812,118 @@ def mmr_rerank(
     return joined.groupBy("query_id").applyInPandas(
         select_group, schema="query_id long, neighbor_id long, mmr_score double, pick int"
     )
+
+
+def write_ivf_layout(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_type: str = "array<float>",
+    n_cells: int = 16,
+    train_size: int = 1024,
+    seed: int = 42,
+):
+    """Materialize the IVF index AS A TABLE LAYOUT: the corpus written
+    hive-partitioned by coarse-quantizer cell (`path/cell=N/...`), with
+    the centroid matrix persisted as a `_ivf_centroids.json` sidecar
+    (underscore-prefixed -> invisible to Spark's file index). This is the
+    at-rest form of ann_ivf_topk's in-query index: the cell assignment is
+    paid ONCE at write time, and every later probe scans only its
+    `n_probe` directories via partition pruning — at 100 TB the
+    difference between a query touching ~n_probe/n_cells of the files and
+    re-assigning the whole corpus per query batch.
+
+    Same trainer and assignment kernel as the in-query operator
+    (_fit_unit_kmeans + _assign_cells), so a probe over this layout
+    returns bit-identical results to ann_ivf_topk at equal parameters
+    (asserted in tests/test_bucketed.py). Sidecar write is
+    local-filesystem (dev/test scope, same honesty note as io.compact);
+    production centroid metadata belongs in a catalog/table-format
+    property.
+
+    Returns the centroid matrix.
+    """
+    import json
+    import os
+
+    cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells, train_size, seed)
+    assigned = _assign_cells(
+        corpus.select(
+            id_col, vec_col, F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        f"{id_col} long, {vec_col} {vec_type}",
+        cmat,
+    )
+    # consolidate before the partitioned write: one shuffle on cell ->
+    # each cell directory holds few large files instead of (scan
+    # partitions x cells) shards — footer-fetch and scheduler cost at
+    # probe time scale with file count, and this write is one-off
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump([[float(x) for x in c] for c in cmat], f)
+    return cmat
+
+
+def ivf_probe_read(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+):
+    """Top-k probe over a :func:`write_ivf_layout` table: load the
+    centroid sidecar, pick each query's ``n_probe`` nearest cells
+    driver-side (queries are a bounded probe batch; same Euclidean-to-
+    raw-centroid rule and cell-asc tiebreak as ann_ivf_topk), then read
+    ONLY those `cell=` partitions — the `.isin` filter on the partition
+    column prunes every other directory at planning time (file-count
+    assertion in tests/test_bucketed.py) — and rerank exactly inside
+    them. Scan cost per probe batch is the probed cells' bytes, not the
+    corpus's.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cmat = np.asarray(json.load(f), dtype=np.float64)
+    c2 = (cmat**2).sum(axis=1)
+
+    qrows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    pairs, qvecs = [], []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-30)
+        d2 = c2 - 2.0 * (cmat @ qn)
+        order = np.lexsort((np.arange(len(c2)), d2))[:n_probe]
+        pairs += [(int(r[0]), int(c)) for c in order]
+        qvecs.append((int(r[0]), [float(x) for x in qv]))
+    probe_pairs = spark.createDataFrame(pairs, "query_id long, cell int")
+    qdf = spark.createDataFrame(qvecs, "query_id long, _qv array<double>")
+
+    needed = sorted({c for _, c in pairs})
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(needed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+            "cell",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scan.join(F.broadcast(probe_pairs), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

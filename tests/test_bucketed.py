@@ -42,3 +42,54 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucket_db):
         assert joined.count() == orders.join(customer, orders.o_custkey == customer.c_custkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+class TestIvfLayout:
+    def test_probe_matches_in_query_ivf_and_prunes_partitions(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        from boxoffice_spark.operators.similarity import (
+            ann_ivf_topk,
+            ivf_probe_read,
+            write_ivf_layout,
+        )
+        from boxoffice_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        path = str(tmp_path_factory.mktemp("ivf") / "emb_ivf")
+        write_ivf_layout(emb, path, n_cells=8)
+
+        probes = emb.filter("vec_id < 3")
+        got = ivf_probe_read(spark, path, probes, k=5, n_probe=2)
+
+        # partition pruning: the probe scan carries a PartitionFilter on
+        # cell (directory-level pruning at planning time, not a row
+        # filter after reading), covering at most 3 queries x 2 probes
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[cell[^\]]*IN \(([^)]*)\)", plan)
+        assert m, f"no partition filter on cell in probe plan:\n{plan}"
+        assert len(m.group(1).split(",")) <= 6
+
+        # same trainer, same assignment, same rerank -> bit-identical to
+        # the in-query IVF operator at equal parameters
+        expect = ann_ivf_topk(emb, probes, k=5, n_cells=8, n_probe=2)
+        a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                   for r in got.collect())
+        b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                   for r in expect.collect())
+        assert a == b
+
+    def test_layout_roundtrip_preserves_rows(self, spark, sf_dir, tmp_path_factory):
+        from boxoffice_spark.operators.similarity import write_ivf_layout
+        from boxoffice_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        path = str(tmp_path_factory.mktemp("ivf") / "emb_ivf2")
+        cmat = write_ivf_layout(emb, path, n_cells=4)
+        assert cmat.shape[0] == 4
+        back = spark.read.parquet(path)
+        assert back.count() == emb.count()
+        assert back.select("vec_id").distinct().count() == emb.count()
+        assert back.select("cell").distinct().count() <= 4
