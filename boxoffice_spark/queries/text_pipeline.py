@@ -11,7 +11,7 @@ from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
 from boxoffice_spark.operators import sketch as SK
-from boxoffice_spark.operators.similarity import cosine_topk
+from boxoffice_spark.operators.similarity import cosine_topk_arrow
 from boxoffice_spark.operators import winnow as WN
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -1472,7 +1472,9 @@ def t_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(x) for q, p in _RRF_PROBES.items() for x in (p, q)]
     )
     sem = (
-        cosine_topk(emb, emb.filter(F.col("vec_id").isin(list(_RRF_PROBES.values()))), k=20)
+        cosine_topk_arrow(
+            emb, emb.filter(F.col("vec_id").isin(list(_RRF_PROBES.values()))), k=20
+        )
         .select(
             probe_to_query[F.col("query_id")].cast("int").alias("query_id"),
             F.col("neighbor_id").alias("doc_id"),
