@@ -114,6 +114,7 @@ _PINNED = [
     "e_unpivot_metrics",  # UNPIVOT/melt via zero-shuffle Expand
     "e_cdc_apply",  # changeset replay; oracle = the new snapshot (round trip)
     "dq_schema_drift",  # column-level null-rate/cardinality drift gate
+    "e_scd2_asof_read",  # point-in-time snapshot from the SCD2 dimension
 ]
 
 

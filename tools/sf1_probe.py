@@ -66,6 +66,8 @@ HEAVY = [
     "t_dsir_weights",
     "t_dedup_keep_best",
     "t_compression_gate",
+    # round 6: both rankers + fusion in one query
+    "t_hybrid_rrf_search",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
