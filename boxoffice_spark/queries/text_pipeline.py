@@ -2003,3 +2003,35 @@ def dq_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pii_rate"),
     )
+
+
+@register(
+    "t_incremental_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "iterative", "incremental"),
+)
+def t_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (operators/graph.
+    incremental_components): the standing corpus' components (pairs among
+    doc_id % 10 != 0) absorb the incoming batch's pair edges (any pair
+    touching a batch doc) by relabeling through a quotient super-graph —
+    one super-node per affected cluster label — instead of re-running
+    components over the full pair graph. The oracle IS the full recompute
+    (the same recursive-CTE transitive closure as t_dedup_clusters), so
+    the driver checks algebraic equivalence end-to-end: incremental
+    merge == from-scratch clustering, label for label. In production the
+    standing labeling is a stored table and only the batch's pairs are
+    generated (LSH probe of the index); here both sides derive from the
+    fixture for the equality check."""
+    from boxoffice_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    pairs = D.simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).localCheckpoint()
+    is_corpus = (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+    standing = connected_components(pairs.filter(is_corpus), "id_a", "id_b")
+    merged = incremental_components(standing, pairs.filter(~is_corpus), "id_a", "id_b")
+    return merged.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -120,3 +120,55 @@ def test_pagerank_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty).collect() == []
+
+
+class TestIncrementalComponents:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "a long, b long")
+
+    def test_new_edge_merges_two_standing_components(self, spark):
+        from boxoffice_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        old = self._edges(spark, [(1, 2), (5, 6)])
+        standing = connected_components(old, "a", "b")
+        merged = incremental_components(standing, self._edges(spark, [(2, 5)]), "a", "b")
+        got = {r["node"]: r["cluster_id"] for r in merged.collect()}
+        assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+    def test_matches_full_recompute(self, spark):
+        from boxoffice_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        old = self._edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+        new = self._edges(spark, [(3, 10), (30, 31), (0, 21)])  # merge, fresh, new-min
+        standing = connected_components(old, "a", "b")
+        inc = {
+            r["node"]: r["cluster_id"]
+            for r in incremental_components(standing, new, "a", "b").collect()
+        }
+        full = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(old.union(new), "a", "b").collect()
+        }
+        assert inc == full
+        assert inc[21] == 0  # the new batch node 0 becomes the component min
+
+    def test_no_merge_batch_appends_new_nodes_only(self, spark):
+        from boxoffice_spark.operators.graph import (
+            connected_components,
+            incremental_components,
+        )
+
+        old = self._edges(spark, [(1, 2)])
+        standing = connected_components(old, "a", "b")
+        # an intra-component edge (1,2) and a disjoint fresh pair (8,9)
+        merged = incremental_components(
+            standing, self._edges(spark, [(1, 2), (8, 9)]), "a", "b"
+        )
+        got = {r["node"]: r["cluster_id"] for r in merged.collect()}
+        assert got == {1: 1, 2: 1, 8: 8, 9: 8}
