@@ -107,3 +107,18 @@ def s_stream_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_completeness_monitor
 
     return stream_completeness_monitor(spark, sf_dir)
+
+
+@register("s_stream_cluster_maintenance", oracle=None, tags=("streaming", "dedup", "graph"))
+def s_stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-cluster maintenance (streaming/jobs.py
+    stream_cluster_maintenance): per micro-batch, SimHash postings probe
+    the standing fingerprint table for pairs touching the batch, and the
+    standing labeling absorbs them via the incremental_components
+    quotient merge — O(docs) fingerprint + O(clustered docs) label state,
+    never the pair graph. Final labeling == t_dedup_clusters exactly
+    (label for label), asserted single- and multi-batch in
+    tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_cluster_maintenance
+
+    return stream_cluster_maintenance(spark, sf_dir)

@@ -549,3 +549,103 @@ def stream_completeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropGlobalTempView(name)
     return out
+
+
+def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-CLUSTER maintenance: each micro-batch's documents
+    are SimHash-fingerprinted, probe the standing fingerprint table for
+    near-dup pairs (pigeonhole chunk postings joined batch-side-only, so
+    candidate work is batch x seen-so-far — standing x standing pairs are
+    never regenerated), and the standing component labeling absorbs the
+    new pairs through operators/graph.incremental_components' quotient-
+    graph merge. State is two driver-anchored tables — fingerprints
+    (O(docs), 8 bytes each) and labels (O(clustered docs)) — never the
+    pair graph, and the iterative merge each batch runs on a super-graph
+    with one node per AFFECTED cluster.
+
+    After the availableNow drain the final labeling equals
+    t_dedup_clusters' from-scratch output exactly, label for label
+    (tests/test_streaming.py, single- and split-file layouts): every
+    qualifying pair is generated exactly when its later endpoint arrives,
+    an intra-cluster duplicate pair is a no-op in the merge, and the
+    quotient merge preserves min-labels — so the fixpoint is order-
+    independent. The same foreachBatch global-temp-view handoff (and
+    explicit existence check) as stream_drift_monitor.
+    """
+    from boxoffice_spark.operators.dedup import SIMHASH_BITS, simhash
+    from boxoffice_spark.operators.graph import incremental_components
+
+    chunks, max_hamming = 4, 3
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    name = "s_clusters_" + uuid.uuid4().hex[:12]
+    fp_name = name + "_fp"
+
+    def postings_of(sh: DataFrame) -> DataFrame:
+        return sh.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("_chunk", "_val"),
+        )
+
+    def merge_batch(update: DataFrame, batch_id: int) -> None:
+        s = update.sparkSession
+        bsh = simhash(update, "doc_id", "text").select("doc_id", "simhash").localCheckpoint()
+        if s.catalog.tableExists(f"global_temp.{fp_name}"):
+            standing_fp = s.table(f"global_temp.{fp_name}")
+        else:
+            standing_fp = bsh.limit(0)
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            labels = s.table(f"global_temp.{name}")
+        else:
+            labels = s.createDataFrame([], "node long, cluster_id long")
+        # batch postings probe seen-so-far INCLUDING the batch itself, so
+        # intra-batch pairs are caught; unordered dedup collapses the
+        # doubled intra-batch candidates
+        union_fp = standing_fp.unionByName(bsh)
+        cand = (
+            postings_of(bsh)
+            .alias("a")
+            .join(postings_of(union_fp).alias("b"), ["_chunk", "_val"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+                F.col("a.simhash").alias("_sa"),
+                F.col("b.simhash").alias("_sb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.filter(
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= max_hamming
+        ).select("id_a", "id_b")
+        new_labels = incremental_components(labels, pairs, "id_a", "id_b").localCheckpoint()
+        new_labels.createOrReplaceGlobalTempView(name)
+        union_fp.localCheckpoint().createOrReplaceGlobalTempView(fp_name)
+
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(f"global_temp.{name}").localCheckpoint()
+    spark.catalog.dropGlobalTempView(name)
+    spark.catalog.dropGlobalTempView(fp_name)
+    return out.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -378,3 +378,48 @@ def test_stream_completeness_multi_batch(spark, sf_dir, tmp_path):
     full = spark.read.option("pathGlobFilter", "events*.parquet").parquet(str(tmp_path))
     want = sorted(map(tuple, completeness_by_day(full).select(*cols).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_cluster_maintenance_equals_batch(spark, sf_dir):
+    """After the drain, the incrementally maintained labeling must equal
+    the from-scratch t_dedup_clusters output label for label — the
+    quotient-graph merge is exact, not approximate."""
+    from boxoffice_spark.queries.text_pipeline import t_dedup_clusters
+    from boxoffice_spark.streaming.jobs import stream_cluster_maintenance
+
+    got = sorted(map(tuple, stream_cluster_maintenance(spark, sf_dir).collect()))
+    want = sorted(map(tuple, t_dedup_clusters(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_cluster_maintenance_multi_batch(spark, sf_dir, tmp_path):
+    """Split the documents across two files -> maxFilesPerTrigger=1 forces
+    two micro-batches, so cross-batch pairs exercise the standing-table
+    probe and the label remap (a merge that missed cross-batch pairs or
+    relabeled only the batch's nodes diverges here)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators import dedup as D
+    from boxoffice_spark.operators.graph import connected_components
+    from boxoffice_spark.streaming.jobs import stream_cluster_maintenance
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    cut = t.num_rows // 2
+    pq.write_table(t.slice(0, cut), str(tmp_path / "documents.parquet"))
+    pq.write_table(t.slice(cut), str(tmp_path / "documents_2.parquet"))
+
+    got = sorted(map(tuple, stream_cluster_maintenance(spark, str(tmp_path)).collect()))
+    # batch twin over BOTH files (t_dedup_clusters' fixture loader reads
+    # the single canonical file, the stream reads the glob)
+    docs = spark.read.option("pathGlobFilter", "documents*.parquet").parquet(str(tmp_path))
+    pairs = D.simhash_hamming_pairs(docs, "doc_id", "text")
+    want = sorted(
+        map(
+            tuple,
+            connected_components(pairs, "id_a", "id_b")
+            .select(F.col("node").alias("doc_id"), "cluster_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
