@@ -115,6 +115,7 @@ _PINNED = [
     "e_cdc_apply",  # changeset replay; oracle = the new snapshot (round trip)
     "dq_schema_drift",  # column-level null-rate/cardinality drift gate
     "e_scd2_asof_read",  # point-in-time snapshot from the SCD2 dimension
+    "t_incremental_dedup_clusters",  # quotient-graph merge == full recompute
 ]
 
 
