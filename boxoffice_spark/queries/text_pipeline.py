@@ -2035,3 +2035,93 @@ def t_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = connected_components(pairs.filter(is_corpus), "id_a", "id_b")
     merged = incremental_components(standing, pairs.filter(~is_corpus), "id_a", "id_b")
     return merged.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "t_pii_pseudonymize",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+    hits AS (
+        SELECT doc_id, 'email' AS pii_type,
+               unnest(regexp_extract_all(t, '{CL.EMAIL_RE}')) AS raw
+        FROM aug
+        UNION ALL
+        SELECT doc_id, 'phone' AS pii_type,
+               unnest(regexp_extract_all(t, '{CL.PHONE_RE}')) AS raw
+        FROM aug
+    )
+    SELECT pii_type, substr(md5(raw), 1, 16) AS surrogate,
+           count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+    FROM hits GROUP BY 1, 2
+    """,
+    tags=("text", "pii", "privacy"),
+)
+def t_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization — the join-preserving complement of
+    t_pii_redact's destructive masking: every detected email/phone maps
+    to a DETERMINISTIC surrogate (here a truncated md5 of the raw value;
+    production swaps in a keyed HMAC so surrogates can't be replayed
+    offline), so the same identity links across documents after the scrub
+    — the per-surrogate n_docs column IS the preserved referential
+    integrity (the fixture's synthetic phone lines repeat across docs and
+    must collapse to shared surrogates; emails are per-doc unique). One
+    scan, codegen regex extraction, one narrow aggregate on the (tiny)
+    hit set — corpus text never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +82 10-55"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-1234"),
+        ).alias("t"),
+    )
+    hits = None
+    for pii_type, pattern in (("email", CL.EMAIL_RE), ("phone", CL.PHONE_RE)):
+        part = aug.select(
+            "doc_id",
+            F.lit(pii_type).alias("pii_type"),
+            F.explode(F.regexp_extract_all("t", F.lit(pattern), 0)).alias("raw"),
+        )
+        hits = part if hits is None else hits.unionByName(part)
+    return hits.groupBy(
+        "pii_type", F.substring(F.md5("raw"), 1, 16).alias("surrogate")
+    ).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "t_quality_classifier",
+    oracle=None,
+    bench=True,
+    tags=("text", "quality", "model", "classifier"),
+)
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision quality filter (operators/quality.
+    quality_classifier_score) — the fastText/CCNet distillation shape:
+    the corpus-LM mean log-prob (t_unigram_logprob, the 'expensive'
+    teacher signal) weak-labels docs above/below its corpus median, a
+    seeded driver-side logistic regression fits five cheap codegen
+    features (log word count, mean word length, stopword/punct ratios,
+    vocabulary diversity) on a bounded salted-hash sample, and the WHOLE
+    corpus is scored by literal-weight Catalyst expressions — the 100 TB
+    scoring pass is scan-bound codegen, with the LM pipeline nowhere in
+    it. Rows-only (the fit is not SQL-expressible); determinism,
+    separation, range, and a Python-free scoring plan are pinned in
+    tests/test_retrieval_er.py."""
+    from boxoffice_spark.operators.quality import quality_classifier_score
+
+    d = table(spark, sf_dir, "documents")
+    lm = t_unigram_logprob(spark, sf_dir)
+    median = lm.agg(
+        F.expr("percentile(avg_logprob, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    labels = lm.select(
+        "doc_id", (F.col("avg_logprob") >= F.lit(float(median))).cast("int").alias("label")
+    )
+    return quality_classifier_score(d, "doc_id", "text", labels, train_size=400)
