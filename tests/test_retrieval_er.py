@@ -185,3 +185,57 @@ class TestMmrRerank:
         emb = self._emb(spark, rows)
         out = mmr_rerank(emb, emb.filter("vec_id = 0"), n_candidates=10, k=10).collect()
         assert len(out) == 2  # only 2 non-self candidates exist
+
+
+class TestQualityClassifier:
+    def _fit(self, spark, sf_dir):
+        from boxoffice_spark.operators.quality import quality_classifier_score
+        from boxoffice_spark.tables import table
+
+        d = table(spark, sf_dir, "documents")
+        # weak label: long docs = good (a deterministic stand-in teacher)
+        labels = d.select(
+            "doc_id", (F.length("text") >= 200).cast("int").alias("label")
+        )
+        return d, labels, quality_classifier_score
+
+    def test_scores_in_range_and_plan_python_free(self, spark, sf_dir):
+        d, labels, fit = self._fit(spark, sf_dir)
+        out = fit(d, "doc_id", "text", labels, train_size=200)
+        rows = out.collect()
+        assert len(rows) == d.count()
+        assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # scoring is literal-weight codegen
+
+    def test_training_separation_and_signal(self, spark, sf_dir):
+        d, labels, fit = self._fit(spark, sf_dir)
+        out = fit(d, "doc_id", "text", labels, train_size=200)
+        joined = out.join(labels, "doc_id")
+        means = {
+            r["label"]: r["m"]
+            for r in joined.groupBy("label")
+            .agg(F.avg("quality_prob").alias("m"))
+            .collect()
+        }
+        # the model must assign higher probability to the positive class
+        # (length is among the features, so this signal is learnable)
+        assert means[1] > means[0]
+
+    def test_repartition_invariance(self, spark, sf_dir):
+        d, labels, fit = self._fit(spark, sf_dir)
+        a = sorted(map(tuple, fit(d, "doc_id", "text", labels, train_size=200).collect()))
+        b = sorted(
+            map(
+                tuple,
+                fit(d.repartition(13), "doc_id", "text", labels, train_size=200).collect(),
+            )
+        )
+        assert a == b
+
+    def test_empty_labels_raise(self, spark, sf_dir):
+        import pytest as _pytest
+
+        d, labels, fit = self._fit(spark, sf_dir)
+        with _pytest.raises(ValueError):
+            fit(d, "doc_id", "text", labels.limit(0), train_size=200)
