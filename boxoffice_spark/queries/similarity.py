@@ -494,3 +494,50 @@ def v_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return mmr_rerank(emb, probes, n_candidates=30, k=10, lam=0.7)
+
+
+@register("v_ann_recall_report", oracle=None, tags=("similarity", "ann", "datacard"))
+def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QA scorecard: recall@10 of each approximate tier (LSH, IVF, PQ)
+    against the exact cosine top-10 over the same probe set — the
+    dashboard row an ANN deployment watches when re-tuning
+    bucket/cell/codebook parameters, surfaced as a registered query so
+    every driver round records the measured recall, not just the pass
+    bit of the threshold tests. Every tier is seeded, so the report is
+    deterministic; rows-only (SQL cannot express the ANN tiers — the
+    exact side has its own oracle via v_cosine_topk). Cost: the probe set
+    is 5 queries; each tier's scan shape is audited in its own query."""
+    from boxoffice_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_pq_topk,
+        ann_ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_arrow(emb, queries, k=10).select(
+        F.col("query_id").alias("_qid"), F.col("neighbor_id").alias("_truth")
+    )
+    tiers = {
+        "lsh": ann_lsh_topk(emb, queries, k=10),
+        "ivf": ann_ivf_topk(emb, queries, k=10, n_probe=8),
+        "pq": ann_pq_topk(emb, queries, k=10),
+    }
+    report = None
+    for name, approx in tiers.items():
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(
+                exact,
+                (F.col("query_id") == F.col("_qid"))
+                & (F.col("neighbor_id") == F.col("_truth")),
+            )
+            .count()
+        )
+        total = exact.count()
+        row = spark.createDataFrame(
+            [(name, int(hits), int(total), round(hits / total, 6))],
+            "tier string, n_hits long, n_truth long, recall_at_10 double",
+        )
+        report = row if report is None else report.unionByName(row)
+    return report
