@@ -116,6 +116,7 @@ _PINNED = [
     "dq_schema_drift",  # column-level null-rate/cardinality drift gate
     "e_scd2_asof_read",  # point-in-time snapshot from the SCD2 dimension
     "t_incremental_dedup_clusters",  # quotient-graph merge == full recompute
+    "t_pii_pseudonymize",  # join-preserving deterministic PII surrogates
 ]
 
 
