@@ -392,13 +392,49 @@ def simhash_fast(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_
     )
 
 
+# the pigeonhole scheme shared by the batch pair generator below and the
+# streaming cluster-maintenance probe (streaming/jobs.py): any pair within
+# Hamming distance <= SIMHASH_MAX_HAMMING must agree exactly on at least
+# one of SIMHASH_CHUNKS equal fingerprint chunks
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_chunk_postings(
+    sh: DataFrame,
+    keep_cols: list[str],
+    chunks: int = SIMHASH_CHUNKS,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Posting rows (keep_cols..., simhash, _chunk, _val) for a frame
+    carrying a ``simhash`` column: the fingerprint split into ``chunks``
+    equal slices, one row per slice — the inverted-index key under the
+    pigeonhole candidate join. One shared expression so the batch pair
+    generator and the streaming probe can never drift apart on the
+    chunking scheme."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    return sh.select(
+        *keep_cols,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("_chunk", "_val"),
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 3,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
     bits: int = SIMHASH_BITS,
-    chunks: int = 4,
+    chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints by Hamming distance.
 
@@ -412,21 +448,8 @@ def simhash_hamming_pairs(
     """
     if max_hamming > chunks - 1:
         raise ValueError("pigeonhole guarantee needs max_hamming <= chunks - 1")
-    width = bits // chunks
-    mask = (1 << width) - 1
     sh = simhash(df, id_col, text_col, bits)
-    postings = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("_chunk", "_val"),
-    )
+    postings = simhash_chunk_postings(sh, [id_col], chunks, bits)
     # No cap here: the DuckDB twin below has none, and this operator's
     # contract is oracle-exactness. At corpus scale compose with an
     # upstream exact_dedup pass (identical docs share a fingerprint and

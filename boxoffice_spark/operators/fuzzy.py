@@ -119,7 +119,7 @@ def entity_resolution(
     id_col: str,
     name_col: str,
     max_dist: int = 2,
-    max_block_names: int = 10_000,
+    max_block_names: int | None = 10_000,
 ) -> DataFrame:
     """Record linkage: group records whose ``name_col`` values are
     near-identical strings into entities, labeling every record with a
@@ -145,18 +145,22 @@ def entity_resolution(
     stay singleton entities) rather than allowed to go quadratic — the
     same posting-cap discipline as the LSH bucket caps in
     operators/dedup.py, trading recall on pathological blocks ("inc",
-    "llc" suffixes) for a bounded worst case. Components run on the pair
-    graph only (|pairs| rows, not |records|).
+    "llc" suffixes) for a bounded worst case. Pass ``None`` to disable
+    the cap — REQUIRED when the output is compared against a capless
+    oracle (the dedup.py rule: caps stay out of oracle-checked paths,
+    j_entity_resolution passes None). Components run on the pair graph
+    only (|pairs| rows, not |records|).
     """
     from boxoffice_spark.operators.graph import connected_components
 
     names = records.select(F.col(name_col).alias("name")).distinct()
     block = F.element_at(F.split(F.col("name"), " "), -1)
     blocked = names.select("name", block.alias("_block"))
-    sizes = blocked.groupBy("_block").agg(F.count("*").alias("_block_n"))
-    blocked = blocked.join(F.broadcast(sizes), "_block").filter(
-        F.col("_block_n") <= max_block_names
-    )
+    if max_block_names is not None:
+        sizes = blocked.groupBy("_block").agg(F.count("*").alias("_block_n"))
+        blocked = blocked.join(F.broadcast(sizes), "_block").filter(
+            F.col("_block_n") <= max_block_names
+        )
     a = blocked.select(F.col("_block"), F.col("name").alias("name_a"))
     b = blocked.select(F.col("_block"), F.col("name").alias("name_b"))
     pairs = (

@@ -280,16 +280,22 @@ def incremental_components(
     its members, since every standing label is already its component's
     min). Unaffected standing labels pass through untouched.
 
-    Scale shape: two broadcast-sized label-lookup joins on the (small)
-    new-edge endpoints, the iterative part runs on the super-graph only,
-    and the final remap is one join of ``standing`` against the tiny
-    relabel table (broadcast). The standing labeling is only ever probed
-    and remapped — never re-traversed. Exactness vs the full recompute is
-    oracle-checked (t_incremental_dedup_clusters) and unit-tested.
+    Scale shape: two label-lookup joins keyed on the (small) new-edge
+    endpoint set, the iterative part runs on the super-graph only, and
+    the final remap is ONE join of ``standing`` against the relabel
+    table — affected-clusters-sized, so the planner broadcasts it in the
+    steady state and falls back to a shuffle join on a bootstrap merge
+    (empty standing), where it is batch-sized. The standing labeling is
+    only ever probed and remapped — never re-traversed. Exactness vs the
+    full recompute is oracle-checked (t_incremental_dedup_clusters) and
+    unit-tested.
     """
     e = new_edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     la = standing.select(F.col("node").alias("_a"), F.col("cluster_id").alias("_la"))
     lb = standing.select(F.col("node").alias("_b"), F.col("cluster_id").alias("_lb"))
+    # checkpoint before the isEmpty probe: the two label-lookup joins
+    # would otherwise run twice (once for the probe, once inside the
+    # components call / remap plans)
     super_edges = (
         e.join(la, "_a", "left")
         .join(lb, "_b", "left")
@@ -299,48 +305,34 @@ def incremental_components(
         )
         .filter(F.col("sa") != F.col("sb"))
         .distinct()
+        .localCheckpoint()
     )
-    if super_edges.isEmpty():
-        # nothing merges: standing labels survive; new-edge nodes (all
-        # self-contained pairs were filtered as sa == sb) keep old labels
-        # or label themselves
-        new_nodes = (
-            e.select(F.col("_a").alias("node"))
-            .union(e.select(F.col("_b").alias("node")))
-            .distinct()
-            .join(standing, "node", "left_anti")
-            .select("node", F.col("node").alias("cluster_id"))
-        )
-        return standing.unionByName(new_nodes)
-
-    relabel = connected_components(super_edges, "sa", "sb").select(
-        F.col("node").alias("_old_label"), F.col("cluster_id").alias("_new_label")
-    )
-    # remap standing rows whose label merged; labels not in the super-graph
-    # are untouched
-    remapped = (
-        standing.join(
-            F.broadcast(relabel),
-            standing.cluster_id == relabel._old_label,
-            "left",
-        )
-        .select(
-            "node",
-            F.coalesce("_new_label", F.col("cluster_id")).alias("cluster_id"),
-        )
-    )
-    # nodes first seen in this batch: their initial label is their own id,
-    # remapped the same way
-    new_nodes = (
+    # nodes first seen in this batch: initial label = own id (remapped
+    # below exactly like a standing label)
+    fresh = (
         e.select(F.col("_a").alias("node"))
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
         .join(standing.select("node"), "node", "left_anti")
-        .join(
-            F.broadcast(relabel),
-            F.col("node") == relabel._old_label,
-            "left",
-        )
-        .select("node", F.coalesce("_new_label", F.col("node")).alias("cluster_id"))
+        .select("node", F.col("node").alias("cluster_id"))
     )
-    return remapped.unionByName(new_nodes)
+    if super_edges.isEmpty():
+        # nothing merges: standing labels survive; batch-only nodes (all
+        # their pairs were intra-component or self-loops) label themselves
+        return standing.unionByName(fresh)
+
+    relabel = connected_components(super_edges, "sa", "sb").select(
+        F.col("node").alias("_old_label"), F.col("cluster_id").alias("_new_label")
+    )
+    # remap rows whose label merged; labels not in the super-graph pass
+    # through. No broadcast hint: relabel is affected-clusters-sized —
+    # usually tiny, but unbounded on a bootstrap merge (empty standing) —
+    # so the planner/AQE picks broadcast only when it actually fits.
+    return standing.unionByName(fresh).join(
+        relabel,
+        F.col("cluster_id") == relabel._old_label,
+        "left",
+    ).select(
+        "node",
+        F.coalesce("_new_label", F.col("cluster_id")).alias("cluster_id"),
+    )

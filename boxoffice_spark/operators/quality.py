@@ -114,7 +114,13 @@ def quality_classifier_score(
     names = list(feats)
 
     sample = (
-        docs.join(labels, id_col)
+        # null/empty text yields all-NULL features: one such row in the
+        # sample would NaN-poison mu/sd/weights and make EVERY corpus
+        # score NaN (which Spark's NaN-is-largest ordering then KEEPS —
+        # the gate failing open). Exclude it from the fit; scoring still
+        # covers every doc.
+        docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .join(labels, id_col)
         .select(
             F.col(id_col),
             F.col("label").cast("double").alias("_y"),
@@ -126,8 +132,14 @@ def quality_classifier_score(
     )
     if not sample:
         raise ValueError("quality_classifier_score: no labeled rows to fit on")
-    X = np.array([[r[n] for n in names] for r in sample], dtype=np.float64)
+    X = np.array(
+        [[r[n] for n in names] for r in sample], dtype=np.float64
+    )
     y = np.array([r["_y"] for r in sample], dtype=np.float64)
+    finite = np.isfinite(X).all(axis=1) & np.isfinite(y)
+    X, y = X[finite], y[finite]
+    if not len(y):
+        raise ValueError("quality_classifier_score: no finite training rows")
     mu = X.mean(axis=0)
     sd = np.maximum(X.std(axis=0), 1e-9)
     Xs = (X - mu) / sd

@@ -547,6 +547,29 @@ def _fit_unit_kmeans(
     return _lloyds(mat, n_cells, seed=seed)
 
 
+def _probe_cells(qrows, cmat, n_probe: int):
+    """Per-query nearest ``n_probe`` cells, driver-side: Euclidean
+    distance of the unit-normalized query to the RAW centroid
+    (``|c|^2 - 2 q.c`` — same rule as _assign_cells), ties broken on the
+    lower cell index via lexsort. The ONE probe-selection implementation
+    shared by ann_ivf_topk and ivf_probe_read, so the at-rest IVF layout
+    returns bit-identical neighbors to the in-query operator even on
+    near-tie centroid distances (two float paths would disagree in the
+    last ulp exactly there). Returns [(query_id, qvec_list, [cells])].
+    """
+    import numpy as np
+
+    c2 = (cmat**2).sum(axis=1)
+    out = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-30)
+        d2 = c2 - 2.0 * (cmat @ qn)
+        order = np.lexsort((np.arange(len(c2)), d2))[:n_probe]
+        out.append((int(r[0]), [float(x) for x in qv], [int(c) for c in order]))
+    return out
+
+
 def _assign_cells(
     df: DataFrame, keep_cols: str, cmat, with_cos: bool = False
 ) -> DataFrame:
@@ -621,12 +644,6 @@ def ann_ivf_topk(
     vs the exact operator is asserted in tests/test_llm_ops.py.
     """
 
-    def _unit(col):
-        norm = F.sqrt(
-            F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-        return F.transform(col, lambda x: x / norm)
-
     cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells)
     cells = _assign_cells(
         corpus.select(
@@ -637,30 +654,24 @@ def ann_ivf_topk(
         cmat,
     ).withColumnRenamed("_v", "_cv")
 
-    # centroid table is tiny (n_cells rows) -> broadcast to score query
-    # probes JVM-side; ranking by Euclidean distance to centroid
-    centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cmat)],
-        "cell int, centroid array<double>",
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
-    ).withColumn("_qn", _unit(F.col("_qv")))
-    d2 = F.aggregate(
-        F.zip_with("_qn", "centroid", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w_probe = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("cell"))
-    probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn("_d2", d2)
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qv", "cell")
+    # probe-cell selection is driver-side on the (bounded) query batch —
+    # ONE implementation (_probe_cells) shared with ivf_probe_read so the
+    # at-rest layout's probes are bit-identical to this operator's
+    qrows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    probe_rows = [
+        (qid, qv, c)
+        for qid, qv, cell_list in _probe_cells(qrows, cmat, n_probe)
+        for c in cell_list
+    ]
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id long, _qv array<double>, cell int"
     )
 
-    scored = probes.join(cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = F.broadcast(probes).join(cells, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -780,7 +791,7 @@ def mmr_rerank(
         ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
         rel = pdf["cos_sim"].to_numpy(dtype=np.float64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         pair = np.round(mat @ mat.T, round_to)
         n = len(ids)
         kk = min(k, n)
@@ -891,19 +902,13 @@ def ivf_probe_read(
 
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
         cmat = np.asarray(json.load(f), dtype=np.float64)
-    c2 = (cmat**2).sum(axis=1)
 
     qrows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>")
     ).collect()
-    pairs, qvecs = [], []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qn = qv / max(np.linalg.norm(qv), 1e-30)
-        d2 = c2 - 2.0 * (cmat @ qn)
-        order = np.lexsort((np.arange(len(c2)), d2))[:n_probe]
-        pairs += [(int(r[0]), int(c)) for c in order]
-        qvecs.append((int(r[0]), [float(x) for x in qv]))
+    selected = _probe_cells(qrows, cmat, n_probe)
+    pairs = [(qid, c) for qid, _, cell_list in selected for c in cell_list]
+    qvecs = [(qid, qv) for qid, qv, _ in selected]
     probe_pairs = spark.createDataFrame(pairs, "query_id long, cell int")
     qdf = spark.createDataFrame(qvecs, "query_id long, _qv array<double>")
 

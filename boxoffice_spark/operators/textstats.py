@@ -428,6 +428,8 @@ def rrf_fuse(rankings, k: int = 10, c: int = 60, round_to: int = 6):
 
     from boxoffice_spark.functions.numeric import dsum
 
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking is required")
     contrib = [
         r.select(
             "query_id",

@@ -340,6 +340,11 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closure as a DuckDB recursive CTE."""
     from boxoffice_spark.operators.fuzzy import entity_resolution
 
+    # capless: the recursive-CTE oracle has no block cap, and a capped
+    # side would silently diverge once any block outgrows it (the
+    # operators/dedup.py oracle-exactness rule); the cap is the operator's
+    # scale-path option, not part of the checked contract
     return entity_resolution(
-        table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2
+        table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2,
+        max_block_names=None,
     )

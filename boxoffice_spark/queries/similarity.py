@@ -515,9 +515,14 @@ def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk_arrow(emb, queries, k=10).select(
-        F.col("query_id").alias("_qid"), F.col("neighbor_id").alias("_truth")
+    # checkpoint: the exact side is the full-corpus BLAS scan and feeds
+    # one hits-join per tier — without the cut it would re-run per tier
+    exact = (
+        cosine_topk_arrow(emb, queries, k=10)
+        .select(F.col("query_id").alias("_qid"), F.col("neighbor_id").alias("_truth"))
+        .localCheckpoint()
     )
+    total = exact.count()
     tiers = {
         "lsh": ann_lsh_topk(emb, queries, k=10),
         "ivf": ann_ivf_topk(emb, queries, k=10, n_probe=8),
@@ -534,7 +539,6 @@ def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .count()
         )
-        total = exact.count()
         row = spark.createDataFrame(
             [(name, int(hits), int(total), round(hits / total, 6))],
             "tier string, n_hits long, n_truth long, recall_at_10 double",

@@ -572,12 +572,12 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent. The same foreachBatch global-temp-view handoff (and
     explicit existence check) as stream_drift_monitor.
     """
-    from boxoffice_spark.operators.dedup import SIMHASH_BITS, simhash
+    from boxoffice_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash,
+        simhash_chunk_postings,
+    )
     from boxoffice_spark.operators.graph import incremental_components
-
-    chunks, max_hamming = 4, 3
-    width = SIMHASH_BITS // chunks
-    mask = (1 << width) - 1
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     raw = (
@@ -591,18 +591,9 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_name = name + "_fp"
 
     def postings_of(sh: DataFrame) -> DataFrame:
-        return sh.select(
-            "doc_id",
-            "simhash",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
-                        for c in range(chunks)
-                    ]
-                )
-            ).alias("_chunk", "_val"),
-        )
+        # shared chunking expression (operators/dedup.simhash_chunk_postings)
+        # so the streaming probe and the batch pair generator cannot drift
+        return simhash_chunk_postings(sh, ["doc_id"])
 
     def merge_batch(update: DataFrame, batch_id: int) -> None:
         s = update.sparkSession
@@ -633,7 +624,7 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["id_a", "id_b"])
         )
         pairs = cand.filter(
-            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= max_hamming
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= SIMHASH_MAX_HAMMING
         ).select("id_a", "id_b")
         new_labels = incremental_components(labels, pairs, "id_a", "id_b").localCheckpoint()
         new_labels.createOrReplaceGlobalTempView(name)

@@ -1,4 +1,4 @@
-"""Unit tests for the round-4 additions: reciprocal-rank fusion, blocked
+"""Unit tests for the round-6 additions: reciprocal-rank fusion, blocked
 entity resolution, and changeset replay (the oracle sweep checks the
 registered queries end-to-end; these pin the operator semantics on small
 hand-built frames where the expected answer is computable by eye)."""
