@@ -321,7 +321,12 @@ def incremental_components(
         # their pairs were intra-component or self-loops) label themselves
         return standing.unionByName(fresh)
 
-    relabel = connected_components(super_edges, "sa", "sb").select(
+    # star variant: the super-graph is usually shallow, but a batch can
+    # chain many standing clusters (A-B, B-C, ... through shared near-dups)
+    # and min-label's O(diameter) budget then runs out — observed at sf1,
+    # where the bootstrap merge IS the whole pair graph. O(log^2 n) rounds
+    # regardless of depth, same deterministic min-id labels.
+    relabel = connected_components_star(super_edges, "sa", "sb").select(
         F.col("node").alias("_old_label"), F.col("cluster_id").alias("_new_label")
     )
     # remap rows whose label merged; labels not in the super-graph pass

@@ -2024,7 +2024,7 @@ def t_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated (LSH probe of the index); here both sides derive from the
     fixture for the equality check."""
     from boxoffice_spark.operators.graph import (
-        connected_components,
+        connected_components_star,
         incremental_components,
     )
 
@@ -2032,7 +2032,9 @@ def t_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "doc_id", "text"
     ).localCheckpoint()
     is_corpus = (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
-    standing = connected_components(pairs.filter(is_corpus), "id_a", "id_b")
+    # star variant for the standing labeling: the corpus pair graph can
+    # chain deeper than min-label's O(diameter) round budget (hit at sf1)
+    standing = connected_components_star(pairs.filter(is_corpus), "id_a", "id_b")
     merged = incremental_components(standing, pairs.filter(~is_corpus), "id_a", "id_b")
     return merged.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -2111,7 +2113,10 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary diversity) on a bounded salted-hash sample, and the WHOLE
     corpus is scored by literal-weight Catalyst expressions — the 100 TB
     scoring pass is scan-bound codegen, with the LM pipeline nowhere in
-    it. Rows-only (the fit is not SQL-expressible); determinism,
+    it. (At 100 TB the teacher also scores only the sample, not the
+    corpus — here the fixture reuses the registered LM query whole so the
+    label side shares its oracle-checked semantics.) Rows-only (the fit
+    is not SQL-expressible); determinism,
     separation, range, and a Python-free scoring plan are pinned in
     tests/test_retrieval_er.py."""
     from boxoffice_spark.operators.quality import quality_classifier_score
