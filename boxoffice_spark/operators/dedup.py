@@ -126,6 +126,53 @@ def capped_pair_rows(
     return pairs.select(*cols)
 
 
+def _shingle_pair_commons(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int,
+    max_postings: int,
+) -> DataFrame:
+    """Shared inverted-index pair kernel behind ngram_jaccard_pairs and
+    ngram_containment_pairs: shingle postings -> capped posting-list pair
+    generation -> per-pair shared-shingle count. Returns one row per
+    unordered candidate pair: (id_a, id_b, _sz_a, _sz_b, _common) with
+    sizes = per-doc distinct-shingle counts. Every set-overlap metric
+    (Jaccard, containment, overlap coefficient) is a projection over
+    these three numbers — one kernel, N metrics."""
+    # explode(array(e)) materializes the shingle array through a Generate
+    # once per row; a plain select would let CollapseProject inline the
+    # (lambda-bearing, so not subexpression-eliminated) shingle expression
+    # into BOTH the size() and the explode() below — 2x the compute.
+    shingled = spread(df).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        # materialize the word split through a Generate so the n-gram
+        # lambda reads a column instead of re-splitting per element
+        F.explode(F.array(F.split(normalized_text(text_col), " "))).alias("_w"),
+    ).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.explode(
+            F.array(F.array_distinct(_word_ngrams_col(F.col("_w"), n)))
+        ).alias("_sh"),
+    ).select(
+        *block_cols, id_col, F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
+    )
+    # Shingles are array_distinct'd per doc, so the postings list per
+    # (block, _g) is the shingle's within-block document set; the shared
+    # collect-and-explode generator caps it at max_postings and evaluates
+    # the shingling scan once (see capped_pair_rows — the self-join form
+    # ran it twice).
+    pairs = capped_pair_rows(
+        shingled, [*block_cols, "_g"], id_col, ("_sz",), max_postings
+    )
+    return pairs.groupBy("id_a", "id_b", "_sz_a", "_sz_b").agg(
+        F.count("*").cast("int").alias("_common")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -157,37 +204,8 @@ def ngram_jaccard_pairs(
     only on dropped shingles scores lower (sizes stay full, so jaccard
     never over-counts) — a bounded recall cost for a hard k² bound.
     """
-    # explode(array(e)) materializes the shingle array through a Generate
-    # once per row; a plain select would let CollapseProject inline the
-    # (lambda-bearing, so not subexpression-eliminated) shingle expression
-    # into BOTH the size() and the explode() below — 2x the compute.
-    shingled = spread(df).select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        # materialize the word split through a Generate so the n-gram
-        # lambda reads a column instead of re-splitting per element
-        F.explode(F.array(F.split(normalized_text(text_col), " "))).alias("_w"),
-    ).select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        F.explode(
-            F.array(F.array_distinct(_word_ngrams_col(F.col("_w"), n)))
-        ).alias("_sh"),
-    ).select(
-        *block_cols, id_col, F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
-    )
-    # Shingles are array_distinct'd per doc, so the postings list per
-    # (block, _g) is the shingle's within-block document set; the shared
-    # collect-and-explode generator caps it at max_postings and evaluates
-    # the shingling scan once (see capped_pair_rows — the self-join form
-    # ran it twice).
-    pairs = capped_pair_rows(
-        shingled, [*block_cols, "_g"], id_col, ("_sz",), max_postings
-    )
-    common = F.count("*").cast("int")
     return (
-        pairs.groupBy("id_a", "id_b", "_sz_a", "_sz_b")
-        .agg(common.alias("_common"))
+        _shingle_pair_commons(df, id_col, text_col, block_cols, n, max_postings)
         .select(
             "id_a",
             "id_b",
@@ -197,6 +215,53 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.8,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: word-n-gram containment C(A,B) =
+    |A ∩ B| / min(|A|, |B|) within blocks — the subset-duplication
+    detector Jaccard systematically misses. A snippet quoted whole inside
+    a much longer page has tiny Jaccard (the union is dominated by the
+    big doc) but containment ≈ 1; dedup policies treat that differently
+    from symmetric near-identity (drop the contained snippet, keep the
+    superset — or vice versa for boilerplate wrappers). This is the
+    containment variant of shingle similarity from Broder, "On the
+    resemblance and containment of documents" (SEQUENCES 1997).
+
+    Emits one row per unordered pair at containment >= threshold, with
+    ``contained_id`` naming the smaller shingle set (the doc that is
+    mostly inside the other; size ties -> lower id, deterministic).
+
+    Same physical shape as ngram_jaccard_pairs — both are projections
+    over the shared inverted-index pair kernel (_shingle_pair_commons):
+    postings-sized shuffle, hot-shingle cap, no block-quadratic join.
+    Any pair with containment >= threshold > 0 shares a shingle, so the
+    result set is identical to the quadratic form (under the cap
+    contract).
+    """
+    return (
+        _shingle_pair_commons(df, id_col, text_col, block_cols, n, max_postings)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common").cast("double")
+                / F.least("_sz_a", "_sz_b")
+            ).alias("containment"),
+            F.when(F.col("_sz_a") <= F.col("_sz_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -341,3 +341,80 @@ def incremental_components(
         "node",
         F.coalesce("_new_label", F.col("cluster_id")).alias("cluster_id"),
     )
+
+
+def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Exact triangle census of an undirected graph — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering), where
+    global_clustering = 3 * triangles / wedges (transitivity).
+
+    ``edges`` must be the canonical undirected edge set: one row per
+    edge with src < dst, no self-loops (the caller dedups; see
+    g_triangle_census for the co-occurrence edge builder).
+
+    Physical strategy is the degree-ordered orientation of Suri &
+    Vassilvitskii, "Counting triangles and the curse of the last
+    reducer" (WWW 2011): orient every edge from the endpoint with the
+    smaller (degree, id) to the larger, then count wedges only at each
+    edge's LOW-degree end and close them against the oriented edge set.
+    The naive wedge join explodes at hub nodes (a degree-d node emits
+    d²/2 wedges — the "last reducer" that kills the job at 100× scale);
+    orientation bounds every node's out-degree by O(sqrt(m)), so total
+    wedge rows are O(m^1.5) worst-case and near-linear on real
+    (bounded-arboricity) graphs, independent of hub size. Each triangle
+    {x<y<z in orientation order} is generated exactly once, as the wedge
+    at x closed by y->z.
+
+    All joins are equi-joins on node keys (AQE-splittable); degree is one
+    partial-aggregated groupBy; no driver-side iteration — a single
+    Catalyst plan. The oracle's simple 3-way self-join form (id-ordered,
+    no orientation) is equivalent because each triangle has exactly one
+    id-ordered edge listing; orientation only changes WHERE wedges are
+    generated, never which triangles exist.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").alias("_d"))
+    )
+    n_nodes = deg.select(F.count("*").alias("n_nodes"))
+    n_edges = e.select(F.count("*").alias("n_edges"))
+    # wedges (paths of length 2, open or closed) = sum_n C(deg, 2)
+    n_wedges = deg.select(
+        F.sum(F.expr("_d * (_d - 1) / 2")).cast("long").alias("n_wedges")
+    )
+    # orient by (degree, id): struct comparison gives the total order
+    du = deg.select(F.col("_n").alias("_u"), F.struct(F.col("_d"), F.col("_n")).alias("_ku"))
+    dv = deg.select(F.col("_n").alias("_v"), F.struct(F.col("_d"), F.col("_n")).alias("_kv"))
+    oriented = (
+        e.join(du, "_u")
+        .join(dv, "_v")
+        .select(
+            F.when(F.col("_ku") < F.col("_kv"), F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+            F.when(F.col("_ku") < F.col("_kv"), F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+            F.greatest("_ku", "_kv").alias("_kt"),
+        )
+    )
+    o1 = oriented.select("_s", F.col("_t").alias("_t1"), F.col("_kt").alias("_k1"))
+    o2 = oriented.select("_s", F.col("_t").alias("_t2"), F.col("_kt").alias("_k2"))
+    wedges = o1.join(o2, "_s").filter(F.col("_k1") < F.col("_k2"))
+    closing = oriented.select(F.col("_s").alias("_t1"), F.col("_t").alias("_t2"))
+    n_tri = wedges.join(closing, ["_t1", "_t2"], "left_semi").select(
+        F.count("*").alias("n_triangles")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

@@ -683,6 +683,187 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    n_candidates: int = 150,
+    train_size: int = 512,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k neighbors via IVFADC — IVF coarse quantizer +
+    product-quantized RESIDUALS (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", IEEE TPAMI 2011, §IV) — the composition of
+    ann_ivf_topk and ann_pq_topk, and the standard billion-scale layout
+    (FAISS ``IVFx,PQy``): the coarse quantizer bounds the SCAN (each query
+    touches ~n_probe/n_cells of the index) while PQ bounds the MEMORY
+    (each vector stored as ``m`` one-byte codes, so the probed slice is
+    ADC table lookups, never float vectors).
+
+    Residuals, not raw vectors, are what PQ encodes here: r = x_unit -
+    centroid(cell). Residual energy is a fraction of vector energy, so
+    the same ksub-codebook budget quantizes far finer than whole-vector
+    PQ — the reason IVFADC beats flat PQ at equal code size.
+
+    Physical strategy: both quantizers fit driver-side on one bounded
+    salted-hash sample (coarse fit shared with ann_ivf_topk via
+    _fit_unit_kmeans; per-subspace residual Lloyd's reuses _lloyds).
+    Per-query probe-cell selection reuses _probe_cells (bit-identical
+    probes to the IVF tier). One Arrow pass over the corpus assigns the
+    cell, encodes the residual, and ADC-scores rows of probed cells with
+    (query, cell)-keyed LUTs shipped in a broadcast — only batch-local
+    top candidates come back. A per-query window takes the global
+    ``n_candidates`` shortlist, then the exact cosine rerank pays full
+    vectors ONLY for the shortlist (precision at the head exact, recall
+    approximate — the ANN contract). At rest the (cell, codes) table is
+    the index: partitioned by cell (io.write_ivf_partitioned layout),
+    probes become partition-pruned scans of m-byte codes.
+
+    Rows-only: recall vs the exact operator asserted in
+    tests/test_llm_ops.py and surfaced in v_ann_recall_report.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    probe_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe_row is None:
+        raise ValueError("ann_ivfpq_topk: corpus is empty — nothing to index")
+    d = probe_row["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    # --- coarse quantizer: the SAME fit as the IVF tier
+    cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells, train_size)
+    c2 = (cmat**2).sum(axis=1)
+
+    # --- residual codebooks: assign the bounded train sample to cells,
+    # then per-subspace Lloyd's on the residuals (x_unit - centroid)
+    train_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit("pq"), F.col(id_col).cast("string"))), id_col)
+        .limit(train_size)
+        .collect()
+    )
+    tmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in train_rows])
+    tmat = tmat / np.maximum(np.linalg.norm(tmat, axis=1, keepdims=True), 1e-30)
+    tcell = (c2[None, :] - 2.0 * (tmat @ cmat.T)).argmin(axis=1)
+    tres = tmat - cmat[tcell]
+    # fewer train rows than ksub only coarsens the codebook (same clamp
+    # class as ann_pq_topk — never let rng.choice(replace=False) raise)
+    ksub = min(ksub, len(train_rows))
+    codebooks = np.stack(
+        [
+            _lloyds(tres[:, j * dsub : (j + 1) * dsub], ksub, kmeans_iters, seed + j)
+            for j in range(m)
+        ]
+    )
+
+    # --- per-(query, probed cell) ADC LUTs, driver-side on the bounded
+    # query batch: target = q_unit - centroid(cell); LUT[j][code] =
+    # |target_sub_j - codebook[j][code]|^2, so scoring a stored vector is
+    # m lookups. Probes are bit-identical to the IVF tier (_probe_cells).
+    qrows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).collect()
+    probe_qid, probe_cell, probe_luts = [], [], []
+    for qid, qv, cell_list in _probe_cells(qrows, cmat, n_probe):
+        qu = np.asarray(qv, dtype=np.float64)
+        qu = qu / max(np.linalg.norm(qu), 1e-30)
+        for c in cell_list:
+            tgt = qu - cmat[c]
+            lut = np.empty((m, ksub))
+            for j in range(m):
+                ts = tgt[j * dsub : (j + 1) * dsub]
+                lut[j] = ((ts[None, :] - codebooks[j]) ** 2).sum(axis=1)
+            probe_qid.append(qid)
+            probe_cell.append(c)
+            probe_luts.append(lut)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (
+            cmat,
+            codebooks,
+            np.asarray(probe_qid, dtype=np.int64),
+            np.asarray(probe_cell, dtype=np.int32),
+            np.stack(probe_luts) if probe_luts else np.empty((0, m, ksub)),
+        )
+    )
+
+    def ivfadc_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb_cmat, cb_books, p_qid, p_cell, p_luts = bc.value
+        cb_c2 = (cb_cmat**2).sum(axis=1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            cell = (cb_c2[None, :] - 2.0 * (x @ cb_cmat.T)).argmin(axis=1)
+            res = x - cb_cmat[cell]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb_books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            out_q, out_n, out_d = [], [], []
+            for p in range(len(p_qid)):
+                mask = cell == p_cell[p]
+                if not mask.any():
+                    continue
+                lut = p_luts[p]
+                sc = lut[np.arange(m)[:, None], codes[mask].T].sum(axis=0)
+                kk = min(n_candidates, len(sc))
+                top = np.argpartition(sc, kk - 1)[:kk]
+                out_q.append(np.full(kk, p_qid[p]))
+                out_n.append(ids[mask][top])
+                out_d.append(sc[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_d2": np.concatenate(out_d),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        ivfadc_batches, schema="query_id long, neighbor_id long, adc_d2 double"
+    )
+    w_cand = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_cr", F.row_number().over(w_cand))
+        .filter(F.col("_cr") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cluster_balance(
     corpus: DataFrame,
     id_col: str = "vec_id",

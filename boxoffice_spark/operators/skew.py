@@ -77,3 +77,50 @@ def salted_distinct_count(
         .agg(F.count_distinct(F.col(value_col)).alias("_partial"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("_partial").cast("long").alias("n_distinct"))
+
+
+def salted_group_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    tiebreak_cols: list[str],
+    salt: int = 16,
+) -> DataFrame:
+    """Exact per-group top-k on a HOT grouping key, in two bounded window
+    stages.
+
+    The plain plan — ``row_number() OVER (PARTITION BY group ORDER BY
+    ...)`` — shuffles every row of a group to one task and sorts the
+    whole group there: with a low-cardinality key (status, language,
+    event_type) that is a handful of tasks sorting the entire table. Here
+    stage 1 ranks within (group, hash % salt) sub-partitions — each holds
+    ~1/salt of the group — and keeps k rows per sub-partition; stage 2
+    ranks only the surviving ``salt * k`` rows per group. Any global
+    top-k row is top-k within its own sub-partition (the sub-partition is
+    a subset of the group), so stage 1 never discards a winner and the
+    result equals the single-window plan row-for-row.
+
+    ``order_cols`` are the ranking expressions (pass F.desc(...) etc.);
+    ``tiebreak_cols`` must make the total order unique per group so the
+    result is deterministic — they are appended ascending. The salt
+    derives from xxhash64 over the tiebreak columns (not rand()), so
+    retries and speculative tasks agree.
+    """
+    from pyspark.sql import Window as W
+
+    order = [*order_cols, *[F.asc(c) for c in tiebreak_cols]]
+    salted = df.withColumn(
+        "_salt", _salt_of([F.col(c) for c in tiebreak_cols], salt)
+    )
+    w1 = W.partitionBy(*group_cols, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+    )

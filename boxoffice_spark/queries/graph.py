@@ -91,3 +91,60 @@ def g_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.desc("rank"), F.asc("node"))
     return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+_TRIANGLE_ORACLE = """
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    tri AS (SELECT count(*) AS t
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT w FROM wed) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+               AS global_clustering
+"""
+
+
+@register(
+    "g_triangle_census",
+    oracle=_TRIANGLE_ORACLE,
+    bench=True,
+    tags=("graph", "triangles"),
+)
+def g_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order are adjacent): nodes, edges, wedges, exact triangle count, and
+    global clustering coefficient — the connectivity datacard a crawl /
+    link-graph pipeline reads before trusting community structure.
+    Edge generation is order-local (per-order part pairs, bounded by
+    order size, never a global cross join); counting uses degree-ordered
+    orientation (operators/graph.triangle_stats) so hub parts cannot
+    create a last-reducer wedge explosion. The oracle counts the same
+    triangles with the textbook id-ordered 3-way self-join — equivalent
+    because orientation changes where wedges are generated, not which
+    triangles exist."""
+    from boxoffice_spark.operators.graph import triangle_stats
+
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_stats(edges)

@@ -519,3 +519,65 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_ref",
         "distinct_new",
     )
+
+
+@register(
+    "dq_benford_totalprice",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n_obs
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM tot_src),
+    tot_src AS (SELECT n_obs FROM obs)
+    SELECT digit,
+           n_obs,
+           round(n_obs / (SELECT n FROM tot), 6) AS obs_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(abs(n_obs / (SELECT n FROM tot)
+                     - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM obs
+    ORDER BY digit
+    """,
+    tags=("quality", "benford"),
+)
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    classic synthetic-/fabricated-data detector (Benford's law: natural
+    multi-scale amounts have P(first digit = d) = log10(1 + 1/d); uniform
+    or generated values don't). One scan + a 9-row aggregate; the
+    deviation column is what a DQ gate thresholds. The first digit is
+    taken from integer CENTS (round(x*100)) so both engines extract it
+    from exact integer arithmetic, never from log10-of-double edge
+    cases."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    obs = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.select(F.sum("n_obs").cast("double").alias("_n"))
+    benford_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("_n"), 6).alias("obs_p"),
+            F.round(benford_p, 6).alias("benford_p"),
+            F.round(F.abs(F.col("n_obs") / F.col("_n") - benford_p), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

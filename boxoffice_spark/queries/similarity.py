@@ -496,9 +496,27 @@ def v_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb, probes, n_candidates=30, k=10, lam=0.7)
 
 
+@register("v_ann_ivfpq_topk", oracle=None, bench=True, tags=("similarity", "ann", "ivf", "pq"))
+def v_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN (operators/similarity.ann_ivfpq_topk): coarse-quantizer
+    cells bound the scan, product-quantized RESIDUALS bound the memory —
+    the FAISS ``IVFx,PQy`` billion-scale layout, composing the IVF and PQ
+    tiers into the index shape a 100 TB embedding corpus actually ships
+    (cell-partitioned m-byte codes, ADC probe, exact rerank of the
+    shortlist only). Rows-only: approximate by construction; recall vs
+    v_cosine_topk asserted in tests/test_llm_ops.py and reported in
+    v_ann_recall_report."""
+    from boxoffice_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_ivfpq_topk(emb, queries, k=10, n_probe=8)
+
+
 @register("v_ann_recall_report", oracle=None, tags=("similarity", "ann", "datacard"))
 def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN QA scorecard: recall@10 of each approximate tier (LSH, IVF, PQ)
+    """ANN QA scorecard: recall@10 of each approximate tier (LSH, IVF,
+    PQ, IVFADC)
     against the exact cosine top-10 over the same probe set — the
     dashboard row an ANN deployment watches when re-tuning
     bucket/cell/codebook parameters, surfaced as a registered query so
@@ -511,6 +529,7 @@ def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_lsh_topk,
         ann_pq_topk,
         ann_ivf_topk,
+        ann_ivfpq_topk,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -527,6 +546,7 @@ def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": ann_lsh_topk(emb, queries, k=10),
         "ivf": ann_ivf_topk(emb, queries, k=10, n_probe=8),
         "pq": ann_pq_topk(emb, queries, k=10),
+        "ivfpq": ann_ivfpq_topk(emb, queries, k=10, n_probe=8),
     }
     report = None
     for name, approx in tiers.items():

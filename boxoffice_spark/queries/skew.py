@@ -61,3 +61,43 @@ def k_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(ev, ["event_type"], "user_id", salt=16).select(
         "event_type", "n_distinct"
     )
+
+
+@register(
+    "k_group_topk_salted",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    r AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id
+               ) AS INT) AS rnk
+        FROM ev
+    )
+    SELECT event_id, user_id, event_type, value, rnk
+    FROM r WHERE rnk <= 5
+    """,
+    tags=("skew", "topk", "window"),
+)
+def k_group_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 events by value per event_type WITHOUT sorting whole
+    event classes on single tasks: event_type has ~5 values, so the plain
+    row_number window is 5 tasks sorting the entire log. The salted form
+    (operators/skew.salted_group_topk) ranks within (type, hash(event_id)
+    % 16) sub-partitions first, then ranks only the 16*5 survivors per
+    type — identical rows to the single-window plan, which is what the
+    oracle runs."""
+    from boxoffice_spark.operators.skew import salted_group_topk
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return salted_group_topk(
+        ev,
+        group_cols=["event_type"],
+        order_cols=[F.desc("value")],
+        k=5,
+        tiebreak_cols=["event_id"],
+        salt=16,
+    )

@@ -69,6 +69,43 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_ngram_containment_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM documents
+    )
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / least(len(a.sh), len(b.sh)) AS containment,
+        CASE WHEN len(a.sh) <= len(b.sh) THEN a.doc_id ELSE b.doc_id END
+            AS contained_id
+    FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / least(len(a.sh), len(b.sh)) >= 0.6
+    """,
+    tags=("dedup", "containment"),
+)
+def t_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: word-3-gram containment |A∩B|/min(|A|,|B|)
+    >= 0.6 within (lang, source) blocks — catches a snippet quoted whole
+    inside a much longer doc, which Jaccard misses (the union is dominated
+    by the big doc). ``contained_id`` names the doc that is mostly inside
+    the other. Same inverted-index kernel as t_ngram_jaccard_pairs —
+    postings-sized shuffle, never block-quadratic."""
+    return D.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_cols=["lang", "source"],
+        n=3,
+        threshold=0.6,
+    )
+
+
+@register(
     "t_simhash",
     oracle=D.simhash_sql("documents", "doc_id", "text"),
     tags=("dedup", "simhash"),

@@ -126,6 +126,33 @@ def test_pq_recall_vs_exact_and_determinism(spark, sf_dir):
     assert approx == again, "PQ run not deterministic"
 
 
+def test_ivfpq_recall_vs_exact_and_determinism(spark, sf_dir):
+    """IVFADC (coarse cells + residual PQ) top-10 must recover most of the
+    exact cosine top-10; its probed cells are bit-identical to the IVF
+    tier's (_probe_cells is shared), so its recall can only lose to IVF
+    through residual quantization on the shortlist cut — the fixture
+    keeps it above the same 0.6 floor. Seeded fits make it
+    run-to-run deterministic, and every recovered neighbor carries the
+    exact cos_sim (the rerank is exact)."""
+    from boxoffice_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cos_sim for r in ann_ivfpq_topk(emb, queries, k=10, n_probe=8).collect()}
+    qids = {q for q, _ in exact}
+    recalls = []
+    for q in qids:
+        e = {n for qq, n in exact if qq == q}
+        a = {n for qq, n in approx if qq == q}
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean IVFADC recall too low: {recalls}"
+    for key in exact.keys() & approx.keys():
+        assert exact[key] == approx[key], f"rerank not exact at {key}"
+    again = {(r.query_id, r.neighbor_id): r.cos_sim for r in ann_ivfpq_topk(emb, queries, k=10, n_probe=8).collect()}
+    assert approx == again, "IVFADC run not deterministic"
+
+
 def test_pq_small_corpus_clamps_ksub(spark, sf_dir):
     """A corpus with fewer rows than ksub must still index (ksub clamps to
     the corpus size instead of rng.choice(replace=False) raising); with the
