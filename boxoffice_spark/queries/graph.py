@@ -148,3 +148,36 @@ def g_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+@register(
+    "g_triangle_census_approx",
+    oracle=None,
+    bench=True,
+    tags=("graph", "triangles", "approx"),
+)
+def g_triangle_census_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-sampled triangle estimate over the same part co-purchase
+    graph as g_triangle_census — the 100 TB tier: keep each edge with
+    probability p via a deterministic hash coin, run the exact
+    degree-ordered census on the ~p·|E| surviving edges (wedge volume,
+    the quadratic term, drops ~p²), scale the count by 1/p³. Rows-only
+    by construction (hash coin is engine-specific); the relative-error
+    contract vs the exact tier is asserted in tests/test_graph_ops.py,
+    and the exact tier keeps the DuckDB oracle."""
+    from boxoffice_spark.operators.graph import triangle_count_doulion
+
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count_doulion(edges, p=0.25)

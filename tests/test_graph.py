@@ -5,6 +5,7 @@ self-loops, and the convergence guard."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from boxoffice_spark.operators.graph import connected_components
 
@@ -172,3 +173,49 @@ class TestIncrementalComponents:
         )
         got = {r["node"]: r["cluster_id"] for r in merged.collect()}
         assert got == {1: 1, 2: 1, 8: 8, 9: 8}
+
+
+class TestTriangleDoulion:
+    """DOULION sampled triangle estimator (operators/graph.py) — the
+    rows-only 100 TB tier next to the exact oracle-checked census."""
+
+    def _kn_edges(self, spark, n):
+        # complete graph K_n: C(n,3) triangles, known in closed form
+        return (
+            spark.range(n)
+            .selectExpr("id AS u")
+            .join(spark.range(n).selectExpr("id AS v"), F.expr("u < v"))
+        )
+
+    def test_p1_is_exact(self, spark):
+        from boxoffice_spark.operators.graph import triangle_count_doulion
+
+        row = triangle_count_doulion(self._kn_edges(spark, 12), p=1.0).first()
+        assert row["n_edges_sampled"] == 66
+        assert row["n_triangles_sampled"] == 220
+        assert row["est_triangles"] == pytest.approx(220.0)
+
+    def test_relative_error_bound(self, spark):
+        from boxoffice_spark.operators.graph import triangle_count_doulion
+
+        # K_40: 9880 triangles; p=0.5 keeps ~1235 of them — enough mass
+        # for the 1/p^3 estimate to concentrate. The hash coin makes the
+        # sample (and therefore this assertion) deterministic.
+        row = triangle_count_doulion(self._kn_edges(spark, 40), p=0.5).first()
+        exact = 9880.0
+        rel_err = abs(row["est_triangles"] - exact) / exact
+        assert rel_err < 0.25, (row["est_triangles"], rel_err)
+
+    def test_deterministic(self, spark):
+        from boxoffice_spark.operators.graph import triangle_count_doulion
+
+        e = self._kn_edges(spark, 20)
+        r1 = triangle_count_doulion(e, p=0.3).first()
+        r2 = triangle_count_doulion(e, p=0.3).first()
+        assert r1 == r2
+
+    def test_bad_p_raises(self, spark):
+        from boxoffice_spark.operators.graph import triangle_count_doulion
+
+        with pytest.raises(ValueError):
+            triangle_count_doulion(self._kn_edges(spark, 5), p=0.0)
