@@ -4,7 +4,11 @@ Times every bench-flagged headline query from the registry at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"queries": {...}, "build": {...}, "cold": {...}, "ann_recall": {...},
+     "metric": "...", "unit": "sec", "build_total": B, "value": N, "sf": ...}
+
+(summary scalars LAST — the driver captures only the tail of stdout, so the
+headline number must survive truncation of the per-query maps)
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect materialization cost in the timing). A tiny warmup query
@@ -90,16 +94,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     build_total = round(sum(builds.values()), 3)
+
+    # ANN recall scorecard (deterministic — every tier is seeded): surfaced
+    # in the round artifact so a tuning regression shows up here, not just
+    # in pytest. Not billed to the headline total (it is a QA report, not a
+    # headline query).
+    ann_recall: dict[str, float] = {}
+    try:
+        rows = specs["v_ann_recall_report"].fn(spark, sf_dir).collect()
+        ann_recall = {r["tier"]: r["recall_at_10"] for r in rows}
+    except Exception as exc:  # never let the scorecard sink the artifact
+        ann_recall = {"err": str(exc)[:200]}
+
+    # Key order matters: the driver keeps only the LAST 2,000 chars of
+    # stdout, so the summary scalars (value/build_total/sf) go at the END
+    # of the line — the per-query maps may be truncated, the headline
+    # number never (BENCH_r04 lost its headline to the old order).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "build": builds,
-                "build_total": build_total,
                 "cold": colds,
+                "ann_recall": ann_recall,
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "n_queries": len(timings),
+                "build_total": build_total,
+                "value": total,
                 "sf": sf,
             }
         )

@@ -744,7 +744,7 @@ def ann_ivfpq_topk(
     dsub = d // m
 
     # --- coarse quantizer: the SAME fit as the IVF tier
-    cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells, train_size)
+    cmat = _fit_unit_kmeans(corpus, id_col, vec_col, n_cells, train_size, seed)
     c2 = (cmat**2).sum(axis=1)
 
     # --- residual codebooks: assign the bounded train sample to cells,
