@@ -122,3 +122,19 @@ def s_stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_cluster_maintenance
 
     return stream_cluster_maintenance(spark, sf_dir)
+
+
+@register("s_stream_scd2_maintenance", oracle=None, tags=("streaming", "scd2", "etl"))
+def s_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance (streaming/jobs.py
+    stream_scd2_maintenance): each micro-batch of signup change events is
+    merged into the standing validity-interval table — close the open
+    interval of every changed key, append the batch's own intervals —
+    the foreachBatch MERGE INTO that keeps a warehouse dimension current
+    from a CDC feed. After the availableNow drain the standing table
+    equals e_scd2_history row-for-row and its point-in-time filter equals
+    e_scd2_asof_read, asserted single- and multi-batch (time-ordered file
+    split) in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_scd2_maintenance
+
+    return stream_scd2_maintenance(spark, sf_dir)

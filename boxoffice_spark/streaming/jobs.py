@@ -35,7 +35,12 @@ _EVENTS_SCHEMA_MICROS = (
 _PROBE_CACHE: dict[str, bool] = {}
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files: int | None = None,
+) -> DataFrame:
     """Streaming scan of the events table, applying the same ``ts``
     ingestion rule as tables.table (session-UTC TIMESTAMP whatever the
     fixture's physical type). The file-stream source needs a user-supplied
@@ -58,11 +63,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source wants a directory; glob-filter down to events
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(
+        _EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS
+    ).option("pathGlobFilter", glob)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    raw = reader.parquet(sf_dir)
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -640,3 +646,94 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropGlobalTempView(name)
     spark.catalog.dropGlobalTempView(fp_name)
     return out.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance — the incremental twin of
+    e_scd2_history, closing the reference's last incremental loop
+    (goods_event upsert cadence -> dimension history -> as-of read,
+    movie_events_scraper.py feeding the dashboard's historical view):
+    each micro-batch of signup change events is MERGED into a standing
+    validity-interval table via ``foreachBatch``, the algebraic MERGE
+    INTO a warehouse runs per CDC increment.
+
+    Per batch (a plain batch DataFrame inside foreachBatch):
+
+    1. the batch's own SCD2 fragment — intra-batch lead() over
+       (user_id, ts, event_id), last row per user left OPEN;
+    2. standing OPEN intervals of users present in the batch are CLOSED
+       at the batch's first change ts for that user (is_current -> false);
+    3. closed standing rows and open rows of untouched users pass through
+       unchanged — O(batch + changed keys) work, the standing history is
+       never rebuilt.
+
+    Ordering contract (stated, and the standard CDC-feed guarantee): the
+    feed is per-key event-time ordered across batches — a change never
+    arrives after a later change for the same key has been absorbed. Late
+    corrections are a reprocess/backfill concern (e_backfill_overwrite),
+    not silent merge input. Under that contract the standing table after
+    the availableNow drain equals e_scd2_history EXACTLY (row for row,
+    including is_current flags) for any time-ordered file split, and the
+    point-in-time filter over it equals e_scd2_asof_read — both asserted
+    in tests/test_streaming.py.
+
+    State size: the standing table is the dimension history itself
+    (O(changes)), held as a checkpointed global-temp view locally; on a
+    cluster the same merge writes a keyed table (foreachBatch + MERGE
+    INTO on Delta/Iceberg) and nothing else changes.
+    """
+    from pyspark.sql import Window
+
+    raw = _events_stream(spark, sf_dir, glob="events*.parquet", max_files=1)
+    changes = raw.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", F.col("value").alias("attr_value")
+    )
+    name = "s_scd2_" + uuid.uuid4().hex[:12]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if not batch.head(1):
+            return
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(w)
+        frag = batch.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "attr_value",
+        )
+        firsts = batch.groupBy("user_id").agg(F.min("ts").alias("_first_ts"))
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            prev = s.table(f"global_temp.{name}")
+            open_rows = prev.filter(F.col("is_current"))
+            closed_now = (
+                open_rows.join(firsts, "user_id")
+                .select(
+                    "user_id",
+                    "valid_from",
+                    F.col("_first_ts").alias("valid_to"),
+                    F.lit(False).alias("is_current"),
+                    "attr_value",
+                )
+            )
+            untouched_open = open_rows.join(firsts, "user_id", "left_anti")
+            merged = (
+                prev.filter(~F.col("is_current"))
+                .unionByName(closed_now)
+                .unionByName(untouched_open)
+                .unionByName(frag)
+            )
+        else:
+            merged = frag
+        merged.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        changes.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(f"global_temp.{name}").localCheckpoint()
+    spark.catalog.dropGlobalTempView(name)
+    return out

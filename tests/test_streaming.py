@@ -423,3 +423,72 @@ def test_stream_cluster_maintenance_multi_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_scd2_equals_batch_history_and_asof(spark, sf_dir):
+    """Single-file drain: the foreachBatch-maintained SCD2 table must
+    equal e_scd2_history row-for-row (intervals, is_current flags), and
+    its point-in-time filter must equal e_scd2_asof_read."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.queries.etl import e_scd2_asof_read, e_scd2_history
+    from boxoffice_spark.streaming.jobs import stream_scd2_maintenance
+
+    dim = stream_scd2_maintenance(spark, sf_dir)
+    cols = ["user_id", "valid_from", "valid_to", "is_current", "attr_value"]
+    got = sorted(map(tuple, dim.select(*cols).collect()))
+    want = sorted(map(tuple, e_scd2_history(spark, sf_dir).select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    t = F.lit("2024-01-15").cast("timestamp")
+    got_asof = sorted(
+        map(
+            tuple,
+            dim.filter(
+                (F.col("valid_from") <= t)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+            )
+            .select("user_id", "valid_from", "attr_value")
+            .collect(),
+        )
+    )
+    want_asof = sorted(map(tuple, e_scd2_asof_read(spark, sf_dir).collect()))
+    assert got_asof == want_asof
+
+
+def test_stream_scd2_multi_batch_time_ordered_split(spark, sf_dir, tmp_path):
+    """Split the events table into two files AT THE MEDIAN ts (the CDC
+    ordering contract: a key's changes never arrive after a later change
+    was absorbed); maxFilesPerTrigger=1 forces two micro-batches, so the
+    second batch must CLOSE open intervals the first batch created. The
+    merged table must still equal the batch derivation over the full
+    set — a merge that forgets to close standing open intervals, or
+    closes them at the wrong ts, diverges here."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.etl import e_scd2_history
+    from boxoffice_spark.streaming.jobs import stream_scd2_maintenance
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    order = pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+    t = t.take(order)
+    cut = t.num_rows // 2
+    split_dir = tmp_path / "split"
+    full_dir = tmp_path / "full"
+    split_dir.mkdir()
+    full_dir.mkdir()
+    pq.write_table(t.slice(0, cut), str(split_dir / "events.parquet"))
+    pq.write_table(t.slice(cut), str(split_dir / "events_2.parquet"))
+    # the batch twin reads {dir}/events.parquet — give it the SAME rows in
+    # one file (tables.table does not glob)
+    pq.write_table(t, str(full_dir / "events.parquet"))
+
+    cols = ["user_id", "valid_from", "valid_to", "is_current", "attr_value"]
+    got = sorted(
+        map(tuple, stream_scd2_maintenance(spark, str(split_dir)).select(*cols).collect())
+    )
+    want = sorted(
+        map(tuple, e_scd2_history(spark, str(full_dir)).select(*cols).collect())
+    )
+    assert got == want and len(got) > 0
