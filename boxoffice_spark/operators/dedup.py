@@ -906,3 +906,70 @@ SELECT d.{id_col},
        coalesce(a.n_dropped, 0) AS n_dropped
 FROM {table} d LEFT JOIN agg a USING ({id_col})
 """
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level overlap between SOURCES: for every pair of groups
+    (crawl snapshots, vendors, dumps), the Jaccard similarity of their
+    distinct word-n-gram shingle SETS — the sourcing-decision report a
+    pipeline reads before paying to ingest a new corpus ("how much of
+    vendor B is already inside crawl A?"). Doc-level dedup answers a
+    different question (which rows to drop); this answers whether a whole
+    source is worth acquiring.
+
+    Physical shape: one tokenize scan -> distinct (group, shingle) ->
+    per-shingle sorted group list (the posting list — bounded by the
+    number of SOURCES, typically < 100, so the pair explosion per
+    shingle is at most C(|groups|, 2), never corpus-sized) -> exploded
+    group pairs counted per (a, b). Set sizes ride a broadcast join.
+    At 100 TB this is the cheapest of the dedup family: the shuffle is
+    the distinct over (group, shingle), and everything after it is
+    |groups|²-bounded.
+
+    Returns (source_a, source_b, n_a, n_b, n_common, jaccard), one row
+    per unordered group pair that shares at least one shingle.
+    """
+    base = spread(df).select(
+        F.col(group_col).alias("_grp"),
+        F.explode(F.array(F.split(normalized_text(text_col), " "))).alias("_w"),
+    ).select(
+        "_grp",
+        F.explode(F.array_distinct(_word_ngrams_col(F.col("_w"), n))).alias("_sh"),
+    ).distinct()
+    sizes = base.groupBy("_grp").agg(F.count("*").alias("_n"))
+    postings = (
+        base.groupBy("_sh")
+        .agg(F.sort_array(F.collect_set("_grp")).alias("_gs"))
+        .filter(F.size("_gs") >= 2)
+    )
+    pairs = (
+        postings.select(F.explode("_gs").alias("source_a"), "_gs")
+        .select("source_a", F.explode("_gs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    common = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_common")
+    )
+    sa = sizes.select(F.col("_grp").alias("source_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_grp").alias("source_b"), F.col("_n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -65,6 +65,10 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "source"],
         n=3,
         threshold=0.5,
+        # capless: this path is checked against a capless oracle (the
+        # dedup.py rule — hot-shingle caps are the documented scale
+        # option, never silently active on an oracle-checked path)
+        max_postings=None,
     )
 
 
@@ -102,6 +106,8 @@ def t_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "source"],
         n=3,
         threshold=0.6,
+        # capless to match the capless oracle (see t_ngram_jaccard_pairs)
+        max_postings=None,
     )
 
 
@@ -2167,3 +2173,114 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("avg_logprob") >= F.lit(float(median))).cast("int").alias("label")
     )
     return quality_classifier_score(d, "doc_id", "text", labels, train_size=400)
+
+
+_GROUP_HASH_SQL = D.WORD_HASH_SQL.format(w="CAST(group_key AS VARCHAR)")
+
+_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    {D.simhash_hamming_pairs_sql("documents", "doc_id", "text")}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+    SELECT a AS node, a AS comp FROM edges
+    UNION
+    SELECT e.a AS node, r.comp FROM edges e JOIN reach r ON e.b = r.node
+),
+labels AS (
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+),
+keyed AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_key
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, group_key,
+       CASE WHEN {_GROUP_HASH_SQL} % 100 < 80 THEN 'train'
+            WHEN {_GROUP_HASH_SQL} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+@register(
+    "t_cluster_safe_split",
+    oracle=_SPLIT_ORACLE,
+    tags=("dedup", "split", "leakage"),
+)
+def t_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned by a
+    deterministic hash of the doc's near-dup CLUSTER label (min-id
+    component over the SimHash pair graph; un-clustered docs key on
+    their own id), never of the doc itself — so two near-duplicate
+    documents can never land on opposite sides of the split, the
+    train/eval contamination that silently inflates benchmark numbers.
+    80/10/10 by md5 bucket: reproducible across runs, engines (the
+    oracle computes the identical buckets), and corpus growth (adding
+    docs never reshuffles existing groups' assignment). One scan + the
+    pair-graph components; the hash bucketing is a zero-shuffle
+    projection."""
+    from boxoffice_spark.operators.graph import connected_components_star
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.simhash_hamming_pairs(docs, "doc_id", "text")
+    labels = connected_components_star(pairs, "id_a", "id_b")
+    keyed = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("group_key").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return keyed.select(
+        "doc_id",
+        "group_key",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "t_source_overlap_matrix",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source AS grp, g AS shingle
+        FROM (SELECT source, unnest({_SHINGLES}) AS g FROM documents)
+    ),
+    sz AS (SELECT grp, count(*) AS n FROM sh GROUP BY 1),
+    com AS (
+        SELECT a.grp AS source_a, b.grp AS source_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.grp < b.grp
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           za.n AS n_a, zb.n AS n_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6)
+               AS jaccard
+    FROM com
+    JOIN sz za ON za.grp = source_a
+    JOIN sz zb ON zb.grp = source_b
+    """,
+    tags=("dedup", "sourcing", "overlap"),
+)
+def t_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source-overlap matrix: Jaccard of distinct 3-gram
+    shingle SETS per source pair — the acquisition report ("how much of
+    source B is already in source A") that precedes doc-level dedup.
+    Posting lists are bounded by the source count, so the pair stage is
+    |sources|²-sized; see operators/dedup.source_overlap_matrix."""
+    return D.source_overlap_matrix(
+        table(spark, sf_dir, "documents"), "source", "text", n=3
+    )

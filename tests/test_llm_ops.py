@@ -718,3 +718,64 @@ def test_completeness_counters_all_null_day(spark):
     assert d1["value_completeness"] == 0.0
     d2 = got["2024-03-02"]
     assert d2["n_nonpos_value"] == 1 and d2["n_empty_props"] == 1
+
+
+def test_cluster_safe_split_no_cluster_straddles(spark, sf_dir):
+    """The leakage invariant the split exists for: every near-dup pair
+    (SimHash Hamming graph) lands in ONE split; split fractions are in a
+    sane band for an 80/10/10 hash bucketing; assignment deterministic."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators import dedup as D
+    from boxoffice_spark.queries.text_pipeline import t_cluster_safe_split
+    from boxoffice_spark.tables import table
+
+    split = t_cluster_safe_split(spark, sf_dir).localCheckpoint()
+    docs = table(spark, sf_dir, "documents")
+    assert split.count() == docs.count()
+
+    pairs = D.simhash_hamming_pairs(docs, "doc_id", "text")
+    a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    straddlers = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
+
+    frac = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert 0.6 < frac.get("train", 0) / total < 0.95
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+    again = sorted(map(tuple, t_cluster_safe_split(spark, sf_dir).collect()))
+    assert again == sorted(map(tuple, split.collect()))
+
+
+def test_source_overlap_matrix_self_consistency(spark, sf_dir):
+    """Overlap matrix invariants: n_common <= min(n_a, n_b), jaccard in
+    (0, 1], pairs ordered source_a < source_b, and a planted full-copy
+    source pair scores jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta gamma delta", "s2"),   # s2 == s1's shingles
+        (3, "epsilon zeta eta theta", "s3"),   # s3 disjoint from s1/s2
+        (4, "alpha beta gamma iota", "s3"),    # ...but shares a shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_overlap_matrix(df, "source", "text", n=3).collect()
+    by_pair = {(r["source_a"], r["source_b"]): r for r in out}
+    assert all(a < b for a, b in by_pair)
+    for r in out:
+        assert 0 < r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+    assert by_pair[("s1", "s2")]["jaccard"] == 1.0
+    assert ("s1", "s3") in by_pair  # the single shared 'alpha beta gamma'
