@@ -61,62 +61,50 @@ _QUERY_MODULES = [
 ]
 
 # Queries pulled to the very front of load_all() order regardless of module,
-# so they land inside the driver's 50-entry correctness window. Round-4
-# rotation (VERDICT r03 item 1): the nine oracle-backed queries the union of
-# r01–r03 windows never covered go first, then every query whose plan or
-# oracle changed this round and therefore needs a fresh driver row. Round-3
-# pins (a_approx_stats, a_hll_sketch_rollup, ...) earned their green rows in
-# CORRECTNESS_r03 and rotate out.
+# so they land inside the driver's 50-entry correctness window. Round-5
+# rotation (VERDICT r04 items 1 and 4): first the 4 oracle-backed queries the
+# union of r01–r04 windows never recorded green (all verified hash-matching
+# locally), then every query whose plan or oracle changed this round, then a
+# rotation of the rows-only tier (ANN family, streaming twins, Arrow kernels)
+# so the driver artifact shows them executing under its harness — their local
+# property/equality tests remain the stronger correctness evidence. Round-4
+# pins earned their green rows in CORRECTNESS_r04 and rotate out.
 _PINNED = [
     "flagship_daily_topk_delta",
-    # -- the 9 never-driver-checked oracle-backed queries (r01–r03 gap)
-    "q_udtf_chunk_words",
-    "dq_distribution_drift",
-    "dq_fk_orphans",
-    "a_exact_median",
-    "a_histogram",
-    "w_trailing_range_sum",
-    "w_ntile_quartiles",
-    "e_scd2_history",
-    "p_intersect_repeat_buyers",
-    # -- plan or oracle changed round 4: fresh evidence required
-    "g_pagerank_authority",  # top-k rewritten limit-first (no global window)
-    "j_fuzzy_tiered",  # tier-3 raw-substring fallback added
-    "t_corpus_datacard",  # est_tokens column added
-    "t_lang_token_mix",  # NEW round 4: per-language token budget
-    "t_sequence_packing",  # NEW round 4: token-budget sample packing
-    "t_perplexity_buckets",  # NEW round 4: CCNet-style head/middle/tail
-    "t_source_quality_report",  # NEW round 4: per-source triage scorecard
-    "t_dup_cluster_sizes",  # NEW round 4: dedup sizing histogram
-    "v_embedding_drift",  # NEW round 4: centroid-shift ingest gate
-    "t_boilerplate_units",  # NEW round 4: boilerplate blocklist mining
-    "t_mixture_rebalance",  # token-aware weights
-    "t_bm25_search",  # repeated-query-term dedup
-    "t_curation_funnel",  # oracle NOT IN -> NOT EXISTS
-    "t_unigram_logprob",  # scoped-persist cache change
-    "w_ewma_daily_revenue",  # oracle added round 4 (list_reduce prefix folds)
-    # -- NEW round 5: fresh driver evidence required
-    "t_dsir_weights",  # DSIR hashed-unigram importance weights
-    "t_dedup_keep_best",  # keep-highest-quality canonicalization per cluster
-    "t_cross_source_dup_matrix",  # near-dup pair counts by source pair
-    "w_event_funnel",  # ordered view->click->purchase funnel
-    "dq_completeness_by_day",  # per-ingest-partition DQ trend
-    "a_cube",  # CUBE margins completing the rollup/grouping-sets trio
-    "t_dedup_apply",  # surviving-corpus materialization (unique + keepers)
-    "t_blocklist_gate",  # wordlist content gate (C4 badword-filter shape)
-    "w_cohort_retention",  # day-N retention triangle by first-activity cohort
-    "dq_pii_prevalence",  # per-source PII scorecard (privacy triage)
-    "dq_numeric_drift",  # decile-comparison drift gate for continuous values
-    # -- NEW round 6: fresh driver evidence required
-    "t_hybrid_rrf_search",  # BM25 + embedding-cosine reciprocal-rank fusion
-    "j_entity_resolution",  # blocked edit-distance record linkage + components
-    "a_pivot_segment_status",  # explicit-values PIVOT (single-pass wide report)
-    "e_unpivot_metrics",  # UNPIVOT/melt via zero-shuffle Expand
-    "e_cdc_apply",  # changeset replay; oracle = the new snapshot (round trip)
-    "dq_schema_drift",  # column-level null-rate/cardinality drift gate
-    "e_scd2_asof_read",  # point-in-time snapshot from the SCD2 dimension
-    "t_incremental_dedup_clusters",  # quotient-graph merge == full recompute
-    "t_pii_pseudonymize",  # join-preserving deterministic PII surrogates
+    # -- the 4 never-driver-green oracle-backed queries (r01–r04 gap)
+    "k_group_topk_salted",
+    "g_triangle_census",  # also: oriented edge set now persisted (one eval)
+    "dq_benford_totalprice",
+    "dq_orders_constraints",  # fixed after the r02 red; never re-checked
+    # -- plan or oracle path changed round 5: fresh evidence required
+    "j_entity_resolution",  # clustering switched to connected_components_star
+    "t_ngram_jaccard_pairs",  # capless oracle path (max_postings=None)
+    "t_ngram_containment_pairs",  # capless oracle path (max_postings=None)
+    # -- NEW round 5: DOULION sampled triangle tier (rows-only)
+    "g_triangle_census_approx",
+    # -- NEW round 5: leakage-safe splits + corpus sourcing report
+    "t_cluster_safe_split",
+    "t_source_overlap_matrix",
+    # -- rows-only rotation: first driver rows for the approximate tier
+    "t_minhash_lsh_pairs",
+    "t_quality_classifier",
+    "v_ann_lsh_topk",
+    "v_ann_ivf_topk",
+    "v_ann_pq_topk",
+    "v_ann_ivfpq_topk",
+    "v_ann_recall_report",
+    "v_mmr_diversify",
+    "v_cluster_balance",
+    "m_asset_features",
+    "m_frame_sample",
+    "t_content_chunks",
+    "t_chunk_dup_pairs",
+    "t_winnow_fast",
+    "t_compression_gate",
+    "s_stream_dedup",
+    "s_stream_drift_monitor",
+    "s_stream_cluster_maintenance",
+    "s_stream_scd2_maintenance",  # NEW round 5: foreachBatch SCD2 merge
 ]
 
 

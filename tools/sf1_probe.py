@@ -77,6 +77,16 @@ HEAVY = [
     "t_incremental_dedup_clusters",
     "v_mmr_diversify",
     "t_quality_classifier",
+    # round 5 (VERDICT r04 item 6): the in-block levenshtein pair join is
+    # the newest quadratic-risk shape (sf1 part inflation grows block
+    # COUNT, not block size — see part_select; densifying blocks are the
+    # cap's job); changeset replay over the 10x orders snapshot; and the
+    # triangle census both exact (persisted oriented edges) and DOULION-
+    # sampled — the pair where the approx tier must show its alpha edge.
+    "j_entity_resolution",
+    "e_cdc_apply",
+    "g_triangle_census",
+    "g_triangle_census_approx",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
@@ -87,7 +97,16 @@ HEAVY = [
 # (_CLUSTERS_ORACLE -> simhash_hamming_pairs_sql), so it hits the same
 # wall. Correctness evidence is the sf0.01/sf0.1 oracle greens; sf1
 # keeps the timing-only rows.
-ORACLE_SKIP_AT_SF1 = {"t_dedup_keep_best", "t_incremental_dedup_clusters"}
+ORACLE_SKIP_AT_SF1 = {
+    "t_dedup_keep_best",
+    "t_incremental_dedup_clusters",
+    # the census oracle is the textbook id-ordered 3-way self-join — its
+    # wedge volume is exactly the quadratic blowup the engine's
+    # degree-ordered orientation avoids, so at sf1 the ORACLE (not the
+    # engine) is the bottleneck; sf0.01/sf0.1 oracle greens carry
+    # correctness, sf1 keeps the timing rows
+    "g_triangle_census",
+}
 
 
 def generate(regen: bool = False) -> None:
@@ -138,10 +157,41 @@ def generate(regen: bool = False) -> None:
             f" FROM read_parquet('{SRC}/lineitem.parquet')"
         )
 
+    def orders_select(i: int) -> str:
+        # same key shift as lineitem so the orderkey FK joins stay valid
+        # across copies (new fact rows, same customers/priorities)
+        if i == 0:
+            return f"SELECT * FROM read_parquet('{SRC}/orders.parquet')"
+        return (
+            f"SELECT o_orderkey + {i * 100_000_000} AS o_orderkey,"
+            f" o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
+            f" o_orderpriority"
+            f" FROM read_parquet('{SRC}/orders.parquet')"
+        )
+
+    def part_select(i: int) -> str:
+        # vowel-rotated names: each copy's names form NEW edit-distance
+        # blocks (the entity-resolution blocking key — the trailing token —
+        # rotates with the name), so block COUNT grows linearly while block
+        # SIZE stays flat. That is the realistic growth shape (more records
+        # mostly add new names); a block that densifies instead is what the
+        # operator's max_block_names cap bounds.
+        if i == 0:
+            return f"SELECT * FROM read_parquet('{SRC}/part.parquet')"
+        rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        return (
+            f"SELECT p_partkey + {i * 10_000_000} AS p_partkey,"
+            f" translate(p_name, '{VOWELS}', '{rot}') AS p_name,"
+            f" p_brand, p_type, p_size, p_retailprice"
+            f" FROM read_parquet('{SRC}/part.parquet')"
+        )
+
     copy_union("documents", doc_select)
     copy_union("embeddings", emb_select)
     copy_union("lineitem", li_select)
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "events"]:
+    copy_union("orders", orders_select)
+    copy_union("part", part_select)
+    for t in ["region", "nation", "customer", "supplier", "events"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     con.close()
 
