@@ -973,3 +973,147 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def _minhash_expr(k: int, g) -> Column:
+    """k-th MinHash base hash of shingle column ``g``: md5-derived 60-bit
+    int, seeded by prefixing the permutation index — the same derivation
+    as WORD_HASH_SQL so signatures are bit-identical across engines."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{k}|"), g)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _minhash_sql(k: int, g: str) -> str:
+    return f"CAST(('0x' || substring(md5('{k}|' || {g}), 1, 15)) AS BIGINT)"
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """Deterministic MinHash + LSH banding with EXACT cross-engine
+    parity — the oracle-checkable twin of the Spark-ML tier
+    (minhash_lsh_pairs): each doc's signature is ``num_hashes`` md5-seeded
+    min-hashes over its distinct word-n-gram shingles; signatures split
+    into bands of ``band_size`` rows; two docs become a candidate pair iff
+    at least one full band matches (P[band match] = jaccard^band_size, the
+    standard S-curve). Because every hash is md5-derived (no engine RNG),
+    the SAME pairs and the SAME signature-agreement scores come out of
+    Spark and DuckDB — minhash_banded_pairs_sql builds the oracle.
+
+    Returns (id_a, id_b, n_shared_bands, sig_agreement) where
+    sig_agreement = fraction of equal signature components — the unbiased
+    MinHash estimate of the pair's true shingle Jaccard.
+
+    Physical shape at 100 TB: the signature is ONE partial-agg shuffle of
+    the shingle postings (num_hashes mins computed map-side per shingle,
+    combined per doc); banding explodes each doc to num_hashes/band_size
+    band rows; candidate generation groups by (band, band signature) —
+    collision buckets, postings-cap-able exactly like the shingle index
+    (left capless here: this form is the oracle-checked contract, the
+    Spark-ML tier with bucket caps is the documented scale path). The
+    agreement rerank joins full signatures only for candidate pairs.
+    """
+    if num_hashes % band_size != 0:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by band_size {band_size}")
+    n_bands = num_hashes // band_size
+    shingled = spread(df).select(
+        F.col(id_col),
+        F.explode(F.array(F.split(normalized_text(text_col), " "))).alias("_w"),
+    ).select(
+        id_col,
+        F.explode(F.array_distinct(_word_ngrams_col(F.col("_w"), n))).alias("_g"),
+    )
+    sig = shingled.groupBy(id_col).agg(
+        *[F.min(_minhash_expr(k, F.col("_g"))).alias(f"_h{k}") for k in range(num_hashes)]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("_band"),
+            F.concat_ws(
+                ",", *[F.col(f"_h{b * band_size + j}").cast("string") for j in range(band_size)]
+            ).alias("_bsig"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("_bs")
+    ).select(id_col, F.col("_bs._band").alias("_band"), F.col("_bs._bsig").alias("_bsig"))
+    cand = (
+        capped_pair_rows(bands, ["_band", "_bsig"], id_col, (), None)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"_h{k}").alias(f"_a{k}") for k in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"_h{k}").alias(f"_b{k}") for k in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"_a{k}") == F.col(f"_b{k}"), 1).otherwise(0) for k in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
+        )
+    )
+
+
+def minhash_banded_pairs_sql(
+    table: str,
+    id_col: str,
+    shingles_expr: str,
+    num_hashes: int = 12,
+    band_size: int = 3,
+) -> str:
+    """DuckDB oracle for minhash_banded_pairs: identical md5-seeded
+    min-hash signatures, banding, and agreement arithmetic."""
+    n_bands = num_hashes // band_size
+    mins = ",\n           ".join(
+        f"min({_minhash_sql(k, 'g')}) AS h{k}" for k in range(num_hashes)
+    )
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT {id}, {b} AS band, {sig} AS bsig FROM sig".format(
+            id=id_col,
+            b=b,
+            sig=" || ',' || ".join(
+                f"CAST(h{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+    WITH d AS (SELECT {id_col}, {shingles_expr} AS sh FROM {table}),
+    ex AS (SELECT {id_col}, unnest(sh) AS g FROM d),
+    sig AS (
+        SELECT {id_col},
+           {mins}
+        FROM ex GROUP BY {id_col}
+    ),
+    bands AS (
+    {band_rows}
+    ),
+    cand AS (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig
+           AND a.{id_col} < b.{id_col}
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared_bands,
+           round(CAST({agree} AS DOUBLE) / {num_hashes}, 6) AS sig_agreement
+    FROM cand
+    JOIN sig sa ON sa.{id_col} = id_a
+    JOIN sig sb ON sb.{id_col} = id_b
+    """

@@ -2284,3 +2284,22 @@ def t_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.source_overlap_matrix(
         table(spark, sf_dir, "documents"), "source", "text", n=3
     )
+
+
+@register(
+    "t_minhash_banded_pairs",
+    oracle=D.minhash_banded_pairs_sql("documents", "doc_id", _SHINGLES),
+    tags=("dedup", "minhash", "lsh"),
+)
+def t_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a cell-exact oracle: md5-seeded
+    min-hash signatures (12 hashes, 4 bands of 3) over 3-gram shingles;
+    candidate pairs share at least one full band, scored by signature
+    agreement (the MinHash Jaccard estimate). The deterministic twin of
+    the Spark-ML tier t_minhash_lsh_pairs — same S-curve semantics, but
+    every hash is engine-independent, so the driver checks the pairs AND
+    the scores value-for-value. See operators/dedup.minhash_banded_pairs
+    for the one-shuffle signature + banded-bucket shape."""
+    return D.minhash_banded_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )

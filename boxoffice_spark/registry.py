@@ -85,6 +85,7 @@ _PINNED = [
     # -- NEW round 5: leakage-safe splits + corpus sourcing report
     "t_cluster_safe_split",
     "t_source_overlap_matrix",
+    "t_minhash_banded_pairs",  # deterministic MinHash+banding, cell-exact
     # -- rows-only rotation: first driver rows for the approximate tier
     "t_minhash_lsh_pairs",
     "t_quality_classifier",

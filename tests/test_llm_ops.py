@@ -779,3 +779,33 @@ def test_source_overlap_matrix_self_consistency(spark, sf_dir):
         assert 0.0 < r["jaccard"] <= 1.0
     assert by_pair[("s1", "s2")]["jaccard"] == 1.0
     assert ("s1", "s3") in by_pair  # the single shared 'alpha beta gamma'
+
+
+def test_minhash_banded_pairs_semantics(spark):
+    """Exact duplicates share every band with agreement 1.0; disjoint
+    docs never pair; a heavy-overlap pair that survives banding carries
+    agreement between 0 and 1; bad band arithmetic raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.dedup import minhash_banded_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base + " with a small tail change"),     # near dup of 1/2
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_banded_pairs(df, "doc_id", "text", n=3).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in out}
+    assert by_pair[(1, 2)]["n_shared_bands"] == 4
+    assert by_pair[(1, 2)]["sig_agreement"] == 1.0
+    assert (1, 4) not in by_pair and (2, 4) not in by_pair and (3, 4) not in by_pair
+    for r in out:
+        assert 0.0 < r["sig_agreement"] <= 1.0
+        assert 1 <= r["n_shared_bands"] <= 4
+
+    with _pytest.raises(ValueError):
+        minhash_banded_pairs(df, "doc_id", "text", num_hashes=10, band_size=3)
