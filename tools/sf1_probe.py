@@ -87,6 +87,9 @@ HEAVY = [
     "e_cdc_apply",
     "g_triangle_census",
     "g_triangle_census_approx",
+    # deterministic MinHash banding: capless band buckets are the
+    # quadratic-risk shape (dup-group-bounded on real corpora)
+    "t_minhash_banded_pairs",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
