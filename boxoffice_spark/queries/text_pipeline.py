@@ -2303,3 +2303,65 @@ def t_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_banded_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3
     )
+
+
+_CURR_HASH_SQL = D.WORD_HASH_SQL.format(w="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "t_curriculum_phases",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, round({_QUALITY_EXPR_SQL}, 6) AS q FROM documents
+    ),
+    th AS (
+        SELECT round(quantile_cont(q, 0.25), 6) AS t1,
+               round(quantile_cont(q, 0.5), 6) AS t2,
+               round(quantile_cont(q, 0.75), 6) AS t3
+        FROM d
+    )
+    SELECT doc_id, q,
+           CASE WHEN q <= t1 THEN 1
+                WHEN q <= t2 THEN 2
+                WHEN q <= t3 THEN 3
+                ELSE 4 END AS phase,
+           {_CURR_HASH_SQL} AS shuffle_key
+    FROM d, th
+    """,
+    tags=("text", "curriculum", "ordering"),
+)
+def t_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum assignment: docs split into 4 training
+    phases by data-driven quality quartiles (phase 1 = noisiest quartile
+    first, phase 4 = cleanest last — the annealing order), plus a
+    deterministic md5 shuffle key for within-phase ordering. The training
+    order is then a WRITE-SORTED layout on (phase, shuffle_key)
+    (io.write_sorted), NOT a global rank window — a global row_number is
+    exactly the single-reducer anti-pattern the plan gate forbids at
+    100 TB. Thresholds come from one bounded one-row aggregate (exact
+    interpolated percentile — the sketch path substitutes past ~10^7
+    rows) broadcast back over the corpus; assignment is a zero-shuffle
+    projection, stable under corpus growth only via re-threshold (by
+    design: quartiles are corpus-relative)."""
+    from boxoffice_spark.operators.textstats import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    th = d.agg(
+        F.round(F.percentile("q", F.lit(0.25)), 6).alias("t1"),
+        F.round(F.percentile("q", F.lit(0.5)), 6).alias("t2"),
+        F.round(F.percentile("q", F.lit(0.75)), 6).alias("t3"),
+    )
+    return d.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "q",
+        F.when(F.col("q") <= F.col("t1"), 1)
+        .when(F.col("q") <= F.col("t2"), 2)
+        .when(F.col("q") <= F.col("t3"), 3)
+        .otherwise(4)
+        .alias("phase"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shuffle_key"),
+    )

@@ -86,6 +86,7 @@ _PINNED = [
     "t_cluster_safe_split",
     "t_source_overlap_matrix",
     "t_minhash_banded_pairs",  # deterministic MinHash+banding, cell-exact
+    "t_curriculum_phases",  # quality-annealed phase assignment
     # -- rows-only rotation: first driver rows for the approximate tier
     "t_minhash_lsh_pairs",
     "t_quality_classifier",
