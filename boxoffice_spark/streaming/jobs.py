@@ -734,6 +734,13 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not spark.catalog.tableExists(f"global_temp.{name}"):
+        # feed had no change rows at all: an empty dimension, not an error
+        return spark.createDataFrame(
+            [],
+            "user_id long, valid_from timestamp, valid_to timestamp, "
+            "is_current boolean, attr_value double",
+        )
     out = spark.table(f"global_temp.{name}").localCheckpoint()
     spark.catalog.dropGlobalTempView(name)
     return out
