@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _mg_candidates(tokens: DataFrame, term_col: str, capacity: int) -> DataFrame:
@@ -102,3 +102,86 @@ FROM toks, tot
 GROUP BY 1
 HAVING count(*) > any_value(tot.n) * {phi}
 """
+
+
+# --- KMV (k-minimum-values) distinct sketch -------------------------------
+#
+# The HLL rollup (a_hll_sketch_rollup) gives mergeable UNION cardinalities,
+# but HLL registers cannot answer INTERSECTION questions — set-overlap
+# between cohorts/partitions is exactly what a training-data pipeline asks
+# when it compares month-over-month assortments, cross-source audiences, or
+# shard overlap. KMV (Bar-Yossef et al. 2002; Beyer et al., "On synopses
+# for distinct-value estimation under multiset operations", SIGMOD 2007)
+# keeps the k smallest values of a uniform hash of each distinct element:
+#
+# - distinct estimate:  D ≈ (k-1) * M / h_(k)   (M = hash-space size)
+# - union sketch:       k smallest of S_a ∪ S_b  (exact k-min of A ∪ B)
+# - Jaccard estimate:   fraction of the union sketch present in BOTH
+#   member sketches; intersection ≈ jaccard * union-estimate.
+#
+# Every value is md5-derived (no engine RNG), so the whole estimator is
+# deterministic and cross-engine reproducible — the registered query
+# carries a cell-exact DuckDB oracle that mirrors the arithmetic, window
+# for window (the same property t_minhash_banded_pairs exploits).
+
+KMV_SPACE = float(16**15)  # 60-bit md5 prefix hash space (exact in double)
+
+
+def kmv_hash(col: Column) -> Column:
+    """Engine-portable 60-bit uniform hash: first 15 hex chars of
+    md5(string(v)). DuckDB twin: CAST(('0x' || substr(md5(CAST(v AS
+    VARCHAR)), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_kmin(
+    hashed: DataFrame, group_cols: list[str], h: str = "h", k: int = 64, n_salts: int = 16
+) -> DataFrame:
+    """Per-group k smallest DISTINCT hash values, two-phase so no single
+    reducer ever sorts a whole group.
+
+    Phase 1 partitions each group's hash set into ``n_salts`` deterministic
+    salt buckets (h % n_salts) and keeps each bucket's k smallest — parallel
+    bounded sorts. Phase 2 selects the k smallest of the surviving
+    k*n_salts rows per group. Selection composes exactly (the global k-min
+    is contained in the union of per-bucket k-mins), so the result is
+    bit-identical to a single global window — which is what the DuckDB
+    oracle runs — while the second window's input is bounded at
+    ``k * n_salts`` rows per group regardless of corpus size.
+
+    ``hashed`` must already be distinct on (group_cols, h).
+    """
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(*group_cols, "_salt").orderBy(h)
+    phase1 = (
+        hashed.withColumn("_salt", F.pmod(F.col(h), F.lit(n_salts)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(h)
+    return (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(n_col: Column, kth_col: Column, k: int) -> Column:
+    """KMV distinct estimate from (sketch row count, k-th minimum hash):
+    exact count when the group had fewer than k distinct hashes (the
+    sketch IS the set), else (k-1) * M / h_(k). All-double IEEE arithmetic
+    — deterministic and DuckDB-mirrorable."""
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kth_col.cast("double")
+    )
+
+
+def kmv_estimate_sql(n_expr: str, kth_expr: str, k: int) -> str:
+    """DuckDB twin of :func:`kmv_estimate`."""
+    return (
+        f"CASE WHEN {n_expr} < {k} THEN CAST({n_expr} AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) "
+        f"/ CAST({kth_expr} AS DOUBLE) END"
+    )

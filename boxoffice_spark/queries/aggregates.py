@@ -485,3 +485,204 @@ def a_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("o_total"),
         F.col("P").alias("p_total"),
     )
+
+
+def _kmv_est_sql(n: str, kth: str) -> str:
+    from boxoffice_spark.operators.sketch import kmv_estimate_sql
+
+    return kmv_estimate_sql(n, kth, 64)
+
+
+_KMV_ORACLE = f"""
+    WITH dv AS (
+        SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m, l_partkey AS p
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    ),
+    dh AS (
+        SELECT DISTINCT m,
+            CAST(('0x' || substr(md5(CAST(p AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM dv
+    ),
+    sk AS (
+        SELECT m, h FROM (
+            SELECT m, h, ROW_NUMBER() OVER (PARTITION BY m ORDER BY h) AS rn FROM dh
+        ) WHERE rn <= 64
+    ),
+    gs AS (SELECT m, count(*) AS n_s, max(h) AS h_k FROM sk GROUP BY 1),
+    ex AS (SELECT m, count(*) AS exact_n FROM dv GROUP BY 1),
+    prs AS (SELECT a.m AS ma, b.m AS mb FROM gs a JOIN gs b ON a.m < b.m),
+    mg AS (
+        SELECT DISTINCT ma, mb, h FROM (
+            SELECT p.ma, p.mb, s.h FROM prs p JOIN sk s ON s.m = p.ma
+            UNION ALL
+            SELECT p.ma, p.mb, s.h FROM prs p JOIN sk s ON s.m = p.mb
+        ) u
+    ),
+    us AS (
+        SELECT ma, mb, h FROM (
+            SELECT ma, mb, h,
+                ROW_NUMBER() OVER (PARTITION BY ma, mb ORDER BY h) AS rn
+            FROM mg
+        ) WHERE rn <= 64
+    ),
+    uf AS (
+        SELECT u.ma, u.mb, u.h,
+            CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+            CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+        FROM us u
+        LEFT JOIN sk sa ON sa.m = u.ma AND sa.h = u.h
+        LEFT JOIN sk sb ON sb.m = u.mb AND sb.h = u.h
+    ),
+    ust AS (
+        SELECT ma, mb, count(*) AS n_u, max(h) AS u_k,
+            CAST(sum(ia * ib) AS BIGINT) AS n_common
+        FROM uf GROUP BY 1, 2
+    ),
+    exi AS (
+        SELECT a.m AS ma, b.m AS mb, count(*) AS exact_common
+        FROM dv a JOIN dv b ON a.p = b.p AND a.m < b.m
+        GROUP BY 1, 2
+    )
+    SELECT p.ma AS month_a, p.mb AS month_b,
+        exa.exact_n AS exact_a, exb.exact_n AS exact_b,
+        coalesce(exi.exact_common, 0) AS exact_common,
+        round(CAST(coalesce(exi.exact_common, 0) AS DOUBLE)
+              / (exa.exact_n + exb.exact_n - coalesce(exi.exact_common, 0)),
+              6) AS exact_jaccard,
+        round({{est_a}}, 3) AS est_a,
+        round({{est_b}}, 3) AS est_b,
+        round({{est_u}}, 3) AS est_union,
+        round(CAST(u.n_common AS DOUBLE) / CAST(u.n_u AS DOUBLE), 6)
+            AS jaccard_est,
+        round(CAST(u.n_common AS DOUBLE) / CAST(u.n_u AS DOUBLE)
+              * ({{est_u}}), 3) AS est_common
+    FROM prs p
+    JOIN gs ga ON ga.m = p.ma
+    JOIN gs gb ON gb.m = p.mb
+    JOIN ex exa ON exa.m = p.ma
+    JOIN ex exb ON exb.m = p.mb
+    JOIN ust u ON u.ma = p.ma AND u.mb = p.mb
+    LEFT JOIN exi ON exi.ma = p.ma AND exi.mb = p.mb
+    ORDER BY 1, 2
+"""
+
+
+@register(
+    "a_kmv_overlap",
+    oracle=_KMV_ORACLE.format(
+        est_a=_kmv_est_sql("ga.n_s", "ga.h_k"),
+        est_b=_kmv_est_sql("gb.n_s", "gb.h_k"),
+        est_u=_kmv_est_sql("u.n_u", "u.u_k"),
+    ),
+    tags=("agg", "approx", "sketch", "overlap"),
+)
+def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-overlap sketch: month-over-month
+    assortment overlap of distinct parts shipped, for every 1997 month
+    pair — estimated distinct counts, union, Jaccard, and INTERSECTION
+    from 64-value sketches, with the exact twin columns alongside (the
+    a_approx_stats posture: the estimate and its audit in one frame).
+
+    HLL (a_hll_sketch_rollup) can only union; KMV sketches additionally
+    answer |A ∩ B| — the question behind cross-source audience overlap,
+    shard-dedup sizing, and month-over-month assortment churn. Because
+    the hash is md5-derived (operators/sketch.kmv_hash), every estimate
+    is deterministic and the DuckDB oracle mirrors the arithmetic
+    window-for-window — the sketch itself is driver-verified, not just
+    sanity-tested.
+
+    Scale: ONE distinct shuffle of (month, hash) then two-phase bounded
+    k-min selection (operators/sketch.kmv_kmin — no reducer ever sorts a
+    whole group); all G² pair estimates derive from G×k sketch rows. The
+    exact-twin columns (one self-join of the distinct sets) are the
+    audit at test SF — at 100 TB a deployment drops them and keeps the
+    sketch side, which never touches the fact table again."""
+    from boxoffice_spark.operators.sketch import kmv_estimate, kmv_hash, kmv_kmin
+
+    K = 64
+    li = table(spark, sf_dir, "lineitem")
+    dv = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+    )
+    dh = dv.select("m", kmv_hash(F.col("p")).alias("h")).distinct()
+    sk = kmv_kmin(dh, ["m"], "h", K)
+    gs = sk.groupBy("m").agg(F.count("*").alias("n_s"), F.max("h").alias("h_k"))
+    ex = dv.groupBy("m").agg(F.count("*").alias("exact_n"))
+
+    ga = gs.select(F.col("m").alias("ma"), "n_s", "h_k")
+    gb = gs.select(F.col("m").alias("mb"), F.col("n_s").alias("n_sb"), F.col("h_k").alias("h_kb"))
+    pairs = ga.select("ma").join(gb.select("mb"), F.col("ma") < F.col("mb"))
+
+    # union sketch: k smallest of S_a ∪ S_b per pair (input bounded 2k rows)
+    mg = (
+        pairs.join(sk, sk.m == F.col("ma"))
+        .select("ma", "mb", "h")
+        .unionAll(pairs.join(sk, sk.m == F.col("mb")).select("ma", "mb", "h"))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("ma", "mb").orderBy("h")
+    us = mg.withColumn("_rn", F.row_number().over(wu)).filter(F.col("_rn") <= K).drop("_rn")
+    sa = sk.select(F.col("m").alias("_sam"), F.col("h").alias("_sah"), F.lit(1).alias("_ia"))
+    sb = sk.select(F.col("m").alias("_sbm"), F.col("h").alias("_sbh"), F.lit(1).alias("_ib"))
+    uf = (
+        us.join(sa, (F.col("_sam") == F.col("ma")) & (F.col("_sah") == F.col("h")), "left")
+        .join(sb, (F.col("_sbm") == F.col("mb")) & (F.col("_sbh") == F.col("h")), "left")
+        .select("ma", "mb", "h", F.coalesce("_ia", F.lit(0)).alias("ia"), F.coalesce("_ib", F.lit(0)).alias("ib"))
+    )
+    ust = uf.groupBy("ma", "mb").agg(
+        F.count("*").alias("n_u"),
+        F.max("h").alias("u_k"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_common"),
+    )
+
+    da = dv.select(F.col("m").alias("ma"), "p")
+    db = dv.select(F.col("m").alias("mb"), "p")
+    exi = (
+        da.join(db, "p")
+        .filter(F.col("ma") < F.col("mb"))
+        .groupBy("ma", "mb")
+        .agg(F.count("*").alias("exact_common_raw"))
+    )
+
+    est_a = kmv_estimate(F.col("n_s"), F.col("h_k"), K)
+    est_b = kmv_estimate(F.col("n_sb"), F.col("h_kb"), K)
+    est_u = kmv_estimate(F.col("n_u"), F.col("u_k"), K)
+    jac = F.col("n_common").cast("double") / F.col("n_u").cast("double")
+    exc = F.coalesce(F.col("exact_common_raw"), F.lit(0).cast("long"))
+
+    return (
+        pairs.join(ga, "ma")
+        .join(gb, "mb")
+        .join(ex.select(F.col("m").alias("ma"), F.col("exact_n").alias("exact_a")), "ma")
+        .join(ex.select(F.col("m").alias("mb"), F.col("exact_n").alias("exact_b")), "mb")
+        .join(ust, ["ma", "mb"])
+        .join(exi, ["ma", "mb"], "left")
+        .select(
+            F.col("ma").alias("month_a"),
+            F.col("mb").alias("month_b"),
+            "exact_a",
+            "exact_b",
+            exc.alias("exact_common"),
+            F.round(
+                exc.cast("double") / (F.col("exact_a") + F.col("exact_b") - exc), 6
+            ).alias("exact_jaccard"),
+            F.round(est_a, 3).alias("est_a"),
+            F.round(est_b, 3).alias("est_b"),
+            F.round(est_u, 3).alias("est_union"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * est_u, 3).alias("est_common"),
+        )
+        .orderBy("month_a", "month_b")
+    )
