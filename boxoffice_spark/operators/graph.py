@@ -486,3 +486,82 @@ def triangle_count_doulion(
             "est_triangles"
         ),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_center_degree: int = 64,
+    k: int = 30,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected graph:
+    for every NON-adjacent pair with at least one common neighbor, the
+    common-neighbor count and the Resource-Allocation index
+    (Zhou/Lü/Zhang 2009: sum over common neighbors w of 1/deg(w) — the
+    down-weighted variant that beats raw CN on real graphs), top-``k``
+    pairs. ``edges`` must be canonical (src < dst, distinct).
+
+    RA instead of Adamic-Adar (1/ln deg) deliberately: 1/deg is a single
+    IEEE division — bit-identical across engines — while ln is libm-
+    dependent, so RA keeps the query cell-exact against the DuckDB
+    oracle with no rounding hedge.
+
+    Scale shape: wedge generation from a center node w emits deg(w)²
+    pairs — the same last-reducer blowup triangle_stats orients away.
+    Orientation doesn't apply here (a wedge must be counted at its
+    center, wherever that center ranks), so the bound is
+    ``max_center_degree``: hub centers are excluded from wedge
+    generation, which is also the right SEMANTIC call — a neighbor
+    shared via a hub carries RA weight 1/deg ≈ 0 and CN counts via hubs
+    are pure popularity noise (the reason AA/RA exist). The cap is
+    mirrored exactly in the oracle, so the checked path and the scale
+    path are the same plan. Total wedge rows ≤ cap × |edges at centers|.
+
+    Top-k is orderBy().limit() — TakeOrderedAndProject, per-partition
+    heaps, no global sort; the (cn, ra, u, v) sort key is a total order,
+    so the k-set is deterministic.
+    """
+    from boxoffice_spark.functions.caching import scoped_persist
+    from boxoffice_spark.functions.numeric import dsum
+
+    e = scoped_persist(
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")),
+        "link_prediction.e",
+    )
+    adj = e.select(F.col("_u").alias("_c"), F.col("_v").alias("_x")).unionAll(
+        e.select(F.col("_v").alias("_c"), F.col("_u").alias("_x"))
+    )
+    deg = adj.groupBy("_c").agg(F.count("*").alias("_d"))
+    centers = deg.filter(F.col("_d") <= max_center_degree)
+    adjc = adj.join(centers, "_c").select(
+        "_c", "_x", (F.lit(1.0) / F.col("_d")).alias("_inv")
+    )
+    a1 = adjc.select("_c", F.col("_x").alias("_pa"), "_inv")
+    a2 = adjc.select("_c", F.col("_x").alias("_pb"))
+    scores = (
+        a1.join(a2, "_c")
+        .filter(F.col("_pa") < F.col("_pb"))
+        .groupBy("_pa", "_pb")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(dsum(F.col("_inv"), 18), 12).alias("ra_score"),
+        )
+    )
+    non_adjacent = scores.join(
+        e,
+        (scores._pa == e._u) & (scores._pb == e._v),
+        "left_anti",
+    )
+    return (
+        non_adjacent.select(
+            F.col("_pa").alias("node_a"),
+            F.col("_pb").alias("node_b"),
+            "common_neighbors",
+            "ra_score",
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("ra_score"), "node_a", "node_b"
+        )
+        .limit(k)
+    )

@@ -181,3 +181,62 @@ def g_triangle_census_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count_doulion(edges, p=0.25)
+
+
+_LINKPRED_ORACLE = f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    adj AS (SELECT u AS c, v AS x FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+    ctr AS (SELECT c, d FROM deg WHERE d <= 64),
+    ax AS (SELECT a.c, a.x, CAST(1 AS DOUBLE) / ctr.d AS inv
+           FROM adj a JOIN ctr ON ctr.c = a.c),
+    wp AS (SELECT a1.x AS pa, a2.x AS pb, a1.inv
+           FROM ax a1 JOIN ax a2 ON a1.c = a2.c AND a1.x < a2.x),
+    sc AS (SELECT pa, pb, count(*) AS common_neighbors,
+                  round({dsum_sql('inv', 18)}, 12) AS ra_score
+           FROM wp GROUP BY 1, 2),
+    ne AS (SELECT * FROM sc WHERE NOT EXISTS (
+               SELECT 1 FROM e WHERE e.u = sc.pa AND e.v = sc.pb))
+    SELECT pa AS node_a, pb AS node_b, common_neighbors, ra_score
+    FROM ne
+    ORDER BY common_neighbors DESC, ra_score DESC, pa, pb
+    LIMIT 30
+"""
+
+
+@register(
+    "g_link_prediction",
+    oracle=_LINKPRED_ORACLE,
+    bench=True,
+    tags=("graph", "link-prediction"),
+)
+def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: the top-30
+    non-adjacent part pairs by common-neighbor count with the
+    Resource-Allocation index (Zhou/Lü/Zhang 2009) as tiebreak — the
+    "these two products are never bought together but share the most
+    co-purchase context" recommender/completion view, and on a crawl
+    graph the missing-link suggester. operators/graph.
+    link_prediction_scores: wedge generation is bounded by the
+    max-center-degree cap (= 64, mirrored in the oracle — hub-mediated
+    neighbors are popularity noise by the RA argument, so the checked
+    path IS the scale path), scores are decimal-summed IEEE-exact, and
+    top-30 plans as TakeOrderedAndProject over a total-order sort key."""
+    from boxoffice_spark.operators.graph import link_prediction_scores
+
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return link_prediction_scores(edges, "u", "v", max_center_degree=64, k=30)
