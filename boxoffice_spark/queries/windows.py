@@ -545,3 +545,128 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "w_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev_dec
+        FROM orders GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT status, day, rev_dec, CAST(rev_dec AS DOUBLE) AS rev_d,
+               CAST(CAST(rev_dec AS DOUBLE) * CAST(rev_dec AS DOUBLE)
+                    AS DECIMAL(38,4)) AS rev2_dec
+        FROM daily
+    ),
+    win AS (
+        SELECT status, day, rev_d,
+            CAST(sum(rev_dec) OVER w AS DOUBLE) AS s1,
+            CAST(sum(rev2_dec) OVER w AS DOUBLE) AS s2,
+            count(*) OVER w AS n_obs
+        FROM base
+        WINDOW w AS (PARTITION BY status ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT status, day, rev_d, n_obs,
+            s1 / n_obs AS mean_raw,
+            CASE WHEN n_obs >= 2 THEN
+                sqrt(greatest((s2 - s1 * s1 / n_obs) / (n_obs - 1),
+                              CAST(0 AS DOUBLE)))
+            END AS std_raw
+        FROM win
+    )
+    SELECT status, day, round(rev_d, 2) AS revenue,
+        CAST(n_obs AS BIGINT) AS n_obs,
+        round(mean_raw, 6) AS mean_7d,
+        round(std_raw, 6) AS std_7d,
+        round(CASE WHEN std_raw > 0 THEN (rev_d - mean_raw) / std_raw END, 6)
+            AS zscore,
+        coalesce(CASE WHEN std_raw > 0
+                      THEN abs((rev_d - mean_raw) / std_raw) > 2.5 END,
+                 FALSE) AS is_anomaly
+    FROM scored
+    ORDER BY status, day
+    """,
+    tags=("window", "timeseries", "anomaly"),
+)
+def w_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags on daily revenue per order
+    status: each day scored against the mean/std of its previous seven
+    days, |z| > 2.5 flagged — the ops-monitoring gate that catches a feed
+    double-posting or dropping a day (the EWMA query smooths; this one
+    alarms).
+
+    Determinism is the whole trick: a windowed stddev over doubles is
+    accumulation-order-dependent, so mean and variance are derived from
+    DECIMAL window sums (sum and sum-of-squares, exact, order-free) cast
+    to double only for the final IEEE divisions/sqrt — bit-identical in
+    both engines, hence a cell-exact oracle (the same posture as
+    functions/numeric.dsum, extended to second moments).
+
+    Scale: one shuffle to the per-(status, day) aggregate, then windows
+    over the post-aggregation frame (≤ days × statuses rows — bounded,
+    partitioned by status, never the fact table)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev_dec"))
+    base = daily.select(
+        "status",
+        "day",
+        "rev_dec",
+        F.col("rev_dec").cast("double").alias("rev_d"),
+    ).withColumn(
+        "rev2_dec", (F.col("rev_d") * F.col("rev_d")).cast("decimal(38,4)")
+    )
+    w = W.partitionBy("status").orderBy("day").rowsBetween(-7, -1)
+    win = base.select(
+        "status",
+        "day",
+        "rev_d",
+        F.sum("rev_dec").over(w).cast("double").alias("s1"),
+        F.sum("rev2_dec").over(w).cast("double").alias("s2"),
+        F.count("*").over(w).alias("n_obs"),
+    )
+    mean_raw = F.col("s1") / F.col("n_obs")
+    std_raw = F.when(
+        F.col("n_obs") >= 2,
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_obs"))
+                / (F.col("n_obs") - 1),
+                F.lit(0.0),
+            )
+        ),
+    )
+    scored = win.select(
+        "status",
+        "day",
+        "rev_d",
+        "n_obs",
+        mean_raw.alias("mean_raw"),
+        std_raw.alias("std_raw"),
+    )
+    z = F.when(
+        F.col("std_raw") > 0, (F.col("rev_d") - F.col("mean_raw")) / F.col("std_raw")
+    )
+    return scored.select(
+        "status",
+        "day",
+        F.round("rev_d", 2).alias("revenue"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("mean_raw", 6).alias("mean_7d"),
+        F.round("std_raw", 6).alias("std_7d"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(
+            F.when(
+                F.col("std_raw") > 0,
+                F.abs((F.col("rev_d") - F.col("mean_raw")) / F.col("std_raw")) > 2.5,
+            ),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    ).orderBy("status", "day")
