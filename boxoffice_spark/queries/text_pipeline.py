@@ -2365,3 +2365,94 @@ def t_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_key"),
     )
+
+
+@register(
+    "t_dedup_recall_report",
+    oracle=None,
+    tags=("dedup", "approx", "qa"),
+)
+def t_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier recall scorecard — the text-side twin of
+    v_ann_recall_report: precision/recall/F1 of each APPROXIMATE
+    near-dup tier against exact word-3-gram Jaccard ground truth, at three
+    truth thresholds (τ=0.3, 0.5, 0.8). This is the number a deployment
+    watches when re-tuning bands/hashes — e.g. 4 bands of 3 gives
+    P[candidate] = 1-(1-j³)⁴ ≈ 0.41 at j=0.5 but ≈ 0.94 at j=0.8, and
+    this report is where that S-curve stops being theory.
+
+    Tiers scored: t_minhash_banded_pairs' deterministic md5 banding (raw
+    candidates, no rerank — measures the banding curve itself),
+    t_minhash_lsh_pairs' xxhash64 banding + exact-Jaccard rerank ≥ 0.5
+    (per-tier precision vs τ=0.5 truth is exactly 1.0 by construction —
+    a built-in positive control for the report's own join logic), and
+    simhash_hamming_pairs (Hamming ≤ 3 — a NEAR-EXACT tier: its recall
+    against j≥0.5 truth is structurally low and that is the point of
+    showing it next to the MinHash rows).
+
+    Rows-only by design (the Spark-ML tier's xxhash64 has no SQL twin);
+    determinism and internal consistency are pinned in
+    tests/test_llm_ops.py. Scale: truth is the capless exact tier — the
+    audit runs on a bounded QA corpus (here the whole sf table), never
+    the production corpus; every tier's own scale posture is unchanged."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    docs = table(spark, sf_dir, "documents")
+    truth = scoped_persist(
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", block_cols=[], n=3, threshold=0.3,
+            max_postings=None,
+        ).select("id_a", "id_b", "jaccard"),
+        "dedup_recall.truth",
+    )
+    tiers = {
+        "minhash_banded": D.minhash_banded_pairs(docs, "doc_id", "text"),
+        "minhash_lsh": D.minhash_lsh_pairs(docs, "doc_id", "text"),
+        "simhash_hamming": D.simhash_hamming_pairs(docs, "doc_id", "text"),
+    }
+    reports = []
+    for tier_name, cand_df in tiers.items():
+        cand = scoped_persist(
+            cand_df.select("id_a", "id_b"), f"dedup_recall.{tier_name}"
+        )
+        n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        for tau in (0.3, 0.5, 0.8):
+            truth_t = truth.filter(F.col("jaccard") >= tau)
+            n_truth = truth_t.agg(F.count("*").cast("long").alias("n_truth"))
+            tp = cand.join(truth_t, ["id_a", "id_b"]).agg(
+                F.count("*").cast("long").alias("true_positives")
+            )
+            reports.append(
+                n_cand.crossJoin(F.broadcast(n_truth))
+                .crossJoin(F.broadcast(tp))
+                .select(
+                    F.lit(tier_name).alias("tier"),
+                    F.lit(tau).alias("tau"),
+                    "n_truth",
+                    "n_candidates",
+                    "true_positives",
+                    F.round(
+                        F.when(
+                            F.col("n_candidates") > 0,
+                            F.col("true_positives") / F.col("n_candidates"),
+                        ).otherwise(F.lit(None)),
+                        6,
+                    ).alias("precision"),
+                    F.round(
+                        F.when(
+                            F.col("n_truth") > 0,
+                            F.col("true_positives") / F.col("n_truth"),
+                        ).otherwise(F.lit(None)),
+                        6,
+                    ).alias("recall"),
+                )
+            )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    )
+    return out.withColumn("f1", F.round(f1, 6)).orderBy("tier", "tau")

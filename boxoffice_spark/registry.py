@@ -87,6 +87,11 @@ _PINNED = [
     "t_source_overlap_matrix",
     "t_minhash_banded_pairs",  # deterministic MinHash+banding, cell-exact
     "t_curriculum_phases",  # quality-annealed phase assignment
+    # -- NEW round 5 batch 2: overlap sketch, link prediction, anomaly gate
+    "a_kmv_overlap",  # KMV distinct/union/INTERSECTION sketch, cell-exact
+    "g_link_prediction",  # CN + Resource-Allocation top-k, cell-exact
+    "w_anomaly_zscore",  # decimal-deterministic rolling z-score flags
+    "t_dedup_recall_report",  # rows-only: tier recall scorecard
     # -- rows-only rotation: first driver rows for the approximate tier
     "t_minhash_lsh_pairs",
     "t_quality_classifier",

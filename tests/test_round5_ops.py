@@ -1,0 +1,182 @@
+"""Round-5 batch operators: KMV overlap sketch, link prediction,
+z-score anomaly flags, and the dedup recall scorecard.
+
+The registry-wide oracle test (test_queries_oracle.py) checks the
+oracle-backed forms cell-for-cell; these tests pin the operator-level
+contracts a row hash can't see: selection exactness, estimator accuracy,
+salt-phase invariance, hand-graph scores, and report invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from boxoffice_spark.operators.sketch import (
+    KMV_SPACE,
+    kmv_estimate,
+    kmv_hash,
+    kmv_kmin,
+)
+
+
+def _hashed(spark, groups):
+    """(group, value) rows -> distinct (m, h) frame via kmv_hash."""
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "m string, p long")
+    return df.select("m", kmv_hash(F.col("p")).alias("h")).distinct()
+
+
+class TestKmvKmin:
+    def test_matches_brute_force_k_smallest(self, spark):
+        dh = _hashed(spark, {"a": range(500), "b": range(400, 900)})
+        got = {
+            (r.m, r.h) for r in kmv_kmin(dh, ["m"], "h", k=32).collect()
+        }
+        rows = dh.collect()
+        want = set()
+        for g in ("a", "b"):
+            hs = sorted(r.h for r in rows if r.m == g)[:32]
+            want |= {(g, h) for h in hs}
+        assert got == want
+
+    def test_salt_phase_invariance(self, spark):
+        dh = _hashed(spark, {"a": range(1000)})
+        one = sorted(r.h for r in kmv_kmin(dh, ["m"], "h", k=64, n_salts=1).collect())
+        many = sorted(r.h for r in kmv_kmin(dh, ["m"], "h", k=64, n_salts=16).collect())
+        assert one == many
+
+    def test_small_group_kept_whole(self, spark):
+        dh = _hashed(spark, {"a": range(10)})
+        assert kmv_kmin(dh, ["m"], "h", k=64).count() == 10
+
+    def test_estimate_accuracy(self, spark):
+        n, k = 5000, 64
+        dh = _hashed(spark, {"a": range(n)})
+        sk = kmv_kmin(dh, ["m"], "h", k=k)
+        row = (
+            sk.groupBy("m")
+            .agg(F.count("*").alias("n_s"), F.max("h").alias("h_k"))
+            .select(kmv_estimate(F.col("n_s"), F.col("h_k"), k).alias("est"))
+            .collect()[0]
+        )
+        # KMV rse ~ 1/sqrt(k-1) ~ 12.6%; allow 3 sigma
+        assert abs(row.est - n) / n < 0.38, row.est
+
+    def test_estimate_exact_below_k(self, spark):
+        dh = _hashed(spark, {"a": range(40)})
+        sk = kmv_kmin(dh, ["m"], "h", k=64)
+        row = (
+            sk.groupBy("m")
+            .agg(F.count("*").alias("n_s"), F.max("h").alias("h_k"))
+            .select(kmv_estimate(F.col("n_s"), F.col("h_k"), 64).alias("est"))
+            .collect()[0]
+        )
+        assert row.est == 40.0
+
+    def test_hash_range_is_60_bit(self, spark):
+        hs = [r.h for r in _hashed(spark, {"a": range(200)}).collect()]
+        assert all(0 <= h < int(KMV_SPACE) for h in hs)
+
+
+class TestLinkPrediction:
+    def _scores(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, "u long, v long")
+        from boxoffice_spark.operators.graph import link_prediction_scores
+
+        return {
+            (r.node_a, r.node_b): (r.common_neighbors, r.ra_score)
+            for r in link_prediction_scores(df, "u", "v", **kw).collect()
+        }
+
+    def test_path_graph(self, spark):
+        # 1-2-3: only non-adjacent pair (1,3), common neighbor 2 (deg 2)
+        got = self._scores(spark, [(1, 2), (2, 3)])
+        assert got == {(1, 3): (1, 0.5)}
+
+    def test_square_graph(self, spark):
+        # cycle 1-2-3-4: diagonals (1,3) and (2,4), each two deg-2 centers
+        got = self._scores(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+    def test_adjacent_pairs_excluded(self, spark):
+        # triangle: every pair adjacent -> no predictions
+        assert self._scores(spark, [(1, 2), (2, 3), (1, 3)]) == {}
+
+    def test_hub_center_capped(self, spark):
+        # star: hub 0 joined to 1..5; cap 4 < deg(0)=5 excludes the hub,
+        # so leaf pairs get NO common-neighbor evidence
+        star = [(0, i) for i in range(1, 6)]
+        assert self._scores(spark, star, max_center_degree=4) == {}
+        # with the cap above the hub degree the 10 leaf pairs all appear
+        got = self._scores(spark, star, max_center_degree=5)
+        assert len(got) == 10
+        assert got[(1, 2)] == (1, 0.2)
+
+    def test_top_k_bound(self, spark):
+        star = [(0, i) for i in range(1, 8)]
+        got = self._scores(spark, star, max_center_degree=10, k=3)
+        assert len(got) == 3
+
+
+class TestAnomalyZscore:
+    def test_flags_consistent_with_z(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        df = load_all()["w_anomaly_zscore"].fn(spark, sf_dir)
+        rows = df.collect()
+        assert rows, "empty result"
+        for r in rows:
+            if r.zscore is None:
+                assert not r.is_anomaly
+            else:
+                assert r.is_anomaly == (abs(r.zscore) > 2.5)
+            if r.n_obs >= 2 and r.std_7d is not None:
+                assert r.std_7d >= 0.0
+            if r.n_obs == 0:
+                assert r.mean_7d is None
+
+
+class TestDedupRecallReport:
+    @pytest.fixture(scope="class")
+    def report(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        df = load_all()["t_dedup_recall_report"].fn(spark, sf_dir)
+        return {(r.tier, r.tau): r for r in df.collect()}
+
+    def test_shape(self, report):
+        assert set(report) == {
+            (t, tau)
+            for t in ("minhash_banded", "minhash_lsh", "simhash_hamming")
+            for tau in (0.3, 0.5, 0.8)
+        }
+
+    def test_counting_invariants(self, report):
+        for r in report.values():
+            assert 0 <= r.true_positives <= min(r.n_truth, r.n_candidates)
+            for v in (r.precision, r.recall):
+                if v is not None:
+                    assert 0.0 <= v <= 1.0
+
+    def test_truth_shrinks_with_tau(self, report):
+        for t in ("minhash_banded", "minhash_lsh", "simhash_hamming"):
+            assert (
+                report[(t, 0.3)].n_truth
+                >= report[(t, 0.5)].n_truth
+                >= report[(t, 0.8)].n_truth
+            )
+
+    def test_lsh_rerank_precision_is_one(self, report):
+        # minhash_lsh candidates pass an EXACT jaccard >= 0.5 rerank over
+        # the same shingle definition as the truth set, and the truth set
+        # is capless -> every candidate is a tau=0.5 truth pair. A value
+        # below 1.0 means the report's join logic broke.
+        r = report[("minhash_lsh", 0.5)]
+        if r.n_candidates > 0:
+            assert r.precision == 1.0
+
+    def test_candidate_counts_constant_across_tau(self, report):
+        for t in ("minhash_banded", "minhash_lsh", "simhash_hamming"):
+            ns = {report[(t, tau)].n_candidates for tau in (0.3, 0.5, 0.8)}
+            assert len(ns) == 1
