@@ -138,3 +138,15 @@ def s_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_scd2_maintenance
 
     return stream_scd2_maintenance(spark, sf_dir)
+
+
+@register("s_stream_kmv_merge", oracle=None, tags=("streaming", "sketch"))
+def s_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketch maintenance: per-event-type k-min distinct
+    sketches merged across micro-batches (streaming/jobs.
+    stream_kmv_sketch_merge). k-min merge is associative/commutative/
+    idempotent, so the drained sketch equals the batch sketch EXACTLY
+    for any file split — asserted in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_kmv_sketch_merge
+
+    return stream_kmv_sketch_merge(spark, sf_dir)

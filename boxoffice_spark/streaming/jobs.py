@@ -744,3 +744,72 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(f"global_temp.{name}").localCheckpoint()
     spark.catalog.dropGlobalTempView(name)
     return out
+
+
+def stream_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of per-event-type KMV distinct sketches —
+    the incremental twin of the a_kmv_overlap estimator
+    (operators/sketch): each micro-batch's distinct (type, element)
+    hashes are unioned into a standing k-min sketch table and re-selected
+    down to k rows per group inside ``foreachBatch``.
+
+    The merge needs NO ordering contract at all — k-min selection is
+    associative, commutative and idempotent (the k smallest of a union
+    don't care how the union arrived, and re-seeing an element is a
+    distinct-set no-op), so the standing sketch after the availableNow
+    drain equals the batch-computed sketch EXACTLY for ANY file split or
+    arrival order — the strongest stream==batch contract in this module
+    (asserted in tests/test_streaming.py, single- and multi-batch).
+    Contrast the SCD2 merge above, which is only split-invariant for
+    time-ordered feeds.
+
+    The element here is (user_id, activity day) so per-type distinct
+    counts exceed k and the estimator actually estimates; state is
+    O(groups × k) rows — independent of stream length — and the distinct
+    estimate is read off the standing table whenever asked, never by
+    rescanning history. On a cluster the same merge writes a keyed
+    sketch table; mergeability is what makes the sketch a table you can
+    UNION tomorrow's partition into."""
+    from boxoffice_spark.operators.sketch import kmv_estimate, kmv_hash, kmv_kmin
+
+    k = 64
+    raw = _events_stream(spark, sf_dir, glob="events*.parquet", max_files=1)
+    name = "s_kmv_" + uuid.uuid4().hex[:12]
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        upd = batch.select(
+            F.col("event_type"),
+            kmv_hash(
+                F.concat_ws(":", F.col("user_id"), F.to_date("ts"))
+            ).alias("h"),
+        ).distinct()
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            upd = s.table(f"global_temp.{name}").unionByName(upd).distinct()
+        kmv_kmin(upd, ["event_type"], "h", k).localCheckpoint(
+        ).createOrReplaceGlobalTempView(name)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sk = spark.table(f"global_temp.{name}")
+    out = (
+        sk.groupBy("event_type")
+        .agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth_hash"))
+        .select(
+            "event_type",
+            "n_sketch",
+            "kth_hash",
+            F.round(
+                kmv_estimate(F.col("n_sketch"), F.col("kth_hash"), k), 3
+            ).alias("est_distinct"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint()
+    )
+    spark.catalog.dropGlobalTempView(name)
+    return out

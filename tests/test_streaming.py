@@ -492,3 +492,68 @@ def test_stream_scd2_multi_batch_time_ordered_split(spark, sf_dir, tmp_path):
         map(tuple, e_scd2_history(spark, str(full_dir)).select(*cols).collect())
     )
     assert got == want and len(got) > 0
+
+
+def _batch_kmv(ev):
+    """Batch twin of stream_kmv_sketch_merge: same element, same k."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.sketch import kmv_estimate, kmv_hash, kmv_kmin
+
+    dh = ev.select(
+        F.col("event_type"),
+        kmv_hash(F.concat_ws(":", F.col("user_id"), F.to_date("ts"))).alias("h"),
+    ).distinct()
+    sk = kmv_kmin(dh, ["event_type"], "h", 64)
+    return (
+        sk.groupBy("event_type")
+        .agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth_hash"))
+        .select(
+            "event_type",
+            "n_sketch",
+            "kth_hash",
+            F.round(kmv_estimate(F.col("n_sketch"), F.col("kth_hash"), 64), 3).alias(
+                "est_distinct"
+            ),
+        )
+    )
+
+
+def test_stream_kmv_merge_equals_batch(spark, sf_dir):
+    """Drained standing sketch == batch-computed sketch, cell for cell
+    (k-min merge is order-free, so equality is exact, not approximate)."""
+    from boxoffice_spark.streaming.jobs import stream_kmv_sketch_merge
+
+    from boxoffice_spark.tables import table
+
+    got = sorted(map(tuple, stream_kmv_sketch_merge(spark, sf_dir).collect()))
+    want = sorted(map(tuple, _batch_kmv(table(spark, sf_dir, "events")).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_kmv_merge_multi_batch_any_split(spark, sf_dir, tmp_path):
+    """Interleaved odd/even split -> two micro-batches whose groups and
+    elements straddle the split arbitrarily; the merged sketch must STILL
+    equal the batch sketch exactly — k-min merge needs no ordering
+    contract (associative + commutative + idempotent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.streaming.jobs import stream_kmv_sketch_merge
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = pa.array(range(t.num_rows))
+    even = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 0))
+    odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
+    pq.write_table(even, str(tmp_path / "events.parquet"))
+    pq.write_table(odd, str(tmp_path / "events_2.parquet"))
+
+    got = sorted(map(tuple, stream_kmv_sketch_merge(spark, str(tmp_path)).collect()))
+    full = spark.read.option("pathGlobFilter", "events*.parquet").parquet(str(tmp_path))
+    from pyspark.sql import functions as F, types as T
+
+    if isinstance(full.schema["ts"].dataType, T.LongType):
+        full = full.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    want = sorted(map(tuple, _batch_kmv(full).collect()))
+    assert got == want and len(got) > 0
