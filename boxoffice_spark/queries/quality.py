@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from boxoffice_spark.operators.quality import check_constraints, check_unique
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import table
+from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
 
 
 @register(
@@ -580,4 +580,53 @@ def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("n_obs") / F.col("_n") - benford_p), 6).alias("abs_dev"),
         )
         .orderBy("digit")
+    )
+
+
+@register(
+    "dq_freshness_sla",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    per_type AS (
+        SELECT event_type, count(*) AS n_events, max(ts) AS last_ts
+        FROM ev GROUP BY 1
+    ),
+    gmax AS (SELECT max(last_ts) AS corpus_max FROM per_type)
+    SELECT event_type, n_events, last_ts,
+        round(CAST(epoch_us(corpus_max) - epoch_us(last_ts) AS DOUBLE)
+              / 3600000000.0, 6) AS hours_behind,
+        (epoch_us(corpus_max) - epoch_us(last_ts)) > 24 * 3600000000
+            AS sla_breach
+    FROM per_type, gmax
+    ORDER BY event_type
+    """,
+    tags=("quality", "freshness"),
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness SLA gate: per event type, the last event time and
+    how many hours it trails the most recent event in the whole log,
+    with a 24 h breach flag — the 'which feed went quiet' monitor that
+    catches a silent upstream stall before the drift/completeness gates
+    can see a distribution change (a dead feed drifts nothing — it just
+    stops).
+
+    One scan to a per-type (count, max) aggregate; the corpus max is a
+    one-row broadcast back onto it. Lag arithmetic runs on microsecond
+    integers (exact) with one IEEE division at the end — cell-exact."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    glob = per_type.agg(F.max("last_ts").alias("corpus_max"))
+    lag_us = F.unix_micros(F.col("corpus_max")) - F.unix_micros(F.col("last_ts"))
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_events",
+            "last_ts",
+            F.round(lag_us.cast("double") / 3600000000.0, 6).alias("hours_behind"),
+            (lag_us > 24 * 3600000000).alias("sla_breach"),
+        )
+        .orderBy("event_type")
     )

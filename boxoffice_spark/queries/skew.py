@@ -101,3 +101,80 @@ def k_group_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
         salt=16,
     )
+
+
+@register(
+    "k_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    top AS (SELECT k AS top_key FROM counts ORDER BY cnt DESC, k LIMIT 1),
+    agg AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               count(*) AS n_keys,
+               max(cnt) AS max_per_key,
+               round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
+               round(quantile_cont(cnt, 0.9), 6) AS p90_per_key,
+               round(quantile_cont(cnt, 0.99), 6) AS p99_per_key
+        FROM counts
+    )
+    SELECT n_rows, n_keys,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_per_key,
+           p50_per_key, p90_per_key, p99_per_key, max_per_key,
+           round(CAST(max_per_key AS DOUBLE) * n_keys / n_rows, 6)
+               AS skew_ratio,
+           top.top_key,
+           round(CAST(max_per_key AS DOUBLE) / n_rows, 6) AS top_share
+    FROM agg, top
+    """,
+    tags=("skew", "diagnostic"),
+)
+def k_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight diagnostic on the lineitem join key: row/key
+    totals, per-key count quantiles, the heaviest key and its share, and
+    skew_ratio = max/avg — the report a pipeline reads BEFORE choosing
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (k_salted_join is the treatment; this is the diagnosis).
+
+    One shuffle to per-key counts; everything after runs on the |keys|
+    aggregate. The exact percentiles are sort-based over that aggregate —
+    at 100 TB swap approx_percentile in (the dq_numeric_drift note) and
+    nothing else changes. Top-key selection is orderBy().limit(1) —
+    TakeOrderedAndProject with a total-order key, broadcast back onto
+    the one-row report."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(1)
+        .select(F.col("k").alias("top_key"))
+    )
+    agg = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_per_key"),
+        F.round(F.percentile("cnt", F.lit(0.9)), 6).alias("p90_per_key"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_per_key"),
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+            "avg_per_key"
+        ),
+        "p50_per_key",
+        "p90_per_key",
+        "p99_per_key",
+        "max_per_key",
+        F.round(
+            F.col("max_per_key").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_ratio"),
+        "top_key",
+        F.round(F.col("max_per_key").cast("double") / F.col("n_rows"), 6).alias(
+            "top_share"
+        ),
+    )
