@@ -2456,3 +2456,75 @@ def t_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("precision") + F.col("recall")),
     )
     return out.withColumn("f1", F.round(f1, 6)).orderBy("tier", "tau")
+
+
+@register(
+    "t_sequence_packing_ffd",
+    oracle=None,
+    tags=("text", "packing", "tokens", "pandas-op"),
+)
+def t_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing — the bin-quality
+    complement to t_sequence_packing's contiguous fill: within each
+    (lang, shard) group, docs are placed largest-first into the first
+    bin with room (Johnson's FFD, the classic 11/9·OPT+1 guarantee), so
+    no multi-doc bin ever exceeds the 2048-token budget and fill rates
+    cluster near 1.0 — what a loader wants when overflow means
+    truncation rather than spill-over. A doc longer than the budget
+    still gets its own (overflow) bin.
+
+    The greedy first-fit loop is inherently sequential per shard — not
+    SQL-expressible — so it runs as ONE applyInPandas group per
+    (lang, shard): Arrow-batched, state = the group's open-bin table,
+    embarrassingly parallel across shards exactly like the contiguous
+    packer (the shard key IS the parallelism unit; adding shards never
+    reassigns existing bins). Rows-only; determinism, budget, token
+    conservation, and repartition invariance pinned in
+    tests/test_round5_ops.py."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        TS.bpe_ish_token_count("text").alias("n_tok"),
+    )
+    budget = 2048
+
+    def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lang, shard = key
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[tuple[int, int]] = []  # (remaining, n_docs) per bin id
+        assign: dict[int, tuple[int, int]] = {}  # bin -> (n_docs, tokens)
+        remaining: list[int] = []
+        for _, row in pdf.iterrows():
+            tok = int(row.n_tok)
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if rem >= tok:
+                    placed = i
+                    break
+            if placed < 0:
+                placed = len(remaining)
+                remaining.append(budget)
+            remaining[placed] -= tok
+            n, t = assign.get(placed, (0, 0))
+            assign[placed] = (n + 1, t + tok)
+        return pd.DataFrame(
+            {
+                "lang": [lang] * len(assign),
+                "shard": [shard] * len(assign),
+                "bin_id": list(assign.keys()),
+                "n_docs": [v[0] for v in assign.values()],
+                "tokens": [v[1] for v in assign.values()],
+                "fill_rate": [round(v[1] / budget, 6) for v in assign.values()],
+            }
+        )
+
+    return d.groupBy("lang", "shard").applyInPandas(
+        pack,
+        schema="lang string, shard long, bin_id long, n_docs long, "
+        "tokens long, fill_rate double",
+    )

@@ -180,3 +180,58 @@ class TestDedupRecallReport:
         for t in ("minhash_banded", "minhash_lsh", "simhash_hamming"):
             ns = {report[(t, tau)].n_candidates for tau in (0.3, 0.5, 0.8)}
             assert len(ns) == 1
+
+
+class TestFfdPacking:
+    @pytest.fixture(scope="class")
+    def packed(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        return load_all()["t_sequence_packing_ffd"].fn(spark, sf_dir).collect()
+
+    def test_budget_respected_for_multi_doc_bins(self, packed):
+        for r in packed:
+            if r.n_docs > 1:
+                assert r.tokens <= 2048, r
+
+    def test_tokens_conserved(self, spark, sf_dir, packed):
+        from boxoffice_spark.operators.textstats import bpe_ish_token_count
+        from boxoffice_spark.tables import table
+
+        total = (
+            table(spark, sf_dir, "documents")
+            .select(bpe_ish_token_count("text").alias("t"))
+            .agg(F.sum("t"))
+            .collect()[0][0]
+        )
+        assert sum(r.tokens for r in packed) == total
+
+    def test_bin_count_bounds(self, packed):
+        # per group: bins >= ceil(total/budget) (volume lower bound) and
+        # bins <= n_docs (each doc alone is the worst case)
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for r in packed:
+            groups[(r.lang, r.shard)].append(r)
+        for rows in groups.values():
+            total = sum(r.tokens for r in rows)
+            ndocs = sum(r.n_docs for r in rows)
+            nbins = len(rows)
+            assert -(-total // 2048) <= nbins <= ndocs
+
+    def test_deterministic_and_repartition_invariant(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        fn = load_all()["t_sequence_packing_ffd"].fn
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        b = sorted(
+            map(
+                tuple,
+                fn(spark, sf_dir).repartition(7).collect(),
+            )
+        )
+        # repartition of the RESULT is trivially equal; re-run the query
+        # to check run-to-run determinism of the greedy loop itself
+        c = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert a == b == c
