@@ -92,6 +92,10 @@ _PINNED = [
     "g_link_prediction",  # CN + Resource-Allocation top-k, cell-exact
     "w_anomaly_zscore",  # decimal-deterministic rolling z-score flags
     "t_dedup_recall_report",  # rows-only: tier recall scorecard
+    "k_skew_report",  # key-skew pre-flight diagnostic, cell-exact
+    "dq_freshness_sla",  # feed-staleness gate, cell-exact
+    "s_stream_kmv_merge",  # rows-only: order-free sketch merge twin
+    "t_sequence_packing_ffd",  # rows-only: FFD bin packing, applyInPandas
     # -- rows-only rotation: first driver rows for the approximate tier
     "t_minhash_lsh_pairs",
     "t_quality_classifier",

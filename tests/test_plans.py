@@ -303,3 +303,30 @@ def test_plan_audit_detects_window_inside_join_branch(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pat = r"Window .*\n(?:[\s:+-]*Sort .*\n)?[\s:+-]*Exchange SinglePartition"
     assert _re.search(pat, plan), plan
+
+
+def test_link_prediction_topk_takeordered(spark, sf_dir):
+    """g_link_prediction's top-30 must plan as TakeOrderedAndProject
+    (per-partition heaps) — a global row_number window over the full
+    candidate-pair set would funnel every scored pair through one
+    partition."""
+    plan = physical(SPECS["g_link_prediction"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skew_report_top_key_takeordered(spark, sf_dir):
+    """k_skew_report's heaviest-key selection must plan as
+    TakeOrderedAndProject over the per-key counts, and the report must
+    not shuffle the fact table more than once (one Exchange feeding the
+    per-key aggregate; everything downstream runs on |keys| rows)."""
+    plan = physical(SPECS["k_skew_report"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmv_overlap_single_distinct_shuffle_of_fact(spark, sf_dir):
+    """a_kmv_overlap: the lineitem fact must be scanned for the distinct
+    (month, part) set and never cross-joined — no CartesianProduct, no
+    Python evaluation anywhere in the sketch plan."""
+    plan = physical(SPECS["a_kmv_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -90,6 +90,13 @@ HEAVY = [
     # deterministic MinHash banding: capless band buckets are the
     # quadratic-risk shape (dup-group-bounded on real corpora)
     "t_minhash_banded_pairs",
+    # round-5 second batch: wedge generation under the center-degree cap
+    # (the new bounded-quadratic shape), the KMV distinct self-join audit
+    # twin (the sketch side is G×k rows), and the recall scorecard whose
+    # capless unblocked truth tier is its heavy leg
+    "g_link_prediction",
+    "a_kmv_overlap",
+    "t_dedup_recall_report",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
