@@ -210,6 +210,16 @@ def main() -> None:
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     oracle_only = "--oracle-only" in sys.argv
     do_oracle = "--oracle" in sys.argv or oracle_only
+    heavy = HEAVY
+    for a in sys.argv[1:]:
+        # --only a,b,c: probe a subset (incremental refresh after adding
+        # new heavy entries — merge the printed rows into SCALE_sf1.json)
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            unknown = only - set(HEAVY)
+            if unknown:
+                raise SystemExit(f"--only names not in HEAVY: {sorted(unknown)}")
+            heavy = [n for n in HEAVY if n in only]
     generate(regen="--regen" in sys.argv)
 
     import math
@@ -241,7 +251,7 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {}
     if not oracle_only:
-        for name in HEAVY:
+        for name in heavy:
             fn = specs[name].fn
             t_small = run(fn, SRC)
             t_big = run(fn, DST)
@@ -254,7 +264,7 @@ def main() -> None:
         from boxoffice_spark.testing import compare, duckdb_connect
 
         oracle_out = {}
-        for name in HEAVY:
+        for name in heavy:
             spec = specs[name]
             if spec.oracle is None or name in ORACLE_SKIP_AT_SF1:
                 continue
