@@ -2528,3 +2528,72 @@ def t_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="lang string, shard long, bin_id long, n_docs long, "
         "tokens long, fill_rate double",
     )
+
+
+@register(
+    "t_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, round({_QUALITY_EXPR_SQL}, 6) AS q,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, q,
+            round(ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
+                  / greatest(q, 0.000001), 8) AS sample_key
+        FROM d
+    )
+    SELECT lang, doc_id, q, sample_key, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY sample_key DESC, doc_id
+        ) AS INT) AS rank
+        FROM keyed
+    ) WHERE rank <= 10
+    """,
+    tags=("text", "sampling", "weighted"),
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement, 10 docs per
+    language — Efraimidis-Spirakis A-ES: each doc draws a deterministic
+    md5-uniform u and ranks by u^(1/w) (equivalently ln(u)/w, the form
+    computed here), so inclusion probability is proportional to the
+    quality weight and the top-k per stratum IS the weighted sample.
+    The 'sample good docs more' step between pure-random hash sampling
+    (t_hash_sample) and hard quality gates: retains tail diversity that
+    a threshold kills, while still favoring quality.
+
+    Deterministic end-to-end: u is md5-derived (no engine RNG), the key
+    rounds at 8dp before ranking (the t_unigram_logprob ln-parity
+    posture), ties break on doc_id — so the SAMPLE ITSELF is
+    oracle-checked, not just its size. Retry-safe and stable under
+    corpus growth for surviving docs, like every hash-keyed sampler
+    here. Scale: zero-shuffle key projection + one per-lang window
+    (per-stratum top-k; salt-phase it like kmv_kmin if a stratum is a
+    whole corpus)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(TS.quality_score("text"), 6).alias("q"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    u = (F.col("h").cast("double") + 1) / F.lit(1152921504606846976.0)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "q",
+        F.round(F.log(u) / F.greatest(F.col("q"), F.lit(0.000001)), 8).alias(
+            "sample_key"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "doc_id", "q", "sample_key", "rank")
+    )
