@@ -686,3 +686,127 @@ def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_a", "month_b")
     )
+
+
+@register(
+    "a_ab_test_zstat",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS day,
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS purchased
+        FROM events
+        GROUP BY 1, user_id, 2
+    ),
+    arms AS (
+        SELECT variant,
+            CAST(sum(viewed) AS BIGINT) AS n_exposed,
+            CAST(sum(viewed * purchased) AS BIGINT) AS n_converted
+        FROM ud GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n_exposed END) AS n_control,
+            max(CASE WHEN variant = 0 THEN n_converted END) AS conv_control,
+            max(CASE WHEN variant = 1 THEN n_exposed END) AS n_treatment,
+            max(CASE WHEN variant = 1 THEN n_converted END) AS conv_treatment
+        FROM arms
+    )
+    SELECT n_control, conv_control,
+        round(CAST(conv_control AS DOUBLE) / n_control, 6) AS rate_control,
+        n_treatment, conv_treatment,
+        round(CAST(conv_treatment AS DOUBLE) / n_treatment, 6)
+            AS rate_treatment,
+        round(
+            (CAST(conv_treatment AS DOUBLE) / n_treatment
+             - CAST(conv_control AS DOUBLE) / n_control)
+            / sqrt(
+                (CAST(conv_control + conv_treatment AS DOUBLE)
+                 / (n_control + n_treatment))
+                * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
+                   / (n_control + n_treatment))
+                * (CAST(1 AS DOUBLE) / n_control
+                   + CAST(1 AS DOUBLE) / n_treatment)
+            ), 6) AS zstat,
+        abs(
+            (CAST(conv_treatment AS DOUBLE) / n_treatment
+             - CAST(conv_control AS DOUBLE) / n_control)
+            / sqrt(
+                (CAST(conv_control + conv_treatment AS DOUBLE)
+                 / (n_control + n_treatment))
+                * (1.0 - CAST(conv_control + conv_treatment AS DOUBLE)
+                   / (n_control + n_treatment))
+                * (CAST(1 AS DOUBLE) / n_control
+                   + CAST(1 AS DOUBLE) / n_treatment)
+            )) > 1.96 AS significant
+    FROM wide
+    """,
+    tags=("agg", "experiment", "stats"),
+)
+def a_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout over the event log: unit = (user, day),
+    exposure = a view that day, conversion = view AND purchase the same
+    day, arms split by user hash (user_id % 2 — the deterministic stand-
+    in for an assignment column). Reports per-arm exposures/conversions/
+    rates, the pooled two-proportion z statistic, and the |z| > 1.96
+    significance flag — the experimentation readout every product
+    analytics deployment runs on exactly this event-log shape.
+
+    One shuffle to the (variant, user, day) grain, a 2-row arm
+    aggregate, then a conditional-aggregation pivot to one row. All
+    counts are exact integers; the z arithmetic is IEEE on those
+    integers in an expression mirrored token-for-token in the oracle —
+    cell-exact."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.col("user_id"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchased"
+        ),
+    )
+    arms = ud.groupBy("variant").agg(
+        F.sum("viewed").cast("long").alias("n_exposed"),
+        F.sum(F.col("viewed") * F.col("purchased")).cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_exposed"))).alias("n_control"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+            "conv_control"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_exposed"))).alias("n_treatment"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+            "conv_treatment"
+        ),
+    )
+    rate_c = F.col("conv_control").cast("double") / F.col("n_control")
+    rate_t = F.col("conv_treatment").cast("double") / F.col("n_treatment")
+    # mirror the oracle token order exactly: pooled rate computed as
+    # cast(sum)/sum each time it appears
+    pooled = (
+        (F.col("conv_control") + F.col("conv_treatment")).cast("double")
+        / (F.col("n_control") + F.col("n_treatment"))
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0).cast("double") / F.col("n_control")
+            + F.lit(1.0).cast("double") / F.col("n_treatment")
+        )
+    )
+    z = (rate_t - rate_c) / se
+    return wide.select(
+        "n_control",
+        "conv_control",
+        F.round(rate_c, 6).alias("rate_control"),
+        "n_treatment",
+        "conv_treatment",
+        F.round(rate_t, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("zstat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
