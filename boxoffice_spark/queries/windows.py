@@ -670,3 +670,46 @@ def w_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_anomaly"),
     ).orderBy("status", "day")
+
+
+@register(
+    "w_rolling_hll_distinct",
+    oracle=None,
+    tags=("window", "sketch", "approx"),
+)
+def w_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day, via DataSketches HLL
+    union over a window — the sliding-MAU/WAU counter. Spark has no
+    COUNT(DISTINCT) window function (it would need per-user state in
+    every frame); the mergeable-sketch formulation is the idiomatic
+    answer: ONE per-day sketch aggregate, then hll_union_agg over a
+    7-row trailing window unions 7 tiny sketches per output row — the
+    raw log is scanned once, never re-joined per window frame.
+
+    Rows-only (estimates are engine-specific); the 5%-vs-exact contract
+    and the union-vs-direct consistency are asserted in
+    tests/test_round5_ops.py against the exact interval self-join, which
+    is precisely the expensive plan this query exists to replace.
+
+    At 100 TB: daily sketches are KBs; the window runs over ~days rows.
+    The same standing sketch table serves ANY trailing grain (7/28/91
+    days) without touching the log again."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_users_1d"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    # the window input is the per-day aggregate (~days rows, bounded) —
+    # the same post-aggregation posture as w_anomaly_zscore; a production
+    # deployment partitions by (year) or tenant if days grow unbounded
+    return daily.select(
+        "day",
+        "n_users_1d",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "n_users_7d_approx"
+        ),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    ).orderBy("day")
