@@ -96,6 +96,9 @@ _PINNED = [
     "dq_freshness_sla",  # feed-staleness gate, cell-exact
     "s_stream_kmv_merge",  # rows-only: order-free sketch merge twin
     "t_sequence_packing_ffd",  # rows-only: FFD bin packing, applyInPandas
+    "t_weighted_sample",  # Efraimidis-Spirakis weighted sample, cell-exact
+    "a_ab_test_zstat",  # two-proportion experiment readout, cell-exact
+    "w_rolling_hll_distinct",  # rows-only: sketch-union sliding distinct
     # -- rows-only rotation: first driver rows for the approximate tier
     "t_minhash_lsh_pairs",
     "t_quality_classifier",

@@ -235,3 +235,59 @@ class TestFfdPacking:
         # to check run-to-run determinism of the greedy loop itself
         c = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert a == b == c
+
+
+class TestWeightedSample:
+    def test_heavy_weights_dominate_sample(self, spark):
+        """Efraimidis-Spirakis semantics: with weights 50x apart, the
+        top-k is overwhelmingly heavy items (deterministic md5 draws, so
+        this is a fixed property of the operator, not a flaky stat)."""
+        from pyspark.sql import Window
+
+        rows = [(i, "x", 5.0 if i < 500 else 0.1) for i in range(1000)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long").cast("double")
+            + 1
+        ) / F.lit(1152921504606846976.0)
+        keyed = d.select(
+            "doc_id",
+            "lang",
+            F.round(F.log(u) / F.greatest(F.col("q"), F.lit(1e-6)), 8).alias("k"),
+        )
+        w = Window.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id"))
+        top = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 100)
+            .collect()
+        )
+        heavy = sum(1 for r in top if r.doc_id < 500)
+        assert heavy >= 95, heavy
+
+
+class TestRollingHllDistinct:
+    def test_within_5pct_of_exact_and_consistent(self, spark, sf_dir):
+        """The sketch-union estimate must land within 5% of the exact
+        trailing-7-day distinct count (the interval self-join this query
+        exists to replace), and must be >= the largest single-day exact
+        count in its window (union can never lose users)."""
+        from boxoffice_spark.registry import load_all
+        from boxoffice_spark.tables import table
+
+        out = {r.day: r for r in load_all()["w_rolling_hll_distinct"].fn(spark, sf_dir).collect()}
+        ev = table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+        days = sorted(out)
+        pairs = ev.collect()
+        by_day = {}
+        for r in pairs:
+            by_day.setdefault(r.day, set()).add(r.user_id)
+        for i, day in enumerate(days):
+            window_days = [d for d in days if 0 <= (day - d).days <= 6]
+            exact = len(set().union(*(by_day[d] for d in window_days)))
+            approx = out[day].n_users_7d_approx
+            assert abs(approx - exact) <= max(0.05 * exact, 2), (day, approx, exact)
+            assert out[day].n_days_in_window == len(window_days)
