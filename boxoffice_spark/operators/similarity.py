@@ -1113,3 +1113,91 @@ def ivf_probe_read(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def fit_pca_whitener(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 16,
+    train_size: int = 1024,
+    eps: float = 1e-6,
+):
+    """Driver-side PCA-whitening fit on the bounded salted-hash sample
+    (same sampling rule and rationale as _fit_unit_kmeans: uniform over
+    the corpus, deterministic under retries, TakeOrderedAndProject).
+    Returns (mean, W, eigenvalues) where ``W = V / sqrt(λ + eps)`` maps a
+    centered vector to the whitened space — the embedding preprocessing
+    step real ANN/dedup deployments run before product quantization or
+    cosine bucketing (whitening equalizes per-direction variance, which
+    is what makes PQ subspace codebooks and LSH hyperplanes behave).
+
+    Deterministic given the corpus: no RNG anywhere (the sample is
+    hash-ordered, eigh is deterministic for fixed input), eigenvector
+    sign fixed by the largest-magnitude-coefficient-positive convention.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit("pca"), F.col(id_col).cast("string"))), id_col)
+        .limit(train_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca fit: corpus is empty — nothing to fit")
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if n_components > mat.shape[1]:
+        raise ValueError(
+            f"n_components {n_components} > embedding dim {mat.shape[1]}"
+        )
+    mean = mat.mean(axis=0)
+    x = mat - mean
+    cov = (x.T @ x) / max(len(rows) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    evals, evecs = evals[order], evecs[:, order]
+    # sign convention: largest-|coefficient| entry of each component > 0
+    flip = np.sign(evecs[np.abs(evecs).argmax(axis=0), np.arange(len(order))])
+    evecs = evecs * np.where(flip == 0, 1.0, flip)
+    w = evecs / np.sqrt(np.maximum(evals, 0.0) + eps)
+    return mean, w, evals
+
+
+def pca_whiten(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean,
+    w,
+    round_to: int = 6,
+) -> DataFrame:
+    """Project the whole corpus through the fitted whitener: one Arrow
+    ``mapInPandas`` pass, each batch doing a single (batch × dim) @
+    (dim × k) BLAS matmul with the broadcast (mean, W) — the same
+    scan-bound shape as cosine_topk_arrow. Returns (id, whitened
+    array<double>), values rounded for cross-run stability."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (np.asarray(mean), np.asarray(w))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu, proj = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = np.round((mat - mu) @ proj, round_to)
+            yield pd.DataFrame({id_col: ids, "whitened": list(out)})
+
+    from boxoffice_spark.tables import spread
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        batches, schema=f"{id_col} long, whitened array<double>"
+    )

@@ -709,3 +709,82 @@ def e_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "valid_from", "attr_value")
+
+
+@register(
+    "e_gdpr_export",
+    oracle="""
+    WITH subjects AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 250 = 0
+    )
+    SELECT c.c_custkey AS subject_id, 'customer' AS source_table,
+           CAST(c.c_custkey AS VARCHAR) AS record_id,
+           CAST(NULL AS DATE) AS record_date
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM subjects s WHERE s.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT o.o_custkey, 'orders', CAST(o.o_orderkey AS VARCHAR),
+           CAST(o.o_orderdate AS DATE)
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM subjects s WHERE s.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT o.o_custkey, 'lineitem',
+           CAST(l.l_orderkey AS VARCHAR) || ':' || CAST(l.l_linenumber AS VARCHAR),
+           CAST(l.l_shipdate AS DATE)
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE EXISTS (SELECT 1 FROM subjects s WHERE s.c_custkey = o.o_custkey)
+    ORDER BY subject_id, source_table, record_id
+    """,
+    tags=("etl", "privacy", "export"),
+)
+def e_gdpr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access-request export — the read-side complement of
+    e_deletion_propagation's right-to-be-forgotten sweep: every record
+    about a subject cohort (every 250th customer) across the FK graph,
+    normalized to one long-format dossier (subject, source table,
+    record id, record date). The same per-table hops a compliance job
+    schedules; the dossier frame writes per-subject partitions directly.
+
+    Shape: the subject cohort broadcasts into one SEMI/inner join per
+    table; lineitem attributes back to its subject through the orders
+    key (one equi-join, AQE-splittable) — no table is scanned twice, no
+    driver-side loop over subjects."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    subjects = c.filter(F.col("c_custkey") % 250 == 0).select(
+        F.col("c_custkey").alias("subject_id")
+    )
+    cust_rows = c.join(
+        subjects, c.c_custkey == subjects.subject_id, "inner"
+    ).select(
+        "subject_id",
+        F.lit("customer").alias("source_table"),
+        F.col("c_custkey").cast("string").alias("record_id"),
+        F.lit(None).cast("date").alias("record_date"),
+    )
+    ord_subj = o.join(subjects, o.o_custkey == subjects.subject_id, "inner")
+    ord_rows = ord_subj.select(
+        "subject_id",
+        F.lit("orders").alias("source_table"),
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.to_date("o_orderdate").alias("record_date"),
+    )
+    li_rows = li.join(
+        ord_subj.select("subject_id", "o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    ).select(
+        "subject_id",
+        F.lit("lineitem").alias("source_table"),
+        F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("record_id"),
+        F.to_date("l_shipdate").alias("record_date"),
+    )
+    return (
+        cust_rows.unionByName(ord_rows)
+        .unionByName(li_rows)
+        .orderBy("subject_id", "source_table", "record_id")
+    )

@@ -240,3 +240,68 @@ def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return link_prediction_scores(edges, "u", "v", max_center_degree=64, k=30)
+
+
+@register(
+    "g_degree_distribution",
+    oracle="""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    hist AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+    tot AS (SELECT count(*) AS n, CAST(sum(d) AS BIGINT) AS dsum FROM deg)
+    SELECT degree, n_nodes,
+        round(CAST(n_nodes AS DOUBLE) / tot.n, 6) AS frac_nodes,
+        round(CAST(degree AS DOUBLE) * n_nodes / tot.dsum, 6) AS frac_degree_mass
+    FROM hist, tot
+    ORDER BY degree
+    """,
+    tags=("graph", "degree"),
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part co-purchase graph with node and
+    degree-mass shares — the connectivity datacard row the census's
+    single global_clustering number can't show: how heavy the hub tail
+    is, which is what decides the orientation/cap strategies the census
+    and link-prediction operators rely on. One edge-build (order-local
+    pairs), one degree aggregate, one |distinct degrees| histogram;
+    totals broadcast back as a one-row aggregate."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    tot = deg.agg(
+        F.count("*").alias("n"), F.sum("d").cast("long").alias("dsum")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(F.col("n_nodes").cast("double") / F.col("n"), 6).alias(
+                "frac_nodes"
+            ),
+            F.round(
+                F.col("degree").cast("double") * F.col("n_nodes") / F.col("dsum"), 6
+            ).alias("frac_degree_mass"),
+        )
+        .orderBy("degree")
+    )

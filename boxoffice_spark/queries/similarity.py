@@ -565,3 +565,67 @@ def v_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         report = row if report is None else report.unionByName(row)
     return report
+
+
+@register(
+    "v_pca_whitening",
+    oracle=None,
+    tags=("vector", "preprocess", "pandas-op"),
+)
+def v_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening report over the embedding corpus: fit mean +
+    projection on the bounded salted-hash sample (operators/similarity.
+    fit_pca_whitener — the _fit_unit_kmeans distillation shape: driver
+    fits on a bounded sample, the corpus is transformed scan-side), then
+    project EVERY embedding through one Arrow BLAS pass and report, per
+    whitened component: the fit eigenvalue, explained-variance ratio,
+    and the CORPUS-side post-whitening mean and variance computed
+    distributedly with decimal sums — the audit that the whitener
+    actually equalized the space it was fit for (variance ≈ 1 per kept
+    component). Whitening is what makes PQ subspace codebooks and LSH
+    hyperplanes behave; this is the preprocessing step + its acceptance
+    test in one frame.
+
+    Rows-only (eigendecomposition is driver-side numpy); orthogonality,
+    unit-variance-on-sample, determinism, and corpus-variance bounds are
+    pinned in tests/test_round5_ops.py. Scale: fit collects train_size
+    rows; the projection is scan-bound mapInPandas; the moment audit is
+    one posexplode + decimal partial aggregate — the corpus is never
+    collected or re-shuffled whole."""
+    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.operators.similarity import fit_pca_whitener, pca_whiten
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, w, evals = fit_pca_whitener(emb, "vec_id", "embedding", n_components=16)
+    total_var = float(evals.sum()) if evals.sum() > 0 else 1.0
+    white = pca_whiten(emb, "vec_id", "embedding", mean, w)
+    comps = white.select(
+        F.posexplode("whitened").alias("component", "value")
+    )
+    audit = comps.groupBy("component").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value"), 10).alias("_s1"),
+        dsum(F.col("value") * F.col("value"), 10).alias("_s2"),
+    )
+    fit_rows = [
+        (i, round(float(evals[i]), 6), round(float(evals[i]) / total_var, 6))
+        for i in range(len(evals))
+    ]
+    fit_df = spark.createDataFrame(
+        fit_rows, "component int, eigenvalue double, explained_var_ratio double"
+    )
+    return (
+        audit.join(fit_df, "component")
+        .select(
+            "component",
+            "eigenvalue",
+            "explained_var_ratio",
+            F.round(F.col("_s1") / F.col("n"), 6).alias("corpus_mean"),
+            F.round(
+                (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("corpus_var"),
+        )
+        .orderBy("component")
+    )

@@ -291,3 +291,44 @@ class TestRollingHllDistinct:
             approx = out[day].n_users_7d_approx
             assert abs(approx - exact) <= max(0.05 * exact, 2), (day, approx, exact)
             assert out[day].n_days_in_window == len(window_days)
+
+
+class TestPcaWhitening:
+    def test_whitener_decorrelates_sample(self, spark, sf_dir):
+        """W^T Σ W ≈ I on the fit sample (λ >> eps here) — the defining
+        property of the whitening transform."""
+        import numpy as np
+
+        from boxoffice_spark.operators.similarity import fit_pca_whitener
+        from boxoffice_spark.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        mean, w, evals = fit_pca_whitener(emb, "vec_id", "embedding", n_components=8)
+        rows = emb.select("vec_id", "embedding").orderBy(
+            F.md5(F.concat(F.lit("pca"), F.col("vec_id").cast("string"))), "vec_id"
+        ).limit(1024).collect()
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        x = mat - mean
+        cov = (x.T @ x) / max(len(rows) - 1, 1)
+        gram = w.T @ cov @ w
+        assert np.allclose(gram, np.eye(8), atol=1e-3), gram
+
+    def test_query_report_contracts(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        fn = load_all()["v_pca_whitening"].fn
+        rows = {r.component: r for r in fn(spark, sf_dir).collect()}
+        assert len(rows) == 16
+        evr_sum = sum(r.explained_var_ratio for r in rows.values())
+        assert 0.0 < evr_sum <= 1.000001
+        # eigenvalues descending
+        evs = [rows[i].eigenvalue for i in range(16)]
+        assert evs == sorted(evs, reverse=True)
+        for r in rows.values():
+            assert abs(r.corpus_mean) < 0.2
+            assert 0.5 < r.corpus_var < 1.5, r
+        # determinism: no RNG anywhere in fit or projection
+        again = {r.component: r for r in fn(spark, sf_dir).collect()}
+        assert {k: tuple(v) for k, v in rows.items()} == {
+            k: tuple(v) for k, v in again.items()
+        }
