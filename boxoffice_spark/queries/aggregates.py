@@ -810,3 +810,173 @@ def a_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zstat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "a_market_basket_lift",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT o) AS n_baskets FROM basket),
+    item AS (SELECT b, count(*) AS item_count FROM basket GROUP BY 1),
+    pair AS (
+        SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS pair_count
+        FROM basket a JOIN basket c ON a.o = c.o AND a.b < c.b
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, pair_count,
+        round(CAST(pair_count AS DOUBLE) / n.n_baskets, 6) AS support,
+        round(CAST(pair_count AS DOUBLE) / ia.item_count, 6) AS confidence,
+        round(
+            CAST(pair_count AS DOUBLE) * n.n_baskets
+            / (CAST(ia.item_count AS DOUBLE) * ib.item_count), 6
+        ) AS lift
+    FROM pair
+    JOIN item ia ON ia.b = brand_a
+    JOIN item ib ON ib.b = brand_b
+    CROSS JOIN n
+    WHERE pair_count >= 20
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 30
+    """,
+    tags=("agg", "basket", "association"),
+)
+def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule readout over order baskets: for every brand pair
+    co-occurring in >= 20 orders, support, confidence(a->b), and lift —
+    the classic market-basket statistic behind "frequently bought
+    together" surfaces (the reference's co-purchase intuition, here with
+    the probabilistic normalization that separates real affinity from
+    popularity). Top-30 by lift, ties on the pair.
+
+    Shape: one broadcast dim join (part is the small side), one distinct
+    to basket grain, then an ORDER-LOCAL self-join — pair expansion is
+    bounded by basket size (avg ~4 brands/order), never global. Item
+    counts and the basket total are broadcast one-row/25-row aggregates;
+    the min-support gate prunes the pair tail before ranking, and the
+    final top-30 plans as TakeOrderedAndProject. At 100 TB the same plan
+    holds: the only wide exchange is the (pair -> count) partial
+    aggregate, and lift math runs on |pairs| <= 25*24/2 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = basket.agg(F.countDistinct("o").alias("n_baskets"))
+    item = basket.groupBy("b").agg(F.count("*").alias("item_count"))
+    a = basket.select("o", F.col("b").alias("brand_a"))
+    c = basket.select("o", F.col("b").alias("brand_b"))
+    pair = (
+        a.join(c, "o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= 20)
+    )
+    ia = item.select(F.col("b").alias("brand_a"), F.col("item_count").alias("_ca"))
+    ib = item.select(F.col("b").alias("brand_b"), F.col("item_count").alias("_cb"))
+    pc = F.col("pair_count").cast("double")
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_count",
+            F.round(pc / F.col("n_baskets"), 6).alias("support"),
+            F.round(pc / F.col("_ca"), 6).alias("confidence"),
+            F.round(
+                pc * F.col("n_baskets") / (F.col("_ca").cast("double") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(30)
+    )
+
+
+@register(
+    "a_regression_by_group",
+    oracle=f"""
+    WITH daily AS (
+        SELECT p.p_brand AS brand,
+            datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) AS x,
+            {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT brand, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+            {dsum_sql('y', 4)} AS sy, {dsum_sql('x * y', 4)} AS sxy,
+            {dsum_sql('y * y', 8)} AS syy
+        FROM daily GROUP BY 1
+    )
+    SELECT brand, n,
+        round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
+            AS slope,
+        round((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+              / n, 6) AS intercept,
+        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+              / ((n * sxx - CAST(sx AS DOUBLE) * sx) * (n * syy - sy * sy)), 6)
+            AS r2
+    FROM s
+    ORDER BY brand
+    """,
+    tags=("agg", "regression", "trend"),
+)
+def a_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS trend of daily revenue vs day index — the grouped
+    regression every metrics dashboard runs ("is this segment growing,
+    and how fast"), computed in closed form from sufficient statistics
+    (n, Sx, Sxx, Sy, Sxy, Syy) instead of any per-group model fit:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), plus intercept and R^2.
+
+    Cell-exact: x is an integer day index so Sx/Sxx are exact BIGINTs; y
+    and the cross moments ride the decimal path (y is exact at 4dp by
+    construction, so x*y is exact at 4dp and y*y at 8dp); the closed-form
+    division mirrors the oracle token-for-token in IEEE double. Shape:
+    one shuffle to (brand, day) grain, one partial-agg shuffle to brand
+    — the regression itself costs |brands| rows of arithmetic. The same
+    two-exchange plan holds at 100 TB; no per-group iteration, no
+    collect, no ML library."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    x = F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date"))
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            x.alias("x"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "y"
+            )
+        )
+    )
+    s = daily.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        dsum("y", scale=4).alias("sy"),
+        dsum(F.col("x") * F.col("y"), scale=4).alias("sxy"),
+        dsum(F.col("y") * F.col("y"), scale=8).alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx.cast("double") * sx
+    slope = num / den
+    return s.select(
+        "brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    ).orderBy("brand")

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import davg, davg_sql, dsum_sql
+from boxoffice_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
 
@@ -713,3 +713,231 @@ def w_rolling_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).cast("long").alias("n_days_in_window"),
     ).orderBy("day")
+
+
+@register(
+    "w_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+            datediff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-08-02')
+                AS recency_days,
+            count(*) AS frequency,
+            {dsum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY 1
+    ),
+    q AS (
+        SELECT
+            quantile_cont(recency_days, 0.25) AS r25,
+            quantile_cont(recency_days, 0.50) AS r50,
+            quantile_cont(recency_days, 0.75) AS r75,
+            quantile_cont(frequency, 0.25) AS f25,
+            quantile_cont(frequency, 0.50) AS f50,
+            quantile_cont(frequency, 0.75) AS f75,
+            quantile_cont(monetary, 0.25) AS m25,
+            quantile_cont(monetary, 0.50) AS m50,
+            quantile_cont(monetary, 0.75) AS m75
+        FROM rfm
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+            1 + CAST(recency_days < r75 AS INT) + CAST(recency_days < r50 AS INT)
+              + CAST(recency_days < r25 AS INT) AS r_score,
+            1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT)
+              + CAST(frequency > f75 AS INT) AS f_score,
+            1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT)
+              + CAST(monetary > m75 AS INT) AS m_score
+        FROM rfm CROSS JOIN q
+    )
+    SELECT o_custkey, recency_days, frequency,
+        round(monetary, 2) AS monetary, r_score, f_score, m_score,
+        CASE
+            WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk_loyal'
+            WHEN r_score >= 3 AND f_score <= 2 THEN 'recent_light'
+            ELSE 'other'
+        END AS segment
+    FROM scored
+    ORDER BY o_custkey
+    """,
+    tags=("window", "rfm", "segmentation"),
+)
+def w_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores (1..4, 4 best) and a named segment per customer, the
+    canonical CRM cut. Scored against exact interpolated quartile
+    THRESHOLDS from a one-row aggregate (F.percentile <-> quantile_cont,
+    the a_exact_median pairing) rather than a global ntile window: a
+    global ntile is a single-partition sort (plan-gated in this repo),
+    while threshold scoring broadcasts 9 doubles and keeps the scan
+    embarrassingly parallel — the only wide exchange is the per-customer
+    aggregate. Strict </> comparisons put boundary ties in the lower
+    tile identically in both engines; at 100 TB the thresholds swap to
+    the sketch path (percentile_approx) with the same scoring plan."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-02").cast("date"), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    q = rfm.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{int(p * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.50, 0.75)
+        ]
+    )
+    lo = lambda c, t: (F.col(c) < F.col(t)).cast("int")  # noqa: E731
+    hi = lambda c, t: (F.col(c) > F.col(t)).cast("int")  # noqa: E731
+    scored = rfm.crossJoin(F.broadcast(q)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (1 + lo("recency_days", "r75") + lo("recency_days", "r50")
+         + lo("recency_days", "r25")).alias("r_score"),
+        (1 + hi("frequency", "f25") + hi("frequency", "f50")
+         + hi("frequency", "f75")).alias("f_score"),
+        (1 + hi("monetary", "m25") + hi("monetary", "m50")
+         + hi("monetary", "m75")).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk_loyal")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "recent_light")
+        .otherwise("other")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "w_event_transitions",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    nxt AS (
+        SELECT event_type AS from_type,
+            LEAD(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS to_type
+        FROM ev
+    ),
+    t AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+        round(
+            CAST(n_transitions AS DOUBLE)
+            / sum(n_transitions) OVER (PARTITION BY from_type), 6
+        ) AS p_transition
+    FROM t
+    ORDER BY from_type, to_type
+    """,
+    tags=("window", "markov", "sequence"),
+)
+def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each user's time-ordered sequence, count (from_type -> to_type)
+    steps and normalize per source state — the session-flow statistic
+    behind "what do users do after X" product questions and behavioral
+    anomaly baselines (an improbable transition chain is a bot
+    signature). LEAD over one user_id shuffle builds the steps; the
+    matrix itself is |event_types|^2 rows, so the normalizing window
+    runs on a bounded aggregate partitioned by from_type (never global,
+    never over raw events). Ties in ts break on event_id in both
+    engines. The same two-exchange plan holds at any corpus size —
+    state count, not row count, bounds the output."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n_transitions"))
+    norm = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm),
+            6,
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "w_seasonality_indices",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT {dsum_sql('rev')} AS rev_all, count(*) AS days_all FROM daily
+    ),
+    dow AS (
+        SELECT dayname(d) AS day_name, {dsum_sql('rev')} AS rev_dow,
+            count(*) AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT day_name, n_days,
+        round(rev_dow / n_days, 2) AS avg_daily_revenue,
+        round((rev_dow / n_days) / (rev_all / days_all), 6) AS seasonal_index
+    FROM dow CROSS JOIN tot
+    ORDER BY day_name
+    """,
+    tags=("window", "seasonality", "timeseries"),
+)
+def w_seasonality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices of order revenue: mean daily
+    revenue per weekday divided by the overall mean daily revenue — the
+    ratio-to-overall-average decomposition that normalizes a forecast or
+    flags a "weekends run 20% light" pattern before anyone trusts a
+    day-over-day delta. Two-level aggregation (date grain, then weekday
+    grain) so a heavy single day can't smear across the week; revenue
+    sums ride the decimal path at both levels (daily rev is exact at
+    2dp, so the second-level decimal sum is exact too) and the index is
+    mirrored IEEE division. One shuffle to dates, one 7-row aggregate,
+    one broadcast one-row total — scan-bound at any scale."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    tot = daily.agg(dsum("rev").alias("rev_all"), F.count("*").alias("days_all"))
+    dow = daily.groupBy(F.date_format("d", "EEEE").alias("day_name")).agg(
+        dsum("rev").alias("rev_dow"), F.count("*").alias("n_days")
+    )
+    return (
+        dow.crossJoin(F.broadcast(tot))
+        .select(
+            "day_name",
+            "n_days",
+            F.round(F.col("rev_dow") / F.col("n_days"), 2).alias(
+                "avg_daily_revenue"
+            ),
+            F.round(
+                (F.col("rev_dow") / F.col("n_days"))
+                / (F.col("rev_all") / F.col("days_all")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("day_name")
+    )

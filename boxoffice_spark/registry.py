@@ -99,7 +99,20 @@ _PINNED = [
     "t_weighted_sample",  # Efraimidis-Spirakis weighted sample, cell-exact
     "a_ab_test_zstat",  # two-proportion experiment readout, cell-exact
     "w_rolling_hll_distinct",  # rows-only: sketch-union sliding distinct
+    "e_gdpr_export",  # subject-access dossier, cell-exact
+    "g_degree_distribution",  # connectivity datacard histogram, cell-exact
+    "v_pca_whitening",  # rows-only: driver-fit whitener + corpus audit
+    # -- NEW round 5 batch 6: OLAP statistics family, all cell-exact
+    "a_market_basket_lift",  # association rules over order baskets
+    "a_regression_by_group",  # closed-form per-brand OLS trend + R^2
+    "w_rfm_segments",  # threshold-scored RFM quartile segmentation
+    "w_event_transitions",  # first-order Markov matrix over event flow
+    "w_seasonality_indices",  # day-of-week ratio-to-overall decomposition
     # -- rows-only rotation: first driver rows for the approximate tier
+    # (t_winnow_fast, t_compression_gate, s_stream_dedup,
+    # s_stream_drift_monitor, s_stream_cluster_maintenance rotate to the
+    # round-6 window — batch 6's cell-exact queries outrank a 3rd/4th
+    # stream twin for the 50 slots)
     "t_minhash_lsh_pairs",
     "t_quality_classifier",
     "v_ann_lsh_topk",
@@ -113,11 +126,6 @@ _PINNED = [
     "m_frame_sample",
     "t_content_chunks",
     "t_chunk_dup_pairs",
-    "t_winnow_fast",
-    "t_compression_gate",
-    "s_stream_dedup",
-    "s_stream_drift_monitor",
-    "s_stream_cluster_maintenance",
     "s_stream_scd2_maintenance",  # NEW round 5: foreachBatch SCD2 merge
 ]
 
