@@ -305,3 +305,194 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+def _lpa_round(prev: str, cur: str) -> str:
+    """One synchronous LPA round as chained CTEs: every node adopts the
+    most frequent label among its neighbors, ties to the smallest label
+    (the deterministic tie rule that makes sync LPA reproducible)."""
+    return f"""
+    c{cur} AS (
+        SELECT s.dst AS node, l.label, count(*) AS c
+        FROM sym s JOIN l{prev} l ON l.node = s.src
+        GROUP BY 1, 2
+    ),
+    l{cur} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY c DESC, label
+                ) AS rn
+            FROM c{cur}
+        ) WHERE rn = 1
+    )"""
+
+
+_LPA_ORACLE = f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {_lpa_round('0', '1')},
+    {_lpa_round('1', '2')},
+    {_lpa_round('2', '3')},
+    sizes AS (SELECT label, count(*) AS community_size FROM l3 GROUP BY 1)
+    SELECT l3.node, l3.label, sizes.community_size
+    FROM l3 JOIN sizes ON sizes.label = l3.label
+    ORDER BY l3.node
+"""
+
+
+@register(
+    "g_label_propagation",
+    oracle=_LPA_ORACLE,
+    tags=("graph", "community", "iterative"),
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the part co-purchase graph, 3 fixed rounds: each node
+    adopts the most frequent label among its neighbors, ties broken to
+    the smallest label — the tie rule that turns LPA's notorious
+    nondeterminism into a reproducible assignment, which is what lets
+    the unrolled chained-CTE oracle check every (node, label) cell. The
+    clustering-adjacent view the census and link-prediction operators
+    don't give: WHICH parts cluster together, plus community sizes.
+
+    Scale: each round is one edge join + one (node, label) partial-agg
+    shuffle + a per-node window over the node's distinct neighbor labels
+    (bounded by degree, never global); per-round persist truncates
+    lineage exactly like operators/graph.pagerank. Fixed round count —
+    synchronized halting, no convergence check to race."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    e = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        counts = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # localCheckpoint per round (the pagerank pattern): truncates
+        # lineage AND materializes, so the sizes self-join below and the
+        # next round both read the round's result once instead of
+        # re-deriving the whole chain
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("node", "label", "community_size")
+        .orderBy("node")
+    )
+
+
+def _bfs_round(prev: str, cur: str) -> str:
+    """One BFS relaxation round: a node's distance from each source is
+    the min of its previous distance and (neighbor distance + 1)."""
+    return f"""
+    d{cur} AS (
+        SELECT node, src, min(dist) AS dist FROM (
+            SELECT s.dst AS node, l.src, l.dist + 1 AS dist
+            FROM sym s JOIN d{prev} l ON l.node = s.src
+            UNION ALL
+            SELECT node, src, dist FROM d{prev}
+        ) GROUP BY 1, 2
+    )"""
+
+
+_BFS_ORACLE = f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    srcs AS (SELECT node AS src FROM nodes ORDER BY node LIMIT 3),
+    d0 AS (SELECT src AS node, src, 0 AS dist FROM srcs),
+    {_bfs_round('0', '1')},
+    {_bfs_round('1', '2')},
+    {_bfs_round('2', '3')}
+    SELECT src AS source, node, CAST(dist AS INT) AS dist
+    FROM d3
+    ORDER BY source, node
+"""
+
+
+@register(
+    "g_bfs_distances",
+    oracle=_BFS_ORACLE,
+    tags=("graph", "bfs", "iterative"),
+)
+def g_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph: exact hop
+    distance from each of 3 deterministic seed nodes (smallest part
+    keys) to every node within 3 hops — the k-hop reachability /
+    blast-radius primitive (how far does a recall, a poisoned-document
+    cluster, or a promo effect propagate). The distance-semantics
+    complement to the census (counts), LPA (membership), and PageRank
+    (importance).
+
+    Same driver-loop shape as label propagation: per round one edge
+    join + one (node, source) min-aggregate, localCheckpoint truncating
+    lineage; the frontier table is bounded by |sources| x |reached
+    nodes|. The unrolled chained-CTE oracle checks every (source, node,
+    dist) cell — min-relaxation is order-independent, so no decimal
+    machinery is needed. At 100 TB: per-round cost is one shuffle of
+    the frontier joined against the edge list; cap sources and rounds
+    (both are query parameters) to bound state."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    e = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    srcs = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    dist = srcs.select("node", F.col("node").alias("src"), F.lit(0).alias("dist"))
+    for _ in range(3):
+        relaxed = (
+            sym.join(dist, sym.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                dist.src.alias("src"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .unionByName(dist.select("node", "src", "dist"))
+        )
+        dist = (
+            relaxed.groupBy("node", "src")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("src").alias("source"), "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("source", "node")
