@@ -2597,3 +2597,292 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("lang", "doc_id", "q", "sample_key", "rank")
     )
+
+
+@register(
+    "t_cooccurrence_pmi",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, u.term, u.pos
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS arr FROM documents),
+        LATERAL (SELECT unnest(arr) AS term,
+                        unnest(generate_series(1, len(arr))) AS pos) u
+        WHERE u.term <> ''
+    ),
+    uni AS (SELECT term, count(*) AS n_term FROM t GROUP BY 1),
+    ntok AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM t),
+    raw AS (
+        SELECT least(a.term, b.term) AS term_a,
+               greatest(a.term, b.term) AS term_b
+        FROM t a
+        JOIN t b ON b.doc_id = a.doc_id
+            AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)
+        WHERE a.term <> b.term
+    ),
+    npair AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM raw),
+    pairs AS (
+        SELECT term_a, term_b, count(*) AS n_pair
+        FROM raw GROUP BY 1, 2 HAVING count(*) >= 10
+    )
+    SELECT term_a, term_b, n_pair,
+        round(log10(CAST(n_pair AS DOUBLE) * nt * nt
+                    / (np * CAST(ua.n_term AS DOUBLE) * ub.n_term)), 6) AS pmi
+    FROM pairs
+    JOIN uni ua ON ua.term = term_a
+    JOIN uni ub ON ub.term = term_b
+    CROSS JOIN ntok CROSS JOIN npair
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 50
+    """,
+    tags=("text", "pmi", "cooccurrence"),
+)
+def t_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed word co-occurrence PMI: pointwise mutual information of
+    unordered word pairs co-occurring within a ±2-token window — the
+    association statistic under GloVe/word2vec-era corpus analysis and
+    the collocation detector ("new york" scores high, "the of" scores
+    at chance) a tokenizer-vocabulary build consults. Top-50 pairs with
+    >= 10 co-occurrences by PMI.
+
+    Shape: the window join is OFFSET-KEYED — each token re-keys itself
+    at (doc, pos+1) and (doc, pos+2) and equi-joins the token table on
+    (doc, pos) — so pair generation is 2x linear in corpus tokens,
+    never a per-document quadratic self-join. Unigram counts join on
+    term (Zipf-skewed; AQE splits the hot keys — at cluster scale
+    broadcast the head of the vocabulary). One integer-count aggregate
+    per side, mirrored IEEE log10 ratio rounded to 6dp, and the top-50
+    plans as TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(D.normalized_text("text"), " ")).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    # both the token table and the raw pair stream feed multiple consumers
+    # (unigram counts + total + join probes; pair total + pair counts) —
+    # persist each once so the tokenize/join subtree evaluates once
+    toks = scoped_persist(toks, "t_cooccurrence_pmi.toks")
+    right = toks.select("doc_id", "pos", F.col("term").alias("term_b"))
+    left = None
+    for off in (1, 2):
+        part = toks.select(
+            "doc_id",
+            (F.col("pos") + off).alias("pos"),
+            F.col("term").alias("term_a"),
+        )
+        left = part if left is None else left.unionByName(part)
+    raw = scoped_persist(
+        left.join(right, ["doc_id", "pos"])
+        .filter(F.col("term_a") != F.col("term_b"))
+        .select(
+            F.least("term_a", "term_b").alias("term_a"),
+            F.greatest("term_a", "term_b").alias("term_b"),
+        ),
+        "t_cooccurrence_pmi.raw",
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("n_term"))
+    ntok = toks.agg(F.count("*").cast("double").alias("nt"))
+    npair = raw.agg(F.count("*").cast("double").alias("np"))
+    pairs = (
+        raw.groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 10)
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_term").alias("_na"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_term").alias("_nb"))
+    return (
+        pairs.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(npair))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            F.round(
+                F.log10(
+                    F.col("n_pair").cast("double")
+                    * F.col("nt")
+                    * F.col("nt")
+                    / (F.col("np") * F.col("_na").cast("double") * F.col("_nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(50)
+    )
+
+
+@register(
+    "t_shard_planner",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(max(octet_length(encode(text))) AS BIGINT) AS max_doc_bytes,
+        CAST(floor((sum(octet_length(encode(text))) + 65535) / 65536.0)
+             AS BIGINT) AS n_shards,
+        CAST(floor(
+            (count(*) + floor((sum(octet_length(encode(text))) + 65535)
+                              / 65536.0) - 1)
+            / floor((sum(octet_length(encode(text))) + 65535) / 65536.0)
+        ) AS BIGINT) AS docs_per_shard
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, source
+    """,
+    tags=("text", "layout", "planner"),
+)
+def t_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-layout shard planner: per (lang, source) stratum, the
+    number of target-size output shards (ceil of byte mass / 64 KiB at
+    test scale — swap in 256 MiB for real parquet) and the docs-per-
+    shard quota — the table a corpus writer consults to repartition
+    before the final write so no stratum emits either a 10 GB monolith
+    or ten thousand 1 KB files (the small-files problem IS a scale
+    bug). max_doc_bytes flags strata where one document alone busts the
+    shard target. Exact integer arithmetic (ceil via (n + d - 1) / d in
+    mirrored floor form), one aggregation pass, |strata| output rows."""
+    d = table(spark, sf_dir, "documents")
+    nbytes = F.octet_length(F.encode("text", "utf-8"))
+    agg = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nbytes).cast("long").alias("total_bytes"),
+        F.max(nbytes).cast("long").alias("max_doc_bytes"),
+    )
+    shards = F.floor((F.col("total_bytes") + 65535) / F.lit(65536.0))
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_bytes",
+        "max_doc_bytes",
+        shards.cast("long").alias("n_shards"),
+        F.floor((F.col("n_docs") + shards - 1) / shards)
+        .cast("long")
+        .alias("docs_per_shard"),
+    ).orderBy("lang", "source")
+
+
+@register(
+    "t_chi2_keywords",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, term
+        FROM (SELECT source, unnest(string_split({_NORM}, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ),
+    st AS (SELECT source, term, count(*) AS a FROM t GROUP BY 1, 2),
+    term_tot AS (SELECT term, count(*) AS t_all FROM t GROUP BY 1),
+    src_tot AS (SELECT source, count(*) AS s_all FROM t GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM t),
+    cells AS (
+        SELECT st.source, st.term, st.a,
+            CAST(term_tot.t_all - st.a AS DOUBLE) AS b,
+            CAST(src_tot.s_all - st.a AS DOUBLE) AS c,
+            CAST(nn - term_tot.t_all - src_tot.s_all + st.a AS DOUBLE) AS d,
+            nn
+        FROM st
+        JOIN term_tot ON term_tot.term = st.term
+        JOIN src_tot ON src_tot.source = st.source
+        CROSS JOIN n
+        WHERE st.a >= 5
+    ),
+    scored AS (
+        SELECT source, term, a,
+            round(nn * (a * d - b * c) * (a * d - b * c)
+                  / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2,
+            ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY round(nn * (a * d - b * c) * (a * d - b * c)
+                      / ((a + b) * (c + d) * (a + c) * (b + d)), 6) DESC,
+                    term
+            ) AS rank
+        FROM cells
+        WHERE a * d > b * c
+    )
+    SELECT source, term, a AS term_count, chi2, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    ORDER BY source, rank
+    """,
+    tags=("text", "keyness", "chi2"),
+)
+def t_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per source by chi-squared keyness: for each
+    (source, term), the 2x2 contingency chi² of term-in-source vs
+    term-elsewhere, keeping positively associated terms (ad > bc) with
+    >= 5 in-source occurrences, top-10 per source — "what vocabulary
+    makes this feed different", the datacard row that catches a crawl
+    drifting into SEO spam or one source dominating a topic, and the
+    corpus-linguistics complement of t_tfidf_top_terms (which scores
+    docs, not sources). Integer counts widen to double in one mirrored
+    expression, so the statistic is cell-exact.
+
+    Shape: one tokenize pass feeds three aggregates (the (source, term)
+    cell table REUSES the token shuffle; term and source totals are its
+    rollups); the chi² math and per-source top-10 window run on the
+    bounded (source, term) aggregate, never raw tokens."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.split(D.normalized_text("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    st = scoped_persist(
+        toks.groupBy("source", "term").agg(F.count("*").alias("a")),
+        "t_chi2_keywords.st",
+    )
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("t_all"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("s_all"))
+    n = st.agg(F.sum("a").cast("double").alias("nn"))
+    cells = (
+        st.join(term_tot, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("a") >= 5)
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("t_all") - F.col("a")).cast("double").alias("b"),
+            (F.col("s_all") - F.col("a")).cast("double").alias("c"),
+            (F.col("nn") - F.col("t_all") - F.col("s_all") + F.col("a"))
+            .cast("double")
+            .alias("d"),
+            "nn",
+        )
+    )
+    a, b, c, dd, nn = (F.col(x) for x in ("a", "b", "c", "d", "nn"))
+    chi2 = F.round(
+        nn * (a * dd - b * c) * (a * dd - b * c)
+        / ((a + b) * (c + dd) * (a + c) * (b + dd)),
+        6,
+    )
+    scored = (
+        cells.filter(a * dd > b * c)
+        .withColumn("chi2", chi2)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("chi2"), "term")
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("rank") <= 10)
+        .select("source", "term", F.col("a").alias("term_count"), "chi2", "rank")
+        .orderBy("source", "rank")
+    )
