@@ -317,3 +317,61 @@ def ewma_by_key(
         .groupBy(*key_cols)
         .applyInPandas(one_group, schema=out_schema)
     )
+
+
+def holt_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) in event
+    order — the forecasting-grade upgrade of ewma_by_key: EWMA tracks a
+    level but lags any sustained ramp; Holt carries an explicit trend
+    state (l_t = a·x_t + (1-a)(l_{t-1}+b_{t-1});
+    b_t = β(l_t − l_{t-1}) + (1-β)b_{t-1}) so the one-step-ahead forecast
+    (l + b) stays on a moving series. Initialization: l_1 = x_1,
+    b_1 = x_2 − x_1 (standard), single-point series get trend 0.
+
+    Same applyInPandas contract and caveats as ewma_by_key (one group in
+    worker memory, order defined by order_col which must be unique per
+    key). The coupled two-state recursion is not expressible as a SQL
+    window frame OR a single list fold with scalar state, so this stays
+    a rows-only operator: tests pin numpy-reference equality,
+    repartition invariance, and the constant/linear-series fixed points.
+    Outputs level, trend, and the one-step forecast, 6dp-rounded."""
+    import numpy as np
+    import pandas as pd
+
+    sel_cols = [*key_cols, order_col, value_col]
+    out_schema = (
+        df.select(*sel_cols)
+        .schema.add("level", "double")
+        .add("trend", "double")
+        .add("forecast_next", "double")
+    )
+
+    def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col], kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        lvl = np.empty(n)
+        trd = np.empty(n)
+        lvl[0] = x[0]
+        trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+        for t in range(1, n):
+            prev_l, prev_b = lvl[t - 1], trd[t - 1]
+            lvl[t] = alpha * x[t] + (1.0 - alpha) * (prev_l + prev_b)
+            trd[t] = beta * (lvl[t] - prev_l) + (1.0 - beta) * prev_b
+        pdf["level"] = np.round(lvl, 6)
+        pdf["trend"] = np.round(trd, 6)
+        pdf["forecast_next"] = np.round(lvl + trd, 6)
+        return pdf
+
+    return (
+        df.select(*sel_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(one_group, schema=out_schema)
+    )

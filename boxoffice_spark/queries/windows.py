@@ -941,3 +941,217 @@ def w_seasonality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_name")
     )
+
+
+@register(
+    "w_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS d,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT status, count(*) AS n, {dsum_sql('rev')} AS s1,
+            {dsum_sql('rev * rev', 4)} AS s2
+        FROM daily GROUP BY 1
+    ),
+    walk AS (
+        SELECT status, d,
+            CAST(SUM(CAST(rev AS DECIMAL(38,2))) OVER (
+                PARTITION BY status ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS cum,
+            ROW_NUMBER() OVER (PARTITION BY status ORDER BY d) AS t
+        FROM daily
+    ),
+    scored AS (
+        SELECT w.status, w.d,
+            abs(w.cum - w.t * (s.s1 / s.n)) AS stat,
+            s.n, s.s1, s.s2,
+            ROW_NUMBER() OVER (
+                PARTITION BY w.status
+                ORDER BY abs(w.cum - w.t * (s.s1 / s.n)) DESC, w.d
+            ) AS rn
+        FROM walk w JOIN stats s ON s.status = w.status
+    )
+    SELECT status, n AS n_days, d AS changepoint_date,
+        round(stat, 4) AS max_abs_cusum,
+        round(stat / sqrt(((s2 - s1 * s1 / n) / (n - 1)) * n), 6)
+            AS norm_stat
+    FROM scored WHERE rn = 1
+    ORDER BY status
+    """,
+    tags=("window", "changepoint", "timeseries"),
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift change-point estimate per order status: the day
+    t maximizing |sum(rev_1..t) - t*mean| — where the cumulative walk of
+    deviations from the series mean turns around, i.e. the classic
+    cumulative-sum estimator of WHEN a level shift happened (the
+    follow-up question to w_anomaly_zscore's "something is off today").
+    Reports the argmax date, the max |CUSUM|, and the normalized
+    statistic max|S_t| / sqrt(var*n) (the Brownian-bridge scaling used
+    for significance lookup).
+
+    Determinism: the cumulative revenue rides a DECIMAL running window
+    (exact at 2dp — the w_cumulative_sum rule), the mean enters once as
+    cum - t*(s1/n) in mirrored IEEE, variance comes from exact first and
+    second decimal moments. Scale: one shuffle to (status, day) grain;
+    all windows partition by status over the bounded daily aggregate —
+    never over raw orders; per-status stats broadcast."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"), F.to_date("o_orderdate").alias("d")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    stats = daily.groupBy("status").agg(
+        F.count("*").alias("n"),
+        dsum("rev").alias("s1"),
+        dsum(F.col("rev") * F.col("rev"), scale=4).alias("s2"),
+    )
+    wcum = (
+        W.partitionBy("status")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = daily.select(
+        "status",
+        "d",
+        F.sum(F.col("rev").cast("decimal(38,2)")).over(wcum).cast("double").alias(
+            "cum"
+        ),
+        F.row_number().over(W.partitionBy("status").orderBy("d")).alias("t"),
+    )
+    stat = F.abs(F.col("cum") - F.col("t") * (F.col("s1") / F.col("n")))
+    scored = walk.join(F.broadcast(stats), "status").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("status").orderBy(
+                F.abs(
+                    F.col("cum") - F.col("t") * (F.col("s1") / F.col("n"))
+                ).desc(),
+                "d",
+            )
+        ),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return (
+        scored.filter(F.col("rn") == 1)
+        .select(
+            "status",
+            F.col("n").alias("n_days"),
+            F.col("d").alias("changepoint_date"),
+            F.round(stat, 4).alias("max_abs_cusum"),
+            F.round(stat / F.sqrt(var * F.col("n")), 6).alias("norm_stat"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "w_purchase_gaps_survival",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT c.c_mktsegment AS segment,
+            date_diff('day',
+                LAG(CAST(o.o_orderdate AS DATE)) OVER (
+                    PARTITION BY o.o_custkey
+                    ORDER BY o.o_orderdate, o.o_orderkey
+                ),
+                CAST(o.o_orderdate AS DATE)) AS gap_days
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment, count(*) AS n_gaps,
+        {davg_sql('gap_days')} AS avg_gap_days,
+        round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+        round(CAST(sum(CASE WHEN gap_days > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS surv_30d,
+        round(CAST(sum(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS surv_90d,
+        round(CAST(sum(CASE WHEN gap_days > 365 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS surv_365d
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    tags=("window", "survival", "retention"),
+)
+def w_purchase_gaps_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-interval survival per market segment: the
+    distribution of days between a customer's consecutive orders —
+    mean, exact median, and the empirical survival fractions S(30)/
+    S(90)/S(365) (share of gaps longer than t) — the repurchase-cycle /
+    churn-horizon statistic that calibrates "customer is lapsed after N
+    days" rules, which w_cohort_retention's fixed day-offsets can't
+    express. LAG over one per-customer window builds the gaps; the
+    survival readout is a single grouped aggregate over them.
+
+    Cell-exact: gaps are exact integer day counts, the mean rides
+    davg's decimal path, the median is the F.percentile <->
+    quantile_cont pairing, and survival shares are integer-count IEEE
+    divisions. Scale: one customer-key window over orders, one
+    |segments|-row aggregate — no self-join, no per-customer collect."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    wlag = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.lag(F.to_date("o_orderdate")).over(wlag),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    surv = lambda t: F.round(  # noqa: E731
+        F.sum(F.when(F.col("gap_days") > t, 1).otherwise(0)).cast("double")
+        / F.count("*"),
+        6,
+    )
+    return (
+        gaps.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            davg("gap_days").alias("avg_gap_days"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias(
+                "median_gap_days"
+            ),
+            surv(30).alias("surv_30d"),
+            surv(90).alias("surv_90d"),
+            surv(365).alias("surv_365d"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "w_holt_trend",
+    oracle=None,
+    tags=("window", "timeseries", "pandas-op"),
+)
+def w_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status Holt double-exponential smoothing of daily revenue
+    (level + trend + one-step forecast) — what the EWMA baseline can't
+    give: an explicit trend state, so a sustained ramp forecasts ahead
+    instead of lagging behind (operators/temporal.holt_by_key). Rows-only
+    by construction: the coupled two-state recursion is neither a SQL
+    window frame nor a scalar list fold; numpy-reference equality,
+    repartition invariance, and constant/linear fixed points are pinned
+    in tests/test_temporal.py. Same applyInPandas scale contract as
+    w_ewma_daily_revenue: one (status) group's daily series in worker
+    memory at a time — the series length is calendar-bounded."""
+    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.operators.temporal import holt_by_key
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    )
+    return holt_by_key(daily, ["status"], "day", "revenue", alpha=0.5, beta=0.3)

@@ -313,3 +313,74 @@ def test_event_funnel_strict_stage_ordering(spark):
     assert got[2] == (True, True, False)   # purchase predates view: no conversion
     assert got[3] == (True, False, False)  # click predates view: no conversion
     assert got[4] == (True, True, True)    # ties chain on the >= boundary
+
+
+class TestHoltByKey:
+    def _ref(self, xs, alpha=0.5, beta=0.3):
+        lvl = [xs[0]]
+        trd = [(xs[1] - xs[0]) if len(xs) > 1 else 0.0]
+        for t in range(1, len(xs)):
+            l = alpha * xs[t] + (1.0 - alpha) * (lvl[-1] + trd[-1])
+            b = beta * (l - lvl[-1]) + (1.0 - beta) * trd[-1]
+            lvl.append(l)
+            trd.append(b)
+        return [round(v, 6) for v in lvl], [round(v, 6) for v in trd]
+
+    def test_matches_sequential_reference(self, spark):
+        from boxoffice_spark.operators.temporal import holt_by_key
+
+        xs = [10.0, 12.0, 15.0, 14.0, 20.0, 26.0, 25.0]
+        df = spark.createDataFrame(
+            [("k", i, x) for i, x in enumerate(xs)], "k string, t int, x double"
+        )
+        out = {
+            r.t: (r.level, r.trend, r.forecast_next)
+            for r in holt_by_key(df, ["k"], "t", "x").collect()
+        }
+        lvl, trd = self._ref(xs)
+        for t in range(len(xs)):
+            assert out[t][0] == lvl[t], (t, out[t], lvl[t])
+            assert out[t][1] == trd[t], (t, out[t], trd[t])
+
+    def test_repartition_invariant(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        fn = load_all()["w_holt_trend"].fn
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        # the operator sorts inside each group, so input partitioning
+        # must not matter
+        from boxoffice_spark.functions.numeric import dsum
+        from boxoffice_spark.operators.temporal import holt_by_key
+        from boxoffice_spark.tables import table
+        from pyspark.sql import functions as F
+
+        o = table(spark, sf_dir, "orders")
+        daily = (
+            o.filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+            .groupBy(
+                F.col("o_orderstatus").alias("status"),
+                F.to_date("o_orderdate").alias("day"),
+            )
+            .agg(dsum("o_totalprice", scale=2).alias("revenue"))
+            .repartition(13)
+        )
+        again = sorted(
+            map(tuple, holt_by_key(daily, ["status"], "day", "revenue").collect())
+        )
+        assert base == again
+
+    def test_constant_and_linear_fixed_points(self, spark):
+        from boxoffice_spark.operators.temporal import holt_by_key
+
+        const = [("c", i, 5.0) for i in range(10)]
+        lin = [("l", i, 2.0 + 3.0 * i) for i in range(10)]
+        df = spark.createDataFrame(const + lin, "k string, t int, x double")
+        rows = holt_by_key(df, ["k"], "t", "x").collect()
+        for r in rows:
+            if r.k == "c":
+                assert r.level == 5.0 and r.trend == 0.0
+            else:
+                # a perfect line is a fixed point: level tracks exactly,
+                # trend holds the slope
+                assert abs(r.level - (2.0 + 3.0 * r.t)) < 1e-9, r
+                assert abs(r.trend - 3.0) < 1e-9, r
