@@ -788,3 +788,70 @@ def e_gdpr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_rows)
         .orderBy("subject_id", "source_table", "record_id")
     )
+
+
+@register(
+    "e_merge_full",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+        SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        coalesce(s.c_name, t.c_name) AS c_name,
+        coalesce(s.c_acctbal, t.c_acctbal) AS acctbal,
+        CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                 THEN 'updated'
+             WHEN t.c_custkey IS NULL THEN 'inserted'
+             ELSE 'kept' END AS action
+    FROM target t FULL OUTER JOIN src s ON s.c_custkey = t.c_custkey
+    WHERE NOT (s.c_custkey IS NULL AND t.c_acctbal < 0)
+    ORDER BY c_custkey
+    """,
+    tags=("etl", "merge", "cdc"),
+)
+def e_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-clause MERGE semantics — WHEN MATCHED UPDATE, WHEN NOT
+    MATCHED INSERT, WHEN NOT MATCHED BY SOURCE (conditionally) DELETE —
+    the full ANSI/Delta MERGE contract, one step past e_upsert_merge's
+    upsert-only shape: a staging feed both mutates and RETIRES dimension
+    rows in a single statement (here: target-only customers with
+    negative balances are dropped, the collections-handoff rule).
+    Derived target (custkey % 3 != 0) and staged source (custkey % 2 ==
+    0, balance +100) keep the query self-contained and scale-free; the
+    `action` column makes each clause's contribution auditable.
+
+    Shape: ONE full-outer equi-join on the merge key carries all three
+    clauses — no per-clause pass, no second scan of either side; at
+    100 TB the join AQE-splits and the delete condition is a residual
+    filter, exactly how Delta/Iceberg plan MERGE joins."""
+    c = table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("t_key"),
+        F.col("c_name").alias("t_name"),
+        F.col("c_acctbal").alias("t_bal"),
+    )
+    src = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("s_key"),
+        F.col("c_name").alias("s_name"),
+        (F.col("c_acctbal") + 100).alias("s_bal"),
+    )
+    merged = target.join(src, target.t_key == src.s_key, "full_outer")
+    action = (
+        F.when(F.col("t_key").isNotNull() & F.col("s_key").isNotNull(), "updated")
+        .when(F.col("t_key").isNull(), "inserted")
+        .otherwise("kept")
+    )
+    return (
+        merged.filter(~(F.col("s_key").isNull() & (F.col("t_bal") < 0)))
+        .select(
+            F.coalesce("t_key", "s_key").alias("c_custkey"),
+            F.coalesce("s_name", "t_name").alias("c_name"),
+            F.coalesce("s_bal", "t_bal").alias("acctbal"),
+            action.alias("action"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -348,3 +348,59 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2,
         max_block_names=None,
     )
+
+
+@register(
+    "j_band_join_bucketed",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal,
+        round(abs(c.c_acctbal - s.s_acctbal), 2) AS bal_diff
+    FROM customer c
+    JOIN supplier s ON abs(c.c_acctbal - s.s_acctbal) <= 1.0
+    ORDER BY c.c_custkey, s.s_suppkey
+    """,
+    tags=("join", "band", "theta"),
+)
+def j_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join — every (customer, supplier) pair whose account
+    balances agree within ±1.00, the reconciliation / entity-matching
+    shape ("which counterparty records almost-agree") that a naive
+    engine plans as a cross product with a theta filter. Here the band
+    is EQUI-JOINED: each supplier explodes to its floor(balance) bucket
+    and both neighbors, customers key to their own bucket, and the
+    exact |diff| <= 1 predicate runs as a residual filter — any
+    qualifying pair lands in exactly one exploded bucket (|floor(a) -
+    floor(b)| <= 1 whenever |a - b| <= 1), so no dedup pass is needed.
+    The oracle states the declarative theta form; the Spark plan never
+    contains a CartesianProduct (plan-gated registry-wide).
+
+    At 100 TB: shuffle cost is 3x the small side's rows on integer
+    bucket keys; bucket width trades replication factor against
+    residual selectivity — the standard interval/band-join technique
+    (DB2/Blink 'banded join', Spark range-join hints)."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    sx = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                F.floor("s_acctbal") - 1, F.floor("s_acctbal"), F.floor("s_acctbal") + 1
+            )
+        ).alias("bucket"),
+    )
+    cx = c.select("c_custkey", "c_acctbal", F.floor("c_acctbal").alias("bucket"))
+    return (
+        cx.join(sx, "bucket")
+        .filter(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) <= 1.0)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            "c_acctbal",
+            "s_acctbal",
+            F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias(
+                "bal_diff"
+            ),
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )
