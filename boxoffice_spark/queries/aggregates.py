@@ -8,7 +8,7 @@ TakeOrderedAndProject (per-partition heaps, no global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from boxoffice_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from boxoffice_spark.registry import register
@@ -980,3 +980,171 @@ def a_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     ).orderBy("brand")
+
+
+@register(
+    "a_gini_concentration",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+            {dsum_sql('o.o_totalprice')} AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, x,
+            ROW_NUMBER() OVER (
+                PARTITION BY segment ORDER BY x, o_custkey
+            ) AS i,
+            ROW_NUMBER() OVER (
+                PARTITION BY segment ORDER BY x DESC, o_custkey
+            ) AS i_desc,
+            COUNT(*) OVER (PARTITION BY segment) AS n_seg
+        FROM spend
+    ),
+    agg AS (
+        SELECT segment, count(*) AS n,
+            {dsum_sql('x')} AS sx, {dsum_sql('i * x', 2)} AS six,
+            {dsum_sql('CASE WHEN i_desc <= n_seg / 10 THEN x ELSE 0 END', 2)} AS top_decile_x
+        FROM ranked GROUP BY 1
+    )
+    SELECT segment, n,
+        round(sx, 2) AS total_spend,
+        round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini,
+        round(top_decile_x / sx, 6) AS top_decile_share
+    FROM agg
+    ORDER BY segment
+    """,
+    tags=("agg", "gini", "concentration"),
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report per market segment: the Gini
+    coefficient of per-customer spend (0 = perfectly even, ->1 = one
+    whale) plus the top-decile revenue share — the inequality statistics
+    behind "80% of revenue from 20% of customers" claims, per segment so
+    segments are comparable. Gini from the rank formula
+    G = (2*Σ(i·x_i) − (n+1)·Σx) / (n·Σx) on the ascending-sorted spend.
+
+    Cell-exact: ranks are deterministic (spend asc, custkey tie-break),
+    i·x is exact at 2dp so the cross moment decimal-sums, and the final
+    expression is mirrored IEEE. Scale: the sort is a per-SEGMENT window
+    over the per-customer aggregate (never raw orders, never a single
+    global partition); at extreme cardinality swap the exact rank for a
+    quantile-histogram Lorenz approximation, same output schema."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    wi = W.partitionBy("segment").orderBy("x", "o_custkey")
+    wd = W.partitionBy("segment").orderBy(F.desc("x"), "o_custkey")
+    wn = W.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "x",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wd).alias("i_desc"),
+        F.count("*").over(wn).alias("_n_seg"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        dsum("x").alias("sx"),
+        dsum(F.col("i") * F.col("x"), scale=2).alias("six"),
+        dsum(
+            F.when(F.col("i_desc") <= F.col("_n_seg") / 10, F.col("x")).otherwise(
+                F.lit(0)
+            ),
+            scale=2,
+        ).alias("top_decile_x"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return agg.select(
+        "segment",
+        "n",
+        F.round(sx, 2).alias("total_spend"),
+        F.round((2 * six - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+        F.round(F.col("top_decile_x") / sx, 6).alias("top_decile_share"),
+    ).orderBy("segment")
+
+
+@register(
+    "a_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_type AS category, p.p_partkey,
+            {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    walk AS (
+        SELECT category, p_partkey, revenue,
+            CAST(SUM(CAST(revenue AS DECIMAL(38,4))) OVER (
+                PARTITION BY category ORDER BY revenue DESC, p_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS cum_rev,
+            CAST(SUM(CAST(revenue AS DECIMAL(38,4))) OVER (
+                PARTITION BY category
+            ) AS DOUBLE) AS tot_rev
+        FROM rev
+    )
+    SELECT category, p_partkey, revenue,
+        round(cum_rev / tot_rev, 6) AS cum_share,
+        CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+             WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+             ELSE 'C' END AS abc_class
+    FROM walk
+    ORDER BY category, cum_share
+    """,
+    tags=("agg", "abc", "pareto"),
+)
+def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification per part category: parts
+    sorted by revenue contribution, cumulative share, and the classic
+    A (first 80% of revenue) / B (to 95%) / C (tail) class — the
+    analysis that decides which SKUs get counted weekly vs yearly, and
+    the long-tail cut a curation pipeline applies to sources. Cumulative
+    revenue rides a DECIMAL running window (w_cumulative_sum rule) and
+    the share is one mirrored IEEE division, so the class boundaries are
+    cell-exact. All windows partition by category over the per-part
+    aggregate — bounded, never global, never over raw lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("category"), "p_partkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            )
+        )
+    )
+    wcum = (
+        W.partitionBy("category")
+        .orderBy(F.desc("revenue"), "p_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = rev.select(
+        "category",
+        "p_partkey",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(38,4)"))
+        .over(wcum)
+        .cast("double")
+        .alias("cum_rev"),
+        F.sum(F.col("revenue").cast("decimal(38,4)"))
+        .over(W.partitionBy("category"))
+        .cast("double")
+        .alias("tot_rev"),
+    )
+    share = F.col("cum_rev") / F.col("tot_rev")
+    return walk.select(
+        "category",
+        "p_partkey",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    ).orderBy("category", "cum_share")

@@ -332,3 +332,88 @@ class TestPcaWhitening:
         assert {k: tuple(v) for k, v in rows.items()} == {
             k: tuple(v) for k, v in again.items()
         }
+
+
+class TestBatch6to9Invariants:
+    """Operator-level contracts for the round's batch 6-9 statistics
+    queries — each is ALSO oracle-checked cell-for-cell by
+    test_queries_oracle.py; these pin the semantic invariants a value
+    hash can't express (probability laws, monotonicity, bound checks)."""
+
+    def test_event_transitions_rows_are_distributions(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        out = load_all()["w_event_transitions"].fn(spark, sf_dir).collect()
+        by_from = {}
+        for r in out:
+            by_from.setdefault(r.from_type, []).append(r.p_transition)
+            assert 0.0 < r.p_transition <= 1.0
+        for src, ps in by_from.items():
+            assert abs(sum(ps) - 1.0) < 1e-4, (src, sum(ps))
+
+    def test_gini_bounds_and_decile_share(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        for r in load_all()["a_gini_concentration"].fn(spark, sf_dir).collect():
+            assert 0.0 <= r.gini < 1.0, r
+            # the top decile can never hold less than 10% of revenue
+            # minus tie slack, and never more than all of it
+            assert 0.0 <= r.top_decile_share <= 1.0, r
+
+    def test_abc_share_monotone_and_complete(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        rows = load_all()["a_abc_classification"].fn(spark, sf_dir).collect()
+        by_cat = {}
+        for r in rows:
+            assert r.abc_class in ("A", "B", "C")
+            by_cat.setdefault(r.category, []).append(r.cum_share)
+        for cat, shares in by_cat.items():
+            assert shares == sorted(shares), cat
+            assert abs(shares[-1] - 1.0) < 1e-5, (cat, shares[-1])
+
+    def test_bfs_sources_at_zero_and_depth_bound(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        rows = load_all()["g_bfs_distances"].fn(spark, sf_dir).collect()
+        assert rows, "graph is non-empty at every fixture sf"
+        srcs = {r.source for r in rows}
+        assert len(srcs) == 3
+        for r in rows:
+            assert 0 <= r.dist <= 3
+            if r.node == r.source:
+                assert r.dist == 0
+
+    def test_band_join_residual_holds(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        rows = load_all()["j_band_join_bucketed"].fn(spark, sf_dir).collect()
+        for r in rows:
+            assert abs(r.c_acctbal - r.s_acctbal) <= 1.0 + 1e-9, r
+        # no duplicate pairs from the ±1 bucket explode
+        pairs = [(r.c_custkey, r.s_suppkey) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
+    def test_merge_full_clause_partition(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        rows = load_all()["e_merge_full"].fn(spark, sf_dir).collect()
+        for r in rows:
+            k = r.c_custkey
+            if r.action == "inserted":
+                assert k % 2 == 0 and k % 3 == 0  # source-only keys
+            elif r.action == "updated":
+                assert k % 3 != 0 and k % 2 == 0
+            else:  # kept: target-only, delete condition not met
+                assert k % 3 != 0 and k % 2 != 0
+
+    def test_cusum_stat_nonnegative_and_dated(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        rows = load_all()["w_cusum_changepoint"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.max_abs_cusum >= 0.0
+            assert r.norm_stat >= 0.0
+            assert r.changepoint_date is not None
+            assert r.n_days > 0
