@@ -108,24 +108,39 @@ _PINNED = [
     "w_rfm_segments",  # threshold-scored RFM quartile segmentation
     "w_event_transitions",  # first-order Markov matrix over event flow
     "w_seasonality_indices",  # day-of-week ratio-to-overall decomposition
+    # -- NEW round 5 batch 7: association/community/changepoint statistics
+    "t_cooccurrence_pmi",  # windowed word-pair PMI, offset-keyed join
+    "g_label_propagation",  # sync LPA communities, unrolled-CTE oracle
+    "w_cusum_changepoint",  # CUSUM mean-shift estimate per status
+    "dq_partition_gaps",  # gaps-and-islands ingest-calendar audit
+    # -- NEW round 5 batch 8: BFS distances, full MERGE, layout planner,
+    #    bucketed band join — all cell-exact
+    "g_bfs_distances",  # multi-source hop distances, unrolled-CTE oracle
+    "e_merge_full",  # tri-clause MERGE incl. NOT MATCHED BY SOURCE delete
+    "t_shard_planner",  # output-shard sizing per stratum, integer-exact
+    "j_band_join_bucketed",  # theta band join as equi-join + residual
+    # -- NEW round 5 batch 9: concentration/robustness statistics, cell-exact
+    "a_gini_concentration",  # per-segment Gini + top-decile share
+    "a_abc_classification",  # Pareto ABC classes via decimal running share
+    "w_purchase_gaps_survival",  # inter-purchase gap survival readout
+    "dq_volume_anomaly_mad",  # median/MAD robust outlier days
+    # -- NEW round 5 batch 10: keyness, forecasting, streaming Markov twin
+    "t_chi2_keywords",  # chi-squared distinctive terms per source, cell-exact
+    "w_holt_trend",  # rows-only: Holt level+trend applyInPandas recursion
+    "s_stream_event_transitions",  # rows-only: stateful boundary-exact twin
     # -- rows-only rotation: first driver rows for the approximate tier
     # (t_winnow_fast, t_compression_gate, s_stream_dedup,
-    # s_stream_drift_monitor, s_stream_cluster_maintenance rotate to the
-    # round-6 window — batch 6's cell-exact queries outrank a 3rd/4th
-    # stream twin for the 50 slots)
-    "t_minhash_lsh_pairs",
+    # s_stream_drift_monitor, s_stream_cluster_maintenance,
+    # v_ann_ivfpq_topk, v_cluster_balance, t_content_chunks,
+    # t_chunk_dup_pairs, m_asset_features, m_frame_sample,
+    # v_ann_pq_topk, v_mmr_diversify, v_ann_lsh_topk, v_ann_ivf_topk,
+    # t_minhash_lsh_pairs rotate to the round-6 window — batches
+    # 6-10's new queries outrank extra rows-only entries for the 50
+    # slots; 11 rows-only rows remain in the window (v_ann_recall_report
+    # exercises every ANN tier in one row), covering the VERDICT r04
+    # item-4 ask)
     "t_quality_classifier",
-    "v_ann_lsh_topk",
-    "v_ann_ivf_topk",
-    "v_ann_pq_topk",
-    "v_ann_ivfpq_topk",
     "v_ann_recall_report",
-    "v_mmr_diversify",
-    "v_cluster_balance",
-    "m_asset_features",
-    "m_frame_sample",
-    "t_content_chunks",
-    "t_chunk_dup_pairs",
     "s_stream_scd2_maintenance",  # NEW round 5: foreachBatch SCD2 merge
 ]
 

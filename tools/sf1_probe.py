@@ -97,6 +97,14 @@ HEAVY = [
     "g_link_prediction",
     "a_kmv_overlap",
     "t_dedup_recall_report",
+    # round-5 batches 6-8 heavy legs: the offset-keyed token pair join
+    # (2x linear in tokens but token-heavy; the vocab join is the skew
+    # spot), 3 rounds of edge-join iteration each for LPA / BFS, and the
+    # order-local basket pair expansion
+    "t_cooccurrence_pmi",
+    "g_label_propagation",
+    "g_bfs_distances",
+    "a_market_basket_lift",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
