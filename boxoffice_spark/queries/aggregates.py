@@ -1148,3 +1148,207 @@ def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     ).orderBy("category", "cum_share")
+
+
+@register(
+    "a_spearman_rank_corr",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+            count(*) AS freq, {dsum_sql('o.o_totalprice')} AS spend
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment,
+            ROW_NUMBER() OVER (
+                PARTITION BY segment ORDER BY spend, o_custkey
+            ) AS r_spend,
+            ROW_NUMBER() OVER (
+                PARTITION BY segment ORDER BY freq, o_custkey
+            ) AS r_freq
+        FROM per_cust
+    )
+    SELECT segment, count(*) AS n,
+        round(1.0 - 6.0 * CAST(sum(
+            (r_spend - r_freq) * (r_spend - r_freq)) AS BIGINT)
+            / (CAST(count(*) AS DOUBLE)
+               * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6)
+            AS spearman_rho
+    FROM ranked GROUP BY 1
+    ORDER BY segment
+    """,
+    tags=("agg", "correlation", "rank"),
+)
+def a_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer SPEND and order
+    FREQUENCY per segment: do the customers who order most often also
+    spend the most, monotonically? The robust (rank-space) complement of
+    Pearson r that survives the heavy-tailed spend distribution —
+    rho = 1 − 6Σd²/(n(n²−1)) on deterministically tie-broken ranks
+    (custkey breaks ties identically in both engines; documented as
+    Spearman-on-broken-ties rather than averaged-rank Spearman).
+
+    Cell-exact: ranks and Σd² are exact integers, the closing expression
+    is one mirrored IEEE division. Scale: two per-SEGMENT windows over
+    the per-customer aggregate, one |segments|-row readout — the rank
+    windows never see raw orders."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.count("*").alias("freq"), dsum("o_totalprice").alias("spend"))
+    )
+    ranked = per_cust.select(
+        "segment",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("spend", "o_custkey"))
+        .alias("r_spend"),
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy("freq", "o_custkey"))
+        .alias("r_freq"),
+    )
+    d2 = (F.col("r_spend") - F.col("r_freq")) * (F.col("r_spend") - F.col("r_freq"))
+    n = F.count("*")
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            n.alias("n"),
+            F.round(
+                F.lit(1.0)
+                - 6.0
+                * F.sum(d2).cast("long")
+                / (n.cast("double") * (n.cast("double") * n - 1)),
+                6,
+            ).alias("spearman_rho"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "a_sample_estimate_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_totalprice AS x
+        FROM orders
+        WHERE substr(md5('aqp' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+              < '04000000'
+    ),
+    agg AS (
+        SELECT count(*) AS n_sample, {dsum_sql('x')} AS sx,
+            {dsum_sql('x * x', 4)} AS sxx
+        FROM s
+    ),
+    truth AS (
+        SELECT count(*) AS n_true, {dsum_sql('o_totalprice')} AS true_total
+        FROM orders
+    )
+    SELECT n_sample, n_true,
+        round(sx * 64, 2) AS est_total,
+        round(true_total, 2) AS true_total,
+        round(sqrt(sxx * (1.0 - 1.0 / 64)) * 64, 2) AS se,
+        round(abs(sx * 64 - true_total) / (sqrt(sxx * (1.0 - 1.0 / 64)) * 64), 6)
+            AS z_err,
+        abs(sx * 64 - true_total)
+            <= 1.96 * (sqrt(sxx * (1.0 - 1.0 / 64)) * 64) AS within_95ci
+    FROM agg CROSS JOIN truth
+    """,
+    tags=("agg", "aqp", "sampling"),
+)
+def a_sample_estimate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with an error bar: estimate total
+    order revenue from a deterministic ~1.6% Bernoulli sample (md5 hash
+    coin on the order key, the t_hash_sample rule) via the
+    Horvitz-Thompson estimator T = Σx/p, with its design-based standard
+    error se = sqrt(Σx²(1−p))/p — the sample-with-confidence pattern a
+    dashboard runs when the full scan is too expensive, made auditable
+    here by computing the TRUE total alongside and flagging whether it
+    falls inside the 95% interval. At 100 TB only the sample aggregate
+    runs (drop the truth columns); the estimator math is identical.
+
+    The inclusion probability is p = 1/64 EXACTLY (8-hex-digit md5
+    prefix < '04000000' — the operators/sampling lexicographic-coin
+    idiom with threshold 0x04000000/16^8), so the 64x scale factor is
+    binary-exact. Cell-exact: the sample is hash-deterministic, moments
+    ride decimal sums, estimator/SE/z arithmetic is token-mirrored."""
+    o = table(spark, sf_dir, "orders")
+    coin = F.substring(
+        F.md5(F.concat(F.lit("aqp"), F.col("o_orderkey").cast("string"))), 1, 8
+    )
+    s = o.filter(coin < "04000000").select(F.col("o_totalprice").alias("x"))
+    agg = s.agg(
+        F.count("*").alias("n_sample"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x"), scale=4).alias("sxx"),
+    )
+    truth = o.agg(
+        F.count("*").alias("n_true"), dsum("o_totalprice").alias("true_total")
+    )
+    est = F.col("sx") * 64
+    se = F.sqrt(F.col("sxx") * (1.0 - 1.0 / 64)) * 64
+    return agg.crossJoin(F.broadcast(truth)).select(
+        "n_sample",
+        "n_true",
+        F.round(est, 2).alias("est_total"),
+        F.round("true_total", 2).alias("true_total"),
+        F.round(se, 2).alias("se"),
+        F.round(F.abs(est - F.col("true_total")) / se, 6).alias("z_err"),
+        (F.abs(est - F.col("true_total")) <= 1.96 * se).alias("within_95ci"),
+    )
+
+
+@register(
+    "a_trimmed_mean",
+    oracle=f"""
+    WITH th AS (
+        SELECT o_orderpriority,
+            quantile_cont(o_totalprice, 0.05) AS p5,
+            quantile_cont(o_totalprice, 0.95) AS p95
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, count(*) AS n_all,
+        {davg_sql('o.o_totalprice')} AS mean_all,
+        count(CASE WHEN o.o_totalprice >= th.p5
+                    AND o.o_totalprice <= th.p95 THEN 1 END) AS n_kept,
+        ({dsum_sql("CASE WHEN o.o_totalprice >= th.p5 AND o.o_totalprice <= th.p95 THEN o.o_totalprice END", 6)}
+         / count(CASE WHEN o.o_totalprice >= th.p5
+                       AND o.o_totalprice <= th.p95 THEN 1 END)) AS trimmed_mean
+    FROM orders o JOIN th ON th.o_orderpriority = o.o_orderpriority
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("agg", "robust", "trimmed"),
+)
+def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of order value per priority class — the
+    robust central-tendency readout that doesn't move when a whale order
+    lands (the reporting-layer complement to dq_volume_anomaly_mad's
+    alarm): exact p5/p95 thresholds from one grouped percentile
+    aggregate, broadcast back, then a conditional decimal mean over the
+    kept middle 90%. Mean_all sits alongside so the whale influence is
+    visible as the gap between the two columns. Cell-exact; one
+    percentile pass + one conditional-aggregate pass, thresholds are a
+    |priorities|-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    th = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p5"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    kept = F.when(
+        (F.col("o_totalprice") >= F.col("p5"))
+        & (F.col("o_totalprice") <= F.col("p95")),
+        F.col("o_totalprice"),
+    )
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_all"),
+            davg("o_totalprice").alias("mean_all"),
+            F.count(kept).alias("n_kept"),
+            (dsum(kept, scale=6) / F.count(kept)).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1155,3 +1155,109 @@ def w_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", scale=2).alias("revenue"))
     )
     return holt_by_key(daily, ["status"], "day", "revenue", alpha=0.5, beta=0.3)
+
+
+@register(
+    "w_funnel_latency",
+    oracle=f"""
+    WITH ev AS (
+        SELECT * FROM ({_EVENTS_US}) WHERE event_id % 7 = 0
+    ),
+    per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+        FROM ev GROUP BY 1
+    ),
+    clicked AS (
+        SELECT p.user_id, p.view_ts, min(e.ts) AS click_ts
+        FROM per_user p
+        LEFT JOIN ev e
+          ON e.user_id = p.user_id AND e.event_type = 'click'
+         AND e.ts >= p.view_ts
+        GROUP BY 1, 2
+    ),
+    purchased AS (
+        SELECT c.user_id, c.view_ts, c.click_ts, min(e.ts) AS purchase_ts
+        FROM clicked c
+        LEFT JOIN ev e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts >= c.click_ts
+        GROUP BY 1, 2, 3
+    ),
+    lat AS (
+        SELECT
+            CAST(epoch_us(click_ts) - epoch_us(view_ts) AS DOUBLE) / 1000000
+                AS vc_secs,
+            CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS DOUBLE) / 1000000
+                AS cp_secs
+        FROM purchased
+    )
+    SELECT count(vc_secs) AS n_vc,
+        round(quantile_cont(vc_secs, 0.5), 4) AS p50_vc_secs,
+        round(quantile_cont(vc_secs, 0.9), 4) AS p90_vc_secs,
+        count(cp_secs) AS n_cp,
+        round(quantile_cont(cp_secs, 0.5), 4) AS p50_cp_secs,
+        round(quantile_cont(cp_secs, 0.9), 4) AS p90_cp_secs
+    FROM lat
+    """,
+    tags=("window", "funnel", "latency"),
+)
+def w_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for the ordered view->click->purchase
+    funnel — w_event_funnel answers HOW MANY users convert, this answers
+    HOW LONG each hop takes (p50/p90 seconds), which is what an SLA or a
+    campaign-attribution window is calibrated against. Same single
+    user_id window chain as the funnel (one shuffle, no self-joins);
+    latencies are exact microsecond-integer differences widened to
+    seconds in one mirrored expression, percentiles via the
+    F.percentile <-> quantile_cont pairing. Cell-exact."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("view_ts").alias("view_ts"),
+        F.first("click_ts").alias("click_ts"),
+        F.first("purchase_ts").alias("purchase_ts"),
+    )
+    vc = (
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).cast("double")
+        / 1000000
+    ).alias("vc_secs")
+    cp = (
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).cast("double")
+        / 1000000
+    ).alias("cp_secs")
+    lat = per_user.select(vc, cp)
+    return lat.agg(
+        F.count("vc_secs").alias("n_vc"),
+        F.round(F.percentile("vc_secs", F.lit(0.5)), 4).alias("p50_vc_secs"),
+        F.round(F.percentile("vc_secs", F.lit(0.9)), 4).alias("p90_vc_secs"),
+        F.count("cp_secs").alias("n_cp"),
+        F.round(F.percentile("cp_secs", F.lit(0.5)), 4).alias("p50_cp_secs"),
+        F.round(F.percentile("cp_secs", F.lit(0.9)), 4).alias("p90_cp_secs"),
+    )
