@@ -855,3 +855,82 @@ def e_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "e_scd2_vacuum",
+    oracle=f"""
+    WITH ev AS ({EVENTS_US_SQL}),
+    hist AS (
+        SELECT user_id, ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS valid_to,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS is_current,
+            value AS attr_value
+        FROM ev WHERE event_type = 'signup'
+    ),
+    flagged AS (
+        SELECT *,
+            (is_current OR valid_to > TIMESTAMP '2024-01-15') AS keep
+        FROM hist
+    ),
+    counted AS (
+        -- window BEFORE the keep filter: it must count the dropped rows
+        SELECT *,
+            CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY user_id) AS BIGINT) AS n_vacuumed_versions
+        FROM flagged
+    )
+    SELECT user_id, valid_from, valid_to, is_current, attr_value,
+        n_vacuumed_versions
+    FROM counted
+    WHERE keep
+    ORDER BY user_id, valid_from
+    """,
+    tags=("etl", "scd2", "retention"),
+)
+def e_scd2_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum over the SCD2 dimension history: keep every open
+    interval and every closed interval still visible to as-of reads at
+    or after the retention horizon (valid_to > T); versions that expired
+    strictly before T are dropped, with a per-user count of vacuumed
+    versions kept alongside for the audit log. This is the GDPR/storage
+    retention sweep a warehouse schedules against its dimension history
+    — e_scd2_history builds it, e_scd2_asof_read queries it, this
+    bounds how much of it lives forever. The keep rule is exactly
+    "interval intersects [T, inf)", so every as-of probe at t >= T
+    returns identical rows before and after the vacuum (the correctness
+    contract a retention job must prove). One user_id window chain, one
+    residual filter; cell-exact."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    hist = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("value").alias("attr_value"),
+    )
+    keep = F.col("is_current") | (F.col("valid_to") > F.lit("2024-01-15").cast("timestamp"))
+    flagged = hist.withColumn("keep", keep)
+    wn = Window.partitionBy("user_id")
+    return (
+        flagged.withColumn(
+            "n_vacuumed_versions",
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).over(wn).cast("long"),
+        )
+        .filter(F.col("keep"))
+        .select(
+            "user_id",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "attr_value",
+            "n_vacuumed_versions",
+        )
+        .orderBy("user_id", "valid_from")
+    )

@@ -233,3 +233,29 @@ def p_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
     ).select("o_custkey")
     return y96.join(y97, "o_custkey", "left_semi")
+
+
+@register(
+    "p_except_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O', 'P')
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    ORDER BY o_custkey
+    """,
+    tags=("relational", "set", "multiset"),
+)
+def p_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference with multiplicity: a customer
+    with 3 open/pending orders and 1 finished order keeps 2 rows, which
+    neither the anti-join (drops the key entirely) nor EXCEPT (dedups)
+    can express. The bag-semantics member of the U-family, via Spark's
+    native exceptAll (planned as a count-difference aggregate +
+    generate, one shuffle — not a join explosion). Cell-exact: row
+    multiplicities are integers."""
+    o = table(spark, sf_dir, "orders")
+    open_side = o.filter(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
+    done_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_side.exceptAll(done_side).orderBy("o_custkey")
