@@ -230,3 +230,67 @@ def j_interval_overlap_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum(F.col("o_totalprice"), scale=4).alias("revenue"),
     )
+
+
+@register(
+    "j_asof_next_error",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+         l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'error'),
+         pairs AS (
+             SELECT l.event_id,
+                    r.event_id AS error_id, r.ts AS error_ts,
+                    r.value AS error_value,
+                    row_number() OVER (
+                        PARTITION BY l.event_id
+                        ORDER BY r.ts ASC, r.event_id DESC
+                    ) AS rn
+             FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+         )
+    SELECT
+        l.event_id, l.user_id, l.ts,
+        s.error_id, s.error_ts, s.error_value,
+        (epoch_us(s.error_ts) - epoch_us(l.ts)) // 1000000 AS secs_to_error
+    FROM l LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) s ON s.event_id = l.event_id
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def j_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: attach to every view the same user's next
+    error event at or after it (null if the user never errors again) —
+    the time-to-next-failure / exposure-to-incident attachment, the
+    mirror of j_asof_last_purchase's backward scan and the second half
+    of the as-of contract (operators/temporal.asof_join
+    direction=\"forward\"). Same single-shuffle union+running-window
+    plan, just scanned in descending event time; among same-microsecond
+    errors the max event_id wins (the operator's documented tie rule,
+    spelled out in the oracle's window since native ASOF JOIN cannot
+    express it)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        views,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        tie_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_event_id").alias("error_id"),
+        F.col("r_ts").alias("error_ts"),
+        F.col("r_value").alias("error_value"),
+        F.expr("(unix_micros(r_ts) - unix_micros(ts)) div 1000000").alias(
+            "secs_to_error"
+        ),
+    )

@@ -1261,3 +1261,144 @@ def w_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("cp_secs", F.lit(0.5)), 4).alias("p50_cp_secs"),
         F.round(F.percentile("cp_secs", F.lit(0.9)), 4).alias("p90_cp_secs"),
     )
+
+
+@register(
+    "w_max_concurrency",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    gaps AS (
+        SELECT user_id, event_id, ts,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new_session
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id,
+            SUM(is_new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id,
+            ts
+        FROM gaps
+    ),
+    intervals AS (
+        SELECT user_id, session_id,
+            min(ts) AS s_start, max(ts) AS s_end
+        FROM sess GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT s_start AS ts, 1 AS plus, 0 AS minus FROM intervals
+        UNION ALL
+        SELECT s_end, 0, 1 FROM intervals
+    ),
+    per_ts AS (
+        SELECT ts, CAST(sum(plus) AS BIGINT) AS plus,
+            CAST(sum(minus) AS BIGINT) AS minus
+        FROM bounds GROUP BY 1
+    ),
+    walk AS (
+        SELECT ts, plus,
+            SUM(plus - minus) OVER (
+                ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - (plus - minus) + plus AS peak_at_ts
+        FROM per_ts
+    )
+    SELECT (SELECT count(*) FROM intervals) AS n_sessions,
+        CAST(max(peak_at_ts) AS BIGINT) AS peak_concurrency,
+        min(CASE WHEN peak_at_ts = (SELECT max(peak_at_ts) FROM walk)
+                 THEN ts END) AS peak_ts
+    FROM walk
+    """,
+    tags=("window", "sweepline", "concurrency"),
+)
+def w_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions and when it happened — the sweep-line
+    question behind capacity planning ("how many simultaneous users must
+    we serve") that pairwise interval joins can't answer: sessions (the
+    i_sessionize 30-min-gap derivation) become +1/-1 boundary events on
+    one timeline, aggregated per distinct timestamp so the peak is
+    order-independent inside a tie group (after all of a timestamp's
+    starts and before its ends, concurrency = running_net_before + plus
+    — closed intervals, so a session ending at t overlaps one starting
+    at t). Cell-exact: all integer arithmetic.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not one global sort of raw
+    boundaries: the within-hour running net is a window PARTITIONED by
+    the hour bucket; each bucket's exclusive starting offset is a
+    cumulative sum over the per-bucket totals, a window over the
+    BOUNDED |hours| aggregate (allowlisted in the plan gate on that
+    argument — the calendar bounds it, not the event volume). Raw
+    events are touched by exactly the sessionize windows; everything
+    after runs on per-timestamp then per-bucket aggregates."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = (
+        ev.withColumn(
+            "is_new_session", F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    sess = scoped_persist(sess, "w_max_concurrency.sessions")
+    bounds = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("plus"), F.lit(0).alias("minus")
+    ).unionAll(
+        sess.select(F.col("s_end").alias("ts"), F.lit(0), F.lit(1))
+    )
+    per_ts = bounds.groupBy("ts").agg(
+        F.sum("plus").cast("long").alias("plus"),
+        F.sum("minus").cast("long").alias("minus"),
+    )
+    # distributed prefix sum: hour-partitioned running net + exclusive
+    # per-bucket offsets from the bounded bucket aggregate
+    per_ts = per_ts.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_bucket = per_ts.withColumn(
+        "run_in_bucket", F.sum(F.col("plus") - F.col("minus")).over(wb)
+    )
+    bucket_tot = per_ts.groupBy("bucket").agg(
+        F.sum(F.col("plus") - F.col("minus")).alias("net")
+    )
+    wo = (
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = bucket_tot.select(
+        "bucket", (F.sum("net").over(wo) - F.col("net")).alias("offset")
+    )
+    walk = in_bucket.join(F.broadcast(offsets), "bucket").select(
+        "ts",
+        (
+            F.col("offset")
+            + F.col("run_in_bucket")
+            - (F.col("plus") - F.col("minus"))
+            + F.col("plus")
+        ).alias("peak_at_ts"),
+    )
+    n_sessions = sess.agg(F.count("*").alias("n")).select("n")
+    peak = walk.agg(F.max("peak_at_ts").alias("m"))
+    return (
+        walk.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(n_sessions))
+        .agg(
+            F.first("n").alias("n_sessions"),
+            F.first("m").cast("long").alias("peak_concurrency"),
+            F.min(F.when(F.col("peak_at_ts") == F.col("m"), F.col("ts"))).alias(
+                "peak_ts"
+            ),
+        )
+    )

@@ -279,6 +279,7 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "v_cluster_balance",       # n_cells aggregate rows
         "w_rolling_hll_distinct",  # per-day sketch rows (bounded; see docstring)
         "dq_partition_gaps",       # LEAD over the distinct-date spine (bounded)
+        "w_max_concurrency",       # bucket-offset prefix sum over |hours| rows
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
     # positive control: the detector must actually FIND the known global
