@@ -582,7 +582,12 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT status, day, round(rev_d, 2) AS revenue,
         CAST(n_obs AS BIGINT) AS n_obs,
         round(mean_raw, 6) AS mean_7d,
-        round(std_raw, 6) AS std_7d,
+        -- std at 2dp, not 6: the second-moment window sum is a
+        -- DECIMAL(38,4) in the 1e14 range, and its decimal->double
+        -- conversion can differ by 1 ulp between engines (~5e-9 in the
+        -- sqrt) — harmless to zscore (relative 1e-15) but enough to flip
+        -- a 6dp rounding boundary a few times per 10k rows at sf0.1
+        round(std_raw, 2) AS std_7d,
         round(CASE WHEN std_raw > 0 THEN (rev_d - mean_raw) / std_raw END, 6)
             AS zscore,
         coalesce(CASE WHEN std_raw > 0
@@ -660,7 +665,7 @@ def w_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev_d", 2).alias("revenue"),
         F.col("n_obs").cast("long").alias("n_obs"),
         F.round("mean_raw", 6).alias("mean_7d"),
-        F.round("std_raw", 6).alias("std_7d"),
+        F.round("std_raw", 2).alias("std_7d"),
         F.round(z, 6).alias("zscore"),
         F.coalesce(
             F.when(
