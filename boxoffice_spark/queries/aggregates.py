@@ -1352,3 +1352,80 @@ def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a_moments_profile",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority, count(*) AS n,
+            {dsum_sql('o_totalprice')} AS s1,
+            {dsum_sql('o_totalprice * o_totalprice', 4)} AS s2,
+            {dsum_sql('(o_totalprice * o_totalprice) * o_totalprice', 2)} AS s3,
+            {dsum_sql('(o_totalprice * o_totalprice) * (o_totalprice * o_totalprice)', 2)} AS s4
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT o_orderpriority, n,
+            s1 / n AS mean,
+            s2 / n - (s1 / n) * (s1 / n) AS m2,
+            s3 / n - 3 * (s1 / n) * (s2 / n)
+                + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+            s4 / n - 4 * (s1 / n) * (s3 / n)
+                + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM s
+    )
+    SELECT o_orderpriority, n,
+        round(mean, 4) AS mean,
+        round(sqrt(m2), 4) AS stddev_pop,
+        round(m3 / pow(m2, 1.5), 6) AS skewness,
+        round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "moments", "profile"),
+)
+def a_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per priority class: population mean,
+    stddev, skewness (g1 = m3/m2^1.5) and excess kurtosis (g2 =
+    m4/m2² − 3) from one pass of raw power sums — the datacard row that
+    says whether a value column is symmetric, right-tailed, or
+    heavy-tailed before anyone fits thresholds to it (z-score gates
+    assume g1≈0; this is the check). Central moments expand from
+    S1..S4 in token-mirrored IEEE; the power sums ride decimal at
+    scale 2 (x³/x⁴ exceed both double's 53 bits and decimal(27)'s
+    room at full scale, but BOTH engines compute the identical
+    correctly-rounded double and cast it to the same 2dp decimal, so
+    the sums stay bit-deterministic — the determinism contract needs
+    identical inputs, not exact ones; a tie at the 2dp cast boundary
+    would need the double's full ~50-digit expansion to terminate in
+    5000…, which finite binary fractions of these magnitudes do not).
+    One aggregation pass, |groups| output rows, no second scan."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x, scale=4).alias("s2"),
+        dsum((x * x) * x, scale=2).alias("s3"),
+        dsum((x * x) * (x * x), scale=2).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * mean * mean * (F.col("s2") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(m2), 4).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("o_orderpriority")

@@ -1407,3 +1407,54 @@ def w_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "w_yoy_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT o_orderstatus AS status,
+            CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                AS month,
+            {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT status, month, round(revenue, 2) AS revenue,
+        round((revenue - LAG(revenue, 1) OVER w)
+              / LAG(revenue, 1) OVER w, 6) AS mom_growth,
+        round((revenue - LAG(revenue, 12) OVER w)
+              / LAG(revenue, 12) OVER w, 6) AS yoy_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY status ORDER BY month)
+    ORDER BY status, month
+    """,
+    tags=("window", "growth", "bi"),
+)
+def w_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth per order
+    status — the two deltas on every BI dashboard, derived from ONE
+    monthly aggregate with lag(1) and lag(12) over the same window
+    (Catalyst evaluates both lags in a single WindowExec over one
+    exchange). YoY is the seasonality-immune comparison
+    (w_seasonality_indices quantifies why MoM alone misleads); first
+    year rows carry null YoY by construction. Monthly revenue is
+    decimal-summed (exact 2dp), growth is one mirrored IEEE division
+    rounded at 6dp. Windows run over the bounded (status, month)
+    aggregate — at 100 TB this is a few hundred rows regardless of
+    order volume."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.to_date(F.date_trunc("month", F.to_date("o_orderdate"))).alias("month"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = W.partitionBy("status").orderBy("month")
+    rev = F.col("revenue")
+    mom = F.lag("revenue", 1).over(w)
+    yoy = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "status",
+        "month",
+        F.round(rev, 2).alias("revenue"),
+        F.round((rev - mom) / mom, 6).alias("mom_growth"),
+        F.round((rev - yoy) / yoy, 6).alias("yoy_growth"),
+    ).orderBy("status", "month")
