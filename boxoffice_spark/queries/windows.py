@@ -1458,3 +1458,107 @@ def w_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((rev - mom) / mom, 6).alias("mom_growth"),
         F.round((rev - yoy) / yoy, 6).alias("yoy_growth"),
     ).orderBy("status", "month")
+
+
+@register(
+    "w_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+            min(year(CAST(o_orderdate AS DATE)) * 12
+                + month(CAST(o_orderdate AS DATE))) AS cohort_idx
+        FROM orders GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_idx, count(*) AS cohort_size FROM firsts GROUP BY 1
+    ),
+    spend AS (
+        SELECT f.cohort_idx,
+            (year(CAST(o.o_orderdate AS DATE)) * 12
+             + month(CAST(o.o_orderdate AS DATE))) - f.cohort_idx
+                AS months_since,
+            {dsum_sql('o.o_totalprice')} AS rev
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    walk AS (
+        SELECT cohort_idx, months_since,
+            CAST(SUM(CAST(rev AS DECIMAL(27,2))) OVER (
+                PARTITION BY cohort_idx ORDER BY months_since
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS cum_rev
+        FROM spend
+    )
+    SELECT CAST(make_date(cohort_idx // 12, 1 + cohort_idx % 12, 1)
+                - INTERVAL 1 MONTH AS DATE) AS cohort_month,
+        CAST(months_since AS INT) AS months_since,
+        sizes.cohort_size,
+        round(cum_rev, 2) AS cum_revenue,
+        round(cum_rev / sizes.cohort_size, 6) AS ltv_per_customer
+    FROM walk JOIN sizes USING (cohort_idx)
+    WHERE months_since <= 24
+    ORDER BY cohort_month, months_since
+    """,
+    tags=("window", "cohort", "ltv"),
+)
+def w_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by
+    first-purchase month, cumulative revenue per cohort member at each
+    month offset (0..24) — the LTV trajectory that payback-period and
+    acquisition-spend decisions read, and the longitudinal complement
+    of w_cohort_retention's activity triangle. Month arithmetic is
+    pure-integer (year*12+month) so offsets agree across engines;
+    cumulative revenue rides a DECIMAL running window partitioned by
+    cohort; LTV is one mirrored IEEE division. Cell-exact.
+
+    Shape: one per-customer min-aggregate (the cohort map, broadcast
+    back), one (cohort, offset) aggregate, running windows over that
+    BOUNDED grid (|cohorts| x |offsets|, calendar-bounded regardless of
+    order volume)."""
+    o = table(spark, sf_dir, "orders")
+    midx = F.year(F.to_date("o_orderdate")) * 12 + F.month(F.to_date("o_orderdate"))
+    firsts = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_idx"))
+    sizes = firsts.groupBy("cohort_idx").agg(F.count("*").alias("cohort_size"))
+    spend = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_idx",
+            (midx - F.col("cohort_idx")).alias("months_since"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    wcum = (
+        W.partitionBy("cohort_idx")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    walk = spend.select(
+        "cohort_idx",
+        "months_since",
+        F.sum(F.col("rev").cast("decimal(27,2)"))
+        .over(wcum)
+        .cast("double")
+        .alias("cum_rev"),
+    )
+    cohort_month = F.add_months(
+        F.make_date(F.floor(F.col("cohort_idx") / 12).cast("int"), (F.col("cohort_idx") % 12 + 1).cast("int"), F.lit(1)),
+        -1,
+    )
+    return (
+        walk.join(F.broadcast(sizes), "cohort_idx")
+        .filter(F.col("months_since") <= 24)
+        .select(
+            cohort_month.alias("cohort_month"),
+            F.col("months_since").cast("int").alias("months_since"),
+            "cohort_size",
+            F.round("cum_rev", 2).alias("cum_revenue"),
+            # 6dp, the repo's division-rounding convention: cum/size is
+            # an exact rational that often terminates at 3 decimals, so a
+            # 2dp round sits ON .xx5 ties where the engines' round
+            # implementations disagree about the same double
+            F.round(F.col("cum_rev") / F.col("cohort_size"), 6).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "months_since")
+    )

@@ -128,12 +128,12 @@ _PINNED = [
     "t_chi2_keywords",  # chi-squared distinctive terms per source, cell-exact
     "w_holt_trend",  # rows-only: Holt level+trend applyInPandas recursion
     "s_stream_event_transitions",  # rows-only: stateful boundary-exact twin
-    # (batches 11-14 — a_spearman_rank_corr, a_sample_estimate_ci,
+    # (batches 11-15 — a_spearman_rank_corr, a_sample_estimate_ci,
     # a_trimmed_mean, w_funnel_latency, e_scd2_vacuum,
     # p_except_all_multiset, w_max_concurrency, j_asof_next_error,
-    # a_moments_profile, w_yoy_growth — are oracle-verified locally at
-    # sf0.01 AND sf0.1 and queued for the round-6 window: the 50 slots
-    # are full and evicting more of the rows-only rotation would
+    # a_moments_profile, w_yoy_growth, w_cohort_ltv — are oracle-verified
+    # locally at sf0.01 AND sf0.1 and queued for the round-6 window: the
+    # 50 slots are full and evicting more of the rows-only rotation would
     # undercut the VERDICT r04 item-4 quota)
     # -- rows-only rotation: first driver rows for the approximate tier
     # (t_winnow_fast, t_compression_gate, s_stream_dedup,
