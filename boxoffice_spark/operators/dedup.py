@@ -354,9 +354,19 @@ def minhash_lsh_pairs(
     # subexpression elimination), so the "functional" formulations all
     # re-evaluate the shingling or run row-at-a-time; min()-aggregates go
     # through whole-stage codegen and the shuffle carries (id, shingle) once.
-    words = spread(df).select(F.col(id_col), F.explode(shingles).alias("_g"))
+    # Hash each shingle STRING once (length-proportional cost), then derive
+    # the per-permutation draws by hashing the resulting 64-bit value with
+    # the permutation index (constant cost): xxhash64(xxhash64(g), j) is an
+    # independent-enough family for banding and cuts the string-hash work
+    # num_hashes-fold — at sf1 the signature scan dominated the tier's
+    # wall (alpha 0.93, the suite's worst; VERDICT r05 item 7).
+    words = (
+        spread(df)
+        .select(F.col(id_col), F.explode(shingles).alias("_g"))
+        .select(F.col(id_col), F.xxhash64("_g").alias("_h"))
+    )
     sigt = words.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_g", F.lit(j))).alias(f"_m{j}") for j in range(num_hashes)]
+        *[F.min(F.xxhash64("_h", F.lit(j))).alias(f"_m{j}") for j in range(num_hashes)]
     )
     # Post-aggregation the minima are real attributes, so banding them is
     # plain cheap projection. Postings carry only (id, band, bucket) —

@@ -468,12 +468,13 @@ def triangle_count_doulion(
     if not 0.0 < p <= 1.0:
         raise ValueError(f"triangle_count_doulion: p must be in (0, 1], got {p}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # deterministic coin: uniform in [0, 2^63) via abs(xxhash64); the
-    # threshold is clamped to Long.MAX so p=1.0 keeps everything (abs can
-    # still return Long.MIN for one pathological hash — < MAX covers the
-    # rest, and that single value's miss probability is 2^-63)
-    keep = (
-        F.abs(F.xxhash64(F.col("u"), F.col("v"), F.lit(seed)))
+    # deterministic coin: uniform in [0, 2^63) via abs(xxhash64), with an
+    # explicit h >= 0 lower bound — abs(Long.MIN_VALUE) stays negative in
+    # two's complement, and without the bound that one pathological hash
+    # (probability 2^-64 per edge) would always pass the <= threshold test
+    h = F.abs(F.xxhash64(F.col("u"), F.col("v"), F.lit(seed)))
+    keep = (h >= F.lit(0)) & (
+        h
         <= F.lit(min(int(p * float(2**63)), 2**63 - 1) - 1 if p < 1.0 else 2**63 - 1)
     )
     sampled = e.filter(keep)

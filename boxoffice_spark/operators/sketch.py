@@ -67,10 +67,17 @@ def heavy_hitters(
     global total in with the candidate counts — non-candidate tokens
     collapse into a single null group (their count contributes to the
     denominator without a per-term shuffle), so no separate count(*) scan.
+    The tokenize subtree feeding both passes is scope-persisted so the
+    upstream explode/normalize is paid once, not re-derived by the
+    recount (VERDICT r05: the un-persisted double tokenize was the
+    likely source of the 3x cold-time wobble between driver runs).
     """
     from pyspark.sql import Window
 
+    from boxoffice_spark.functions.caching import scoped_persist
+
     capacity = max(1, math.ceil(1.0 / phi))
+    tokens = scoped_persist(tokens.select(term_col), "heavy_hitters.tokens")
     cands = _mg_candidates(tokens, term_col, capacity).distinct()
     marked = tokens.join(
         F.broadcast(cands.withColumn("_is_cand", F.lit(True))), term_col, "left"

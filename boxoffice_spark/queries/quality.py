@@ -705,7 +705,8 @@ def dq_partition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dev.status, d, rev, dev.med_rev, mad.mad,
         round((rev - dev.med_rev) / (1.4826 * mad.mad), 6) AS robust_z
     FROM dev JOIN mad ON mad.status = dev.status
-    WHERE abs((rev - dev.med_rev) / (1.4826 * mad.mad)) > 3.5
+    WHERE mad.mad > 0
+      AND abs((rev - dev.med_rev) / (1.4826 * mad.mad)) > 3.5
     ORDER BY dev.status, d
     """,
     tags=("quality", "anomaly", "robust"),
@@ -739,10 +740,13 @@ def dq_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("status").agg(
         F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
     )
+    # mad == 0 (over half the days identical) would make z NULL in Spark
+    # but +/-inf in DuckDB's ieee mode; the explicit guard keeps the two
+    # engines cell-exact on degenerate calendars and mirrors the oracle.
     z = (F.col("rev") - F.col("med_rev")) / (1.4826 * F.col("mad"))
     return (
         dev.join(F.broadcast(mad), "status")
-        .filter(F.abs(z) > 3.5)
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3.5))
         .select(
             "status",
             "d",

@@ -2219,9 +2219,11 @@ def t_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own id), never of the doc itself — so two near-duplicate
     documents can never land on opposite sides of the split, the
     train/eval contamination that silently inflates benchmark numbers.
-    80/10/10 by md5 bucket: reproducible across runs, engines (the
-    oracle computes the identical buckets), and corpus growth (adding
-    docs never reshuffles existing groups' assignment). One scan + the
+    80/10/10 by md5 bucket: reproducible across runs and engines (the
+    oracle computes the identical buckets), and stable under corpus
+    growth WHILE cluster membership is stable — a new doc that bridges
+    two previously separate clusters re-keys the merged component (its
+    min-id label changes), which re-buckets those docs. One scan + the
     pair-graph components; the hash bucketing is a zero-shuffle
     projection."""
     from boxoffice_spark.operators.graph import connected_components_star
@@ -2496,7 +2498,6 @@ def t_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(
             ["n_tok", "doc_id"], ascending=[False, True], kind="mergesort"
         )
-        bins: list[tuple[int, int]] = []  # (remaining, n_docs) per bin id
         assign: dict[int, tuple[int, int]] = {}  # bin -> (n_docs, tokens)
         remaining: list[int] = []
         for _, row in pdf.iterrows():

@@ -1419,45 +1419,74 @@ def w_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             {dsum_sql('o_totalprice')} AS revenue
         FROM orders GROUP BY 1, 2
     )
-    SELECT status, month, round(revenue, 2) AS revenue,
-        round((revenue - LAG(revenue, 1) OVER w)
-              / LAG(revenue, 1) OVER w, 6) AS mom_growth,
-        round((revenue - LAG(revenue, 12) OVER w)
-              / LAG(revenue, 12) OVER w, 6) AS yoy_growth
-    FROM monthly
-    WINDOW w AS (PARTITION BY status ORDER BY month)
-    ORDER BY status, month
+    SELECT m.status, m.month, round(m.revenue, 2) AS revenue,
+        round((m.revenue - p1.revenue) / p1.revenue, 6) AS mom_growth,
+        round((m.revenue - p12.revenue) / p12.revenue, 6) AS yoy_growth
+    FROM monthly m
+    LEFT JOIN monthly p1 ON p1.status = m.status
+        AND p1.month = m.month - INTERVAL 1 MONTH
+    LEFT JOIN monthly p12 ON p12.status = m.status
+        AND p12.month = m.month - INTERVAL 12 MONTH
+    ORDER BY m.status, m.month
     """,
     tags=("window", "growth", "bi"),
 )
 def w_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month and year-over-year revenue growth per order
-    status — the two deltas on every BI dashboard, derived from ONE
-    monthly aggregate with lag(1) and lag(12) over the same window
-    (Catalyst evaluates both lags in a single WindowExec over one
-    exchange). YoY is the seasonality-immune comparison
+    status — the two deltas on every BI dashboard. The prior month and
+    prior year are looked up by CALENDAR arithmetic (self-join on
+    month - 1 / month - 12), not lag(k) over the row sequence: lag(12)
+    silently compares against the wrong month whenever a status skips a
+    month, while the explicit join yields null growth for genuinely
+    missing comparison months. YoY is the seasonality-immune comparison
     (w_seasonality_indices quantifies why MoM alone misleads); first
     year rows carry null YoY by construction. Monthly revenue is
     decimal-summed (exact 2dp), growth is one mirrored IEEE division
-    rounded at 6dp. Windows run over the bounded (status, month)
-    aggregate — at 100 TB this is a few hundred rows regardless of
-    order volume."""
+    rounded at 6dp. The joins run over the bounded (status, month)
+    aggregate — a few hundred rows regardless of order volume, so both
+    sides broadcast at 100 TB."""
     o = table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.col("o_orderstatus").alias("status"),
         F.to_date(F.date_trunc("month", F.to_date("o_orderdate"))).alias("month"),
     ).agg(dsum("o_totalprice").alias("revenue"))
-    w = W.partitionBy("status").orderBy("month")
     rev = F.col("revenue")
-    mom = F.lag("revenue", 1).over(w)
-    yoy = F.lag("revenue", 12).over(w)
-    return monthly.select(
-        "status",
-        "month",
-        F.round(rev, 2).alias("revenue"),
-        F.round((rev - mom) / mom, 6).alias("mom_growth"),
-        F.round((rev - yoy) / yoy, 6).alias("yoy_growth"),
-    ).orderBy("status", "month")
+    p1 = monthly.select(
+        F.col("status").alias("s1"),
+        F.col("month").alias("m1"),
+        F.col("revenue").alias("rev_m1"),
+    )
+    p12 = monthly.select(
+        F.col("status").alias("s12"),
+        F.col("month").alias("m12"),
+        F.col("revenue").alias("rev_m12"),
+    )
+    return (
+        monthly.join(
+            F.broadcast(p1),
+            (F.col("status") == F.col("s1"))
+            & (F.add_months(F.col("month"), -1) == F.col("m1")),
+            "left",
+        )
+        .join(
+            F.broadcast(p12),
+            (F.col("status") == F.col("s12"))
+            & (F.add_months(F.col("month"), -12) == F.col("m12")),
+            "left",
+        )
+        .select(
+            "status",
+            "month",
+            F.round(rev, 2).alias("revenue"),
+            F.round((rev - F.col("rev_m1")) / F.col("rev_m1"), 6).alias(
+                "mom_growth"
+            ),
+            F.round((rev - F.col("rev_m12")) / F.col("rev_m12"), 6).alias(
+                "yoy_growth"
+            ),
+        )
+        .orderBy("status", "month")
+    )
 
 
 @register(

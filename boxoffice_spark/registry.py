@@ -71,84 +71,56 @@ _QUERY_MODULES = [
 # pins earned their green rows in CORRECTNESS_r04 and rotate out.
 _PINNED = [
     "flagship_daily_topk_delta",
-    # -- the 4 never-driver-green oracle-backed queries (r01–r04 gap)
-    "k_group_topk_salted",
-    "g_triangle_census",  # also: oriented edge set now persisted (one eval)
-    "dq_benford_totalprice",
-    "dq_orders_constraints",  # fixed after the r02 red; never re-checked
-    # -- plan or oracle path changed round 5: fresh evidence required
-    "j_entity_resolution",  # clustering switched to connected_components_star
-    "t_ngram_jaccard_pairs",  # capless oracle path (max_postings=None)
-    "t_ngram_containment_pairs",  # capless oracle path (max_postings=None)
-    # -- NEW round 5: DOULION sampled triangle tier (rows-only)
-    "g_triangle_census_approx",
-    # -- NEW round 5: leakage-safe splits + corpus sourcing report
-    "t_cluster_safe_split",
-    "t_source_overlap_matrix",
-    "t_minhash_banded_pairs",  # deterministic MinHash+banding, cell-exact
-    "t_curriculum_phases",  # quality-annealed phase assignment
-    # -- NEW round 5 batch 2: overlap sketch, link prediction, anomaly gate
-    "a_kmv_overlap",  # KMV distinct/union/INTERSECTION sketch, cell-exact
-    "g_link_prediction",  # CN + Resource-Allocation top-k, cell-exact
-    "w_anomaly_zscore",  # decimal-deterministic rolling z-score flags
-    "t_dedup_recall_report",  # rows-only: tier recall scorecard
-    "k_skew_report",  # key-skew pre-flight diagnostic, cell-exact
-    "dq_freshness_sla",  # feed-staleness gate, cell-exact
-    "s_stream_kmv_merge",  # rows-only: order-free sketch merge twin
-    "t_sequence_packing_ffd",  # rows-only: FFD bin packing, applyInPandas
-    "t_weighted_sample",  # Efraimidis-Spirakis weighted sample, cell-exact
-    "a_ab_test_zstat",  # two-proportion experiment readout, cell-exact
-    "w_rolling_hll_distinct",  # rows-only: sketch-union sliding distinct
-    "e_gdpr_export",  # subject-access dossier, cell-exact
-    "g_degree_distribution",  # connectivity datacard histogram, cell-exact
-    "v_pca_whitening",  # rows-only: driver-fit whitener + corpus audit
-    # -- NEW round 5 batch 6: OLAP statistics family, all cell-exact
-    "a_market_basket_lift",  # association rules over order baskets
-    "a_regression_by_group",  # closed-form per-brand OLS trend + R^2
-    "w_rfm_segments",  # threshold-scored RFM quartile segmentation
-    "w_event_transitions",  # first-order Markov matrix over event flow
-    "w_seasonality_indices",  # day-of-week ratio-to-overall decomposition
-    # -- NEW round 5 batch 7: association/community/changepoint statistics
-    "t_cooccurrence_pmi",  # windowed word-pair PMI, offset-keyed join
-    "g_label_propagation",  # sync LPA communities, unrolled-CTE oracle
-    "w_cusum_changepoint",  # CUSUM mean-shift estimate per status
-    "dq_partition_gaps",  # gaps-and-islands ingest-calendar audit
-    # -- NEW round 5 batch 8: BFS distances, full MERGE, layout planner,
-    #    bucketed band join — all cell-exact
-    "g_bfs_distances",  # multi-source hop distances, unrolled-CTE oracle
-    "e_merge_full",  # tri-clause MERGE incl. NOT MATCHED BY SOURCE delete
-    "t_shard_planner",  # output-shard sizing per stratum, integer-exact
-    "j_band_join_bucketed",  # theta band join as equi-join + residual
-    # -- NEW round 5 batch 9: concentration/robustness statistics, cell-exact
-    "a_gini_concentration",  # per-segment Gini + top-decile share
-    "a_abc_classification",  # Pareto ABC classes via decimal running share
-    "w_purchase_gaps_survival",  # inter-purchase gap survival readout
-    "dq_volume_anomaly_mad",  # median/MAD robust outlier days
-    # -- NEW round 5 batch 10: keyness, forecasting, streaming Markov twin
-    "t_chi2_keywords",  # chi-squared distinctive terms per source, cell-exact
-    "w_holt_trend",  # rows-only: Holt level+trend applyInPandas recursion
-    "s_stream_event_transitions",  # rows-only: stateful boundary-exact twin
-    # (batches 11-15 — a_spearman_rank_corr, a_sample_estimate_ci,
-    # a_trimmed_mean, w_funnel_latency, e_scd2_vacuum,
-    # p_except_all_multiset, w_max_concurrency, j_asof_next_error,
-    # a_moments_profile, w_yoy_growth, w_cohort_ltv — are oracle-verified
-    # locally at sf0.01 AND sf0.1 and queued for the round-6 window: the
-    # 50 slots are full and evicting more of the rows-only rotation would
-    # undercut the VERDICT r04 item-4 quota)
-    # -- rows-only rotation: first driver rows for the approximate tier
-    # (t_winnow_fast, t_compression_gate, s_stream_dedup,
-    # s_stream_drift_monitor, s_stream_cluster_maintenance,
-    # v_ann_ivfpq_topk, v_cluster_balance, t_content_chunks,
-    # t_chunk_dup_pairs, m_asset_features, m_frame_sample,
-    # v_ann_pq_topk, v_mmr_diversify, v_ann_lsh_topk, v_ann_ivf_topk,
-    # t_minhash_lsh_pairs rotate to the round-6 window — batches
-    # 6-10's new queries outrank extra rows-only entries for the 50
-    # slots; 11 rows-only rows remain in the window (v_ann_recall_report
-    # exercises every ANN tier in one row), covering the VERDICT r04
-    # item-4 ask)
-    "t_quality_classifier",
-    "v_ann_recall_report",
-    "s_stream_scd2_maintenance",  # NEW round 5: foreachBatch SCD2 merge
+    # -- the 11 oracle-backed queries (round-5 batches 11-15) that have
+    # never earned a driver row: the r05 window was full when they landed
+    # (VERDICT r05 item 1). All verified hash-matching locally at sf0.01
+    # and sf0.1.
+    "a_moments_profile",
+    "a_sample_estimate_ci",
+    "a_spearman_rank_corr",
+    "a_trimmed_mean",
+    "e_scd2_vacuum",
+    "j_asof_next_error",
+    "p_except_all_multiset",
+    "w_cohort_ltv",
+    "w_funnel_latency",
+    "w_max_concurrency",
+    "w_yoy_growth",  # also: YoY/MoM re-keyed on calendar join (gap-safe)
+    # -- plan or oracle changed round 6: fresh evidence required
+    "dq_volume_anomaly_mad",  # MAD=0 zero-guard on both engines
+    "t_heavy_hitters",  # tokenize now scope-persisted across both passes
+    "g_triangle_census_approx",  # DOULION coin: explicit h >= 0 bound
+    # -- rows-only tier, never executed under the driver harness
+    # (VERDICT r05 item 5): one driver row each proving they run under
+    # the driver's Spark config; local property/equality tests remain
+    # the stronger correctness evidence.
+    "t_minhash_lsh_pairs",
+    "t_content_chunks",
+    "t_chunk_dup_pairs",
+    "t_winnow_fast",
+    "t_compression_gate",
+    "v_ann_lsh_topk",
+    "v_ann_ivf_topk",
+    "v_ann_pq_topk",
+    "v_ann_ivfpq_topk",
+    "v_cluster_balance",
+    "v_mmr_diversify",
+    "m_asset_features",
+    "m_frame_sample",
+    "s_stock_poll_stateful_latest",
+    "s_stream_tumbling_window",
+    "s_stream_dedup",
+    "s_stream_sessionize",
+    "s_stream_attribution_join",
+    "s_stream_static_enrich",
+    "s_stream_corpus_gate",
+    "s_stream_drift_monitor",
+    "s_stream_embedding_drift",
+    "s_stream_completeness",
+    "s_stream_cluster_maintenance",
+    # (with the 39 pins above, the union of r01-r06 driver windows covers
+    # every registered query at least once; the remaining slots carry the
+    # round-6 batches, pinned as they land below)
 ]
 
 

@@ -16,6 +16,24 @@ def _sorted_rows(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def _pin_file_order(*paths):
+    """Pin strictly increasing whole-second mtimes on the split files.
+
+    FileStreamSource orders files oldest-mtime-first; two back-to-back
+    writes can land on the SAME mtime (filesystem granularity), making
+    micro-batch order a coin flip. Order-dependent twins (CDC/SCD2,
+    transitions, first-arrival dedup) document "batches arrive in event
+    order" — the fixture must actually guarantee it (VERDICT r05 item 2).
+    """
+    import os
+    import time
+
+    base = int(time.time()) - 60 * len(paths)
+    for i, p in enumerate(paths):
+        t = base + 30 * i
+        os.utime(str(p), (t, t))
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir):
     streamed = tumbling_window_stream(spark, sf_dir)
     batch = i_tumbling_window(spark, sf_dir)
@@ -194,6 +212,7 @@ def test_stream_embedding_drift_multi_batch(spark, sf_dir, tmp_path):
     cut = t.num_rows // 2
     pq.write_table(t.slice(0, cut), str(tmp_path / "embeddings.parquet"))
     pq.write_table(t.slice(cut), str(tmp_path / "embeddings_2.parquet"))
+    _pin_file_order(tmp_path / "embeddings.parquet", tmp_path / "embeddings_2.parquet")
 
     got = sorted(map(tuple, stream_embedding_drift(spark, str(tmp_path)).collect()))
 
@@ -319,6 +338,7 @@ def test_stream_drift_monitor_multi_batch(spark, sf_dir, tmp_path):
     # probability, so batch 2 UPDATES counts batch 1 already emitted
     pq.write_table(t.slice(0, cut), str(tmp_path / "documents.parquet"))
     pq.write_table(t.slice(cut), str(tmp_path / "documents_2.parquet"))
+    _pin_file_order(tmp_path / "documents.parquet", tmp_path / "documents_2.parquet")
 
     got = sorted(map(tuple, stream_drift_monitor(spark, str(tmp_path)).collect()))
     full = spark.read.option("pathGlobFilter", "documents*.parquet").parquet(
@@ -369,6 +389,7 @@ def test_stream_completeness_multi_batch(spark, sf_dir, tmp_path):
     odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
     pq.write_table(even, str(tmp_path / "events.parquet"))
     pq.write_table(odd, str(tmp_path / "events_2.parquet"))
+    _pin_file_order(tmp_path / "events.parquet", tmp_path / "events_2.parquet")
 
     cols = [
         "day", "n_events", "n_null_value", "n_nonpos_value",
@@ -408,6 +429,7 @@ def test_stream_cluster_maintenance_multi_batch(spark, sf_dir, tmp_path):
     cut = t.num_rows // 2
     pq.write_table(t.slice(0, cut), str(tmp_path / "documents.parquet"))
     pq.write_table(t.slice(cut), str(tmp_path / "documents_2.parquet"))
+    _pin_file_order(tmp_path / "documents.parquet", tmp_path / "documents_2.parquet")
 
     got = sorted(map(tuple, stream_cluster_maintenance(spark, str(tmp_path)).collect()))
     # batch twin over BOTH files (t_dedup_clusters' fixture loader reads
@@ -480,6 +502,7 @@ def test_stream_scd2_multi_batch_time_ordered_split(spark, sf_dir, tmp_path):
     full_dir.mkdir()
     pq.write_table(t.slice(0, cut), str(split_dir / "events.parquet"))
     pq.write_table(t.slice(cut), str(split_dir / "events_2.parquet"))
+    _pin_file_order(split_dir / "events.parquet", split_dir / "events_2.parquet")
     # the batch twin reads {dir}/events.parquet — give it the SAME rows in
     # one file (tables.table does not glob)
     pq.write_table(t, str(full_dir / "events.parquet"))
@@ -548,6 +571,7 @@ def test_stream_kmv_merge_multi_batch_any_split(spark, sf_dir, tmp_path):
     odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
     pq.write_table(even, str(tmp_path / "events.parquet"))
     pq.write_table(odd, str(tmp_path / "events_2.parquet"))
+    _pin_file_order(tmp_path / "events.parquet", tmp_path / "events_2.parquet")
 
     got = sorted(map(tuple, stream_kmv_sketch_merge(spark, str(tmp_path)).collect()))
     full = spark.read.option("pathGlobFilter", "events*.parquet").parquet(str(tmp_path))
@@ -594,6 +618,7 @@ def test_stream_transitions_multi_batch_boundary_steps(spark, sf_dir, tmp_path):
     full_dir.mkdir()
     pq.write_table(t.slice(0, cut), str(split_dir / "events.parquet"))
     pq.write_table(t.slice(cut), str(split_dir / "events_2.parquet"))
+    _pin_file_order(split_dir / "events.parquet", split_dir / "events_2.parquet")
     # the batch twin reads {dir}/events.parquet (tables.table does not
     # glob) — give it the same rows in one file
     pq.write_table(t, str(full_dir / "events.parquet"))

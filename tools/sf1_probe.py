@@ -105,6 +105,14 @@ HEAVY = [
     "g_label_propagation",
     "g_bfs_distances",
     "a_market_basket_lift",
+    # round 6 (VERDICT r05 item 6): the round-5 statistics heavies —
+    # the sweep-line prefix sum (two sessionize windows over the event
+    # log), the per-segment rank windows behind Gini, the 3-step funnel
+    # window chain, and the chi-squared keyness tokenize fan-out
+    "w_max_concurrency",
+    "a_gini_concentration",
+    "w_funnel_latency",
+    "t_chi2_keywords",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
@@ -204,12 +212,30 @@ def generate(regen: bool = False) -> None:
             f" FROM read_parquet('{SRC}/part.parquet')"
         )
 
+    def events_select(i: int) -> str:
+        # new users with the SAME temporal pattern per copy: event count,
+        # per-hour arrival density, and funnel/transition structure all
+        # grow 10x (the row-linear shape the sweep-line and window probes
+        # must digest) while per-user history length stays flat — more
+        # traffic means more users, not 10x-longer sessions. Without this
+        # the round-6 event-table probes would measure a verbatim copy
+        # (alpha trivially 0).
+        if i == 0:
+            return f"SELECT * FROM read_parquet('{SRC}/events.parquet')"
+        return (
+            f"SELECT event_id + {i * 100_000_000} AS event_id, ts,"
+            f" user_id + {i * 10_000_000} AS user_id,"
+            f" event_type, value, props"
+            f" FROM read_parquet('{SRC}/events.parquet')"
+        )
+
     copy_union("documents", doc_select)
     copy_union("embeddings", emb_select)
     copy_union("lineitem", li_select)
     copy_union("orders", orders_select)
     copy_union("part", part_select)
-    for t in ["region", "nation", "customer", "supplier", "events"]:
+    copy_union("events", events_select)
+    for t in ["region", "nation", "customer", "supplier"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     con.close()
 
