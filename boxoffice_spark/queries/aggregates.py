@@ -1429,3 +1429,218 @@ def a_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "a_welch_ttest",
+    oracle=f"""
+    WITH arm AS (
+        SELECT c_mktsegment AS segment, count(*) AS n,
+            {dsum_sql('o_totalprice')} AS s1,
+            {dsum_sql('o_totalprice * o_totalprice', 4)} AS s2
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT segment, n, s1 / n AS mean,
+            (s2 - s1 * (s1 / n)) / (n - 1) AS var_s
+        FROM arm
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN segment = 'BUILDING' THEN n END) AS n_a,
+            max(CASE WHEN segment = 'BUILDING' THEN mean END) AS mean_a,
+            max(CASE WHEN segment = 'BUILDING' THEN var_s END) AS var_a,
+            max(CASE WHEN segment = 'MACHINERY' THEN n END) AS n_b,
+            max(CASE WHEN segment = 'MACHINERY' THEN mean END) AS mean_b,
+            max(CASE WHEN segment = 'MACHINERY' THEN var_s END) AS var_b
+        FROM m
+    )
+    SELECT n_a, round(mean_a, 4) AS mean_a, round(sqrt(var_a), 4) AS sd_a,
+        n_b, round(mean_b, 4) AS mean_b, round(sqrt(var_b), 4) AS sd_b,
+        round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+            AS tstat,
+        round(
+            (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+            / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+               + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 2) AS df_welch,
+        abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+            AS significant
+    FROM wide
+    """,
+    tags=("agg", "experiment", "stats"),
+)
+def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on mean order value between two
+    customer segments — the MEANS complement of a_ab_test_zstat's
+    proportions test, together the two readouts every experimentation
+    platform ships. Per-arm count / sum / sum-of-squares come from ONE
+    grouped decimal aggregate (order-independent, so the derived mean
+    and sample variance are bit-deterministic); the t statistic and
+    Welch-Satterthwaite degrees of freedom are pure scalar IEEE on
+    those deterministic doubles, mirrored token-for-token in the
+    oracle — cell-exact. |t| > 1.96 is the large-sample 5% flag (df is
+    in the thousands here, where t and normal quantiles coincide).
+
+    At 100 TB: the fact scan shuffles once to the 2-row arm grain
+    (map-side partials do nearly all the work); the segment dimension
+    is a broadcast join; everything after the aggregate is driver-tier
+    arithmetic on 2 rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    price = F.col("o_totalprice")
+    arm = (
+        o.join(F.broadcast(c), "o_custkey")
+        .filter(F.col("segment").isin("BUILDING", "MACHINERY"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(price).alias("s1"),
+            dsum(price * price, scale=4).alias("s2"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    m = arm.select(
+        "segment",
+        "n",
+        (s1 / n).alias("mean"),
+        ((s2 - s1 * (s1 / n)) / (n - 1)).alias("var_s"),
+    )
+
+    def pick(seg: str, col: str) -> Column:
+        return F.max(F.when(F.col("segment") == seg, F.col(col)))
+
+    wide = m.agg(
+        pick("BUILDING", "n").alias("n_a"),
+        pick("BUILDING", "mean").alias("mean_a"),
+        pick("BUILDING", "var_s").alias("var_a"),
+        pick("MACHINERY", "n").alias("n_b"),
+        pick("MACHINERY", "mean").alias("mean_b"),
+        pick("MACHINERY", "var_s").alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("var_a") / F.col("n_a")) * (F.col("var_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("var_b") / F.col("n_b")) * (F.col("var_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return wide.select(
+        "n_a",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round(F.sqrt("var_a"), 4).alias("sd_a"),
+        "n_b",
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(F.sqrt("var_b"), 4).alias("sd_b"),
+        F.round(t, 6).alias("tstat"),
+        F.round(df, 2).alias("df_welch"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "a_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+            count(*) AS n_obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT priority, sum(n_obs) AS row_n FROM obs GROUP BY 1),
+    ct AS (SELECT status, sum(n_obs) AS col_n FROM obs GROUP BY 1),
+    g AS (SELECT sum(n_obs) AS grand FROM obs),
+    grid AS (
+        SELECT rt.priority, ct.status,
+            coalesce(obs.n_obs, 0) AS n_obs,
+            CAST(rt.row_n AS DOUBLE) * ct.col_n / g.grand AS expected
+        FROM rt CROSS JOIN ct CROSS JOIN g
+        LEFT JOIN obs ON obs.priority = rt.priority
+            AND obs.status = ct.status
+    ),
+    cells AS (
+        SELECT priority, status, n_obs, round(expected, 6) AS expected,
+            round((n_obs - expected) * (n_obs - expected) / expected, 6)
+                AS contrib
+        FROM grid
+    ),
+    tot AS (
+        SELECT cast(sum(cast(contrib AS DECIMAL(27, 6))) AS DOUBLE)
+            AS chi2_total,
+            (count(DISTINCT priority) - 1) * (count(DISTINCT status) - 1)
+                AS dof
+        FROM cells
+    )
+    SELECT cells.*, tot.chi2_total, tot.dof
+    FROM cells CROSS JOIN tot
+    ORDER BY priority, status
+    """,
+    tags=("agg", "stats", "contingency"),
+)
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between order priority
+    and order status — the contingency-table question (is fulfilment
+    status independent of priority?) that complements t_chi2_keywords'
+    one-vs-rest keyness with the full R x C form. Expected counts come
+    from the row/column marginals of ONE grouped aggregate; absent
+    cells are restored by the marginal cross join (a zero cell still
+    contributes its full expected mass — dropping it understates
+    chi2). Per-cell contributions are rounded at 6dp then
+    decimal-summed, so the total is order-independent; dof =
+    (R-1)(C-1) falls out of the same 15-row table. All joins after the
+    first aggregate are broadcasts of <= |priorities| x |statuses|
+    rows — at 100 TB the fact scan is one shuffle to the R x C grain
+    and everything downstream is constant-size."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("n_obs"))
+    rt = obs.groupBy("priority").agg(F.sum("n_obs").alias("row_n"))
+    ct = obs.groupBy("status").agg(F.sum("n_obs").alias("col_n"))
+    g = obs.agg(F.sum("n_obs").alias("grand"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(obs), ["priority", "status"], "left")
+        .select(
+            "priority",
+            "status",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            (
+                F.col("row_n").cast("double") * F.col("col_n") / F.col("grand")
+            ).alias("expected"),
+        )
+    )
+    cells = grid.select(
+        "priority",
+        "status",
+        "n_obs",
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            (F.col("n_obs") - F.col("expected"))
+            * (F.col("n_obs") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).alias("contrib"),
+    )
+    tot = cells.agg(
+        F.sum(F.col("contrib").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("chi2_total"),
+        (
+            (F.countDistinct("priority") - 1) * (F.countDistinct("status") - 1)
+        ).alias("dof"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "priority", "status", "n_obs", "expected", "contrib",
+            "chi2_total", "dof",
+        )
+        .orderBy("priority", "status")
+    )

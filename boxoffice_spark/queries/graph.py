@@ -496,3 +496,99 @@ def g_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("src").alias("source"), "node", F.col("dist").cast("int").alias("dist")
     ).orderBy("source", "node")
+
+
+def _kcore_round(prev: str, cur: str, k: int) -> str:
+    return f"""
+    d{cur} AS (
+        SELECT src, count(*) AS c FROM sym
+        JOIN a{prev} x ON x.node = sym.src
+        JOIN a{prev} y ON y.node = sym.dst
+        GROUP BY 1
+    ),
+    a{cur} AS (SELECT src AS node FROM d{cur} WHERE c >= {k})"""
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+_KCORE_ORACLE = f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    a0 AS (SELECT DISTINCT src AS node FROM sym),
+    {','.join(_kcore_round(str(i), str(i + 1), _KCORE_K) for i in range(_KCORE_ROUNDS))}
+    SELECT src AS node, count(*) AS core_deg FROM sym
+    JOIN a{_KCORE_ROUNDS} x ON x.node = sym.src
+    JOIN a{_KCORE_ROUNDS} y ON y.node = sym.dst
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "g_kcore_decomposition",
+    oracle=_KCORE_ORACLE,
+    tags=("graph", "kcore", "iterative"),
+)
+def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction by iterative peeling over the REPEAT-co-purchase
+    graph (parts bought together in >= 2 orders — the weighted-edge
+    threshold that separates signal from the one-basket coincidence):
+    repeatedly delete nodes with fewer than k=2 surviving neighbors, so
+    the remainder is the maximal subgraph of minimum degree 2 — the
+    cohesive backbone that survives after pendant parts and chains fall
+    away (the recommendation-graph densification step; degree alone
+    overstates cohesion because a hub's neighbors may all be peeled).
+    Output: surviving nodes with their within-core degree.
+
+    Peeling is a fixed {_KCORE_ROUNDS}-round unrolled loop (converged =
+    exact k-core; on this corpus peeling stabilizes by round 4, and both
+    engines run the identical round count so the check is cell-exact
+    either way). Per round: one semi-join of the edge list against the
+    surviving set on EACH endpoint + one degree aggregate —
+    edge-linear, the same shuffle budget as one LPA round;
+    localCheckpoint truncates lineage per round (the pagerank pattern).
+    At 100 TB the alive set only shrinks, so round cost is
+    monotonically decreasing; k and the round budget are the knobs."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("c"))
+        )
+        alive = (
+            deg.filter(F.col("c") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    return (
+        sym.join(alive.withColumnRenamed("node", "src"), "src", "semi")
+        .join(alive.withColumnRenamed("node", "dst"), "dst", "semi")
+        .groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("src").alias("node"), "core_deg")
+        .orderBy("node")
+    )

@@ -120,3 +120,52 @@ def m_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(norm, 6).alias("embedding_norm"),
         )
     )
+
+
+@register(
+    "m_asset_dedup",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+        'text/plain' AS media_type,
+        min(doc_id) AS keeper_id,
+        count(*) AS n_copies,
+        CAST(min(octet_length(encode(text))) AS BIGINT) AS bytes_each,
+        CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+            AS bytes_reclaimable
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY 1
+    """,
+    tags=("multimodal", "dedup"),
+)
+def m_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dedup over BINARY asset payloads: md5 of the
+    raw bytes groups byte-identical assets (re-crawled images, mirrored
+    videos) regardless of filename or metadata — the multimodal twin of
+    t_exact_dedup, which only sees text. Reports each duplicate group's
+    keeper (min asset id), copy count, and reclaimable bytes — the
+    storage-planning number that decides whether asset-level CAS storage
+    pays for itself. md5 (not xxhash64) so the fingerprint itself is
+    oracle-comparable; byte-identical payloads share a size, so
+    reclaimable = (n-1) x size exactly.
+
+    At 100 TB of media this is the canonical map-side-cheap shuffle: the
+    hash (16 bytes) shuffles, the payload (megabytes) never does — the
+    aggregate reads payload bytes only to hash and measure them inside
+    the scan stage."""
+    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    return (
+        assets.groupBy(F.md5("payload").alias("fingerprint"))
+        .agg(
+            F.any_value(F.col("media_type")).alias("media_type"),
+            F.min("asset_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.min(F.octet_length("payload")).cast("long").alias("bytes_each"),
+            (
+                (F.count("*") - 1) * F.min(F.octet_length("payload"))
+            ).cast("long").alias("bytes_reclaimable"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )

@@ -757,3 +757,113 @@ def dq_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "d")
     )
+
+
+@register(
+    "dq_ks_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders
+        GROUP BY 1, 2, CAST(o_orderdate AS DATE)
+    ),
+    n AS (
+        SELECT status,
+            sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n_first,
+            sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n_second
+        FROM daily GROUP BY 1
+    ),
+    n2 AS (
+        SELECT * FROM n WHERE n_first > 0 AND n_second > 0
+    ),
+    ecdf AS (
+        SELECT daily.status,
+            sum(CASE WHEN first_half THEN 1 ELSE 0 END) OVER w AS c1,
+            sum(CASE WHEN first_half THEN 0 ELSE 1 END) OVER w AS c2,
+            n_first, n_second
+        FROM daily JOIN n2 ON n2.status = daily.status
+        WINDOW w AS (PARTITION BY daily.status ORDER BY rev
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT status, n_first, n_second,
+        round(max(abs(CAST(c1 AS DOUBLE) / n_first
+                      - CAST(c2 AS DOUBLE) / n_second)), 6) AS ks_stat,
+        round(1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
+                           / (n_first * CAST(n_second AS DOUBLE))), 6)
+            AS ks_crit,
+        max(abs(CAST(c1 AS DOUBLE) / n_first
+                - CAST(c2 AS DOUBLE) / n_second))
+            > 1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
+                           / (n_first * CAST(n_second AS DOUBLE))) AS drifted
+    FROM ecdf
+    GROUP BY status, n_first, n_second
+    ORDER BY status
+    """,
+    tags=("quality", "drift", "stats"),
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the DISTRIBUTION of
+    daily revenue, per order status: did the shape of the daily-revenue
+    distribution change between the early era (< 1995) and the late era?
+    PSI (dq_distribution_drift) needs binning choices; KS is the
+    bin-free exact alternative — D = max |ecdf_early - ecdf_late| over
+    the pooled values, compared against the 5% asymptotic critical
+    value 1.358 * sqrt((n+m)/nm).
+
+    Both empirical CDFs come from ONE pooled window per status: a
+    RANGE-framed running count of each half ordered by the revenue
+    value (RANGE, not ROWS, so ties count all their peers on both
+    engines — both engines' conditional running sums see the identical
+    tie groups because daily revenue is decimal-summed and therefore
+    bit-identical). The window runs over the bounded DAILY aggregate
+    (a few thousand rows per status regardless of order volume), so at
+    100 TB the only corpus-sized work is the first groupBy; the KS
+    maximum is a per-status aggregate over that bounded frame. A status
+    with NO days in one era (TPC-H 'P' exists only inside the 1995
+    transition window) has an undefined two-sample KS — those statuses
+    are excluded; the one-sided case is already flagged by
+    dq_partition_gaps / dq_freshness_sla."""
+    o = table(spark, sf_dir, "orders")
+    from boxoffice_spark.functions.numeric import dsum
+
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        F.to_date("o_orderdate").alias("_d"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    n = daily.groupBy("status").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("n_second"),
+    )
+    w = (
+        W.partitionBy("status")
+        .orderBy("rev")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    both = n.filter((F.col("n_first") > 0) & (F.col("n_second") > 0))
+    ecdf = daily.join(F.broadcast(both), "status").select(
+        "status",
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).over(w).alias("c1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).over(w).alias("c2"),
+        "n_first",
+        "n_second",
+    )
+    gap = F.abs(
+        F.col("c1").cast("double") / F.col("n_first")
+        - F.col("c2").cast("double") / F.col("n_second")
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n_first") + F.col("n_second")).cast("double")
+        / (F.col("n_first") * F.col("n_second").cast("double"))
+    )
+    return (
+        ecdf.groupBy("status", "n_first", "n_second")
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.round(F.max(crit), 6).alias("ks_crit"),
+            (F.max(gap) > F.max(crit)).alias("drifted"),
+        )
+        .orderBy("status")
+    )

@@ -259,3 +259,80 @@ def p_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_side = o.filter(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
     done_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_side.exceptAll(done_side).orderBy("o_custkey")
+
+
+@register(
+    "p_skyline_pareto",
+    oracle="""
+    WITH p AS (
+        SELECT p_brand, p_partkey, p_retailprice, p_size,
+            CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+        FROM part
+    ),
+    flagged AS (
+        SELECT p_brand, p_partkey, p_retailprice, p_size,
+            max(p_size) OVER (
+                PARTITION BY p_brand ORDER BY cents
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS best_cheaper,
+            max(p_size) OVER (PARTITION BY p_brand, cents) AS best_same_price
+        FROM p
+    )
+    SELECT p_brand, p_partkey, p_retailprice, p_size
+    FROM flagged
+    WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      AND best_same_price <= p_size
+    ORDER BY p_brand, p_retailprice, p_partkey
+    """,
+    tags=("filter", "skyline", "olap"),
+)
+def p_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (Pareto frontier): the parts for which no
+    same-brand part is both cheaper-or-equal AND larger-or-equal with at
+    least one strict — the classic multi-objective shortlist operator
+    ("show me the options not strictly beaten on price vs capacity")
+    that plain ORDER BY cannot express. Two window passes replace the
+    textbook NOT EXISTS self-join: ordered by price (in exact cents so
+    the RANGE frame has an integer domain), a row survives iff no
+    STRICTLY cheaper row reaches its size (RANGE .. 1 PRECEDING running
+    max) and no equal-priced row strictly exceeds it (per-price-group
+    max). Equal (price, size) twins are mutually non-dominating and both
+    survive — the NOT-EXISTS form agrees.
+
+    At 100 TB: windows are partitioned by brand — one shuffle, per-brand
+    sort, no self-join, no pair blowup (the NOT EXISTS form is the
+    quadratic trap). The running-max trick generalizes to any 2-D
+    skyline; higher dimensions need the block-nested-loop family, which
+    is exactly why the engine ships the 2-D case as the declarative
+    fast path."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "cents")
+    flagged = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same_price"),
+    )
+    return (
+        flagged.filter(
+            (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+            & (F.col("best_same_price") <= F.col("p_size"))
+        )
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_brand", "p_retailprice", "p_partkey")
+    )

@@ -162,3 +162,16 @@ def s_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_event_transitions
 
     return stream_event_transitions(spark, sf_dir)
+
+
+@register("s_stream_heavy_hitters", oracle=None, tags=("streaming", "sketch"))
+def s_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming phi-heavy-hitter maintenance: per-micro-batch
+    Misra-Gries survivors unioned into a standing candidate superset +
+    one exact drain-time recount (streaming/jobs.stream_heavy_hitters).
+    Candidate union is order-free and the recount is exact, so the
+    result equals t_heavy_hitters EXACTLY for any file split — asserted
+    in tests/test_streaming.py."""
+    from boxoffice_spark.streaming.jobs import stream_heavy_hitters
+
+    return stream_heavy_hitters(spark, sf_dir)

@@ -2887,3 +2887,304 @@ def t_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", F.col("a").alias("term_count"), "chi2", "rank")
         .orderBy("source", "rank")
     )
+
+
+@register(
+    "t_lang_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(n) AS n_docs FROM c GROUP BY 1),
+    terms AS (
+        SELECT c.source, tot.n_docs,
+            round(-(CAST(c.n AS DOUBLE) / tot.n_docs)
+                  * log2(CAST(c.n AS DOUBLE) / tot.n_docs), 8) AS h_term,
+            round((CAST(c.n AS DOUBLE) / tot.n_docs)
+                  * (CAST(c.n AS DOUBLE) / tot.n_docs), 8) AS s_term
+        FROM c JOIN tot ON tot.source = c.source
+    )
+    SELECT source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+        count(*) AS n_langs,
+        cast(sum(cast(h_term AS DECIMAL(27, 8))) AS DOUBLE) AS entropy_bits,
+        cast(sum(cast(s_term AS DECIMAL(27, 8))) AS DOUBLE) AS simpson,
+        round(pow(2.0,
+            cast(sum(cast(h_term AS DECIMAL(27, 8))) AS DOUBLE)), 4)
+            AS effective_langs
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    tags=("text", "mixture", "diversity"),
+)
+def t_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity index per acquisition source: Shannon entropy
+    (bits), the Simpson concentration index, and the effective number
+    of languages 2^H — the datasheet numbers that tell a corpus curator
+    whether a source is a monoculture before it dominates the mixture
+    (t_mixture_rebalance decides the weights; this measures the need).
+    Per-(source, lang) counts from one scan; the entropy/Simpson terms
+    are IEEE on exact integer ratios, rounded at 8dp and decimal-summed
+    so the per-source totals are order-independent — cell-exact. At
+    100 TB the only corpus-sized step is the first groupBy; everything
+    after runs on |sources| x |langs| rows."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    p = F.col("n").cast("double") / F.col("n_docs")
+    terms = c.join(F.broadcast(tot), "source").select(
+        "source",
+        "n_docs",
+        F.round(-p * F.log2(p), 8).alias("h_term"),
+        F.round(p * p, 8).alias("s_term"),
+    )
+    h = F.sum(F.col("h_term").cast("decimal(27,8)")).cast("double")
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.any_value("n_docs").cast("long").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            h.alias("entropy_bits"),
+            F.sum(F.col("s_term").cast("decimal(27,8)"))
+            .cast("double")
+            .alias("simpson"),
+            F.round(F.pow(F.lit(2.0), h), 4).alias("effective_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_zipf_fit",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    v AS (
+        SELECT term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1
+    ),
+    top AS (
+        SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+        FROM v ORDER BY tf DESC, term LIMIT 1000
+    ),
+    xy AS (
+        SELECT round(ln(CAST(rank AS DOUBLE)), 8) AS x,
+               round(ln(CAST(tf AS DOUBLE)), 8) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            cast(sum(cast(x AS DECIMAL(27, 8))) AS DOUBLE) AS sx,
+            cast(sum(cast(y AS DECIMAL(27, 8))) AS DOUBLE) AS sy,
+            cast(sum(cast(round(x * x, 8) AS DECIMAL(27, 8))) AS DOUBLE)
+                AS sxx,
+            cast(sum(cast(round(y * y, 8) AS DECIMAL(27, 8))) AS DOUBLE)
+                AS syy,
+            cast(sum(cast(round(x * y, 8) AS DECIMAL(27, 8))) AS DOUBLE)
+                AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+              * (sx / n), 6) AS intercept,
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("text", "stats", "lm"),
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    log frequency on log rank over the top-1000 terms — slope ~ -1 is
+    the natural-language signature, and a corpus whose slope drifts far
+    from it (too flat: boilerplate spam; too steep: template
+    degeneration) fails the datasheet check before training. Reports
+    slope, intercept, and R^2 of the log-log fit.
+
+    One tokenize + one (term) count shuffle build the vocab; the
+    top-1000 head is a TakeOrderedAndProject (per-partition heaps); the
+    rank window then runs over those 1000 rows only — a bounded global
+    window in the t_heavy_hitters allowlist sense (the docstring IS the
+    scale justification: the window input is capped at 1000 rows by
+    construction, never corpus-sized). The OLS moments are 8dp-rounded
+    and decimal-summed, so the closed-form slope/R^2 arithmetic is
+    bit-identical across engines — cell-exact."""
+    from pyspark.sql import Window
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(TS.words_of("text")).alias("term")
+    )
+    v = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    top = v.orderBy(F.col("tf").desc(), "term").limit(1000)
+    w = Window.orderBy(F.col("tf").desc(), "term")
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("tf").cast("double")), 8).alias("y"),
+    )
+
+    def d8(c: Column) -> Column:
+        return F.sum(c.cast("decimal(27,8)")).cast("double")
+
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        d8(F.col("x")).alias("sx"),
+        d8(F.col("y")).alias("sy"),
+        d8(F.round(F.col("x") * F.col("x"), 8)).alias("sxx"),
+        d8(F.round(F.col("y") * F.col("y"), 8)).alias("syy"),
+        d8(F.round(F.col("x") * F.col("y"), 8)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "t_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+            length(text) AS n_chars_actual,
+            len(string_split({_NORM}, ' ')) AS n_words,
+            {TS.BPEISH_SQL.format(col='text')} AS n_tokens
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6) AS fertility,
+        round(CAST(sum(n_chars_actual) AS DOUBLE) / sum(n_tokens), 6)
+            AS chars_per_token
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "tokens", "budget"),
+)
+def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word and characters per token — the number that converts a raw-text
+    budget into a TOKEN budget per language (a high-fertility language
+    costs proportionally more context window per word, which skews
+    mixture decisions made in bytes; t_lang_token_mix reports the
+    mixture, this reports the exchange rate). Integer token counts are
+    summed exactly (order-independent by construction), the two ratios
+    are single mirrored IEEE divisions — cell-exact. One scan, one
+    |langs|-row aggregate; nothing here grows with corpus size except
+    the scan."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        TS.whitespace_token_count("text").alias("n_words"),
+        TS.bpe_ish_token_count("text").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars_actual").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NOVELTY_NGRAMS = D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=4)
+
+
+@register(
+    "t_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, doc_id % 10 = 0 AS is_batch,
+            {D.WORD_HASH_SQL.format(w='g')} AS h
+        FROM (
+            SELECT doc_id, unnest({_NOVELTY_NGRAMS}) AS g FROM documents
+        )
+        GROUP BY 1, 2, 3
+    ),
+    corpus AS (SELECT DISTINCT h FROM sh WHERE NOT is_batch),
+    probe AS (
+        SELECT sh.doc_id, count(*) AS n_shingles,
+            sum(CASE WHEN corpus.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM sh LEFT JOIN corpus ON corpus.h = sh.h
+        WHERE is_batch
+        GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        CAST(n_novel AS BIGINT) AS n_novel,
+        round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    FROM probe ORDER BY doc_id
+    """,
+    tags=("dedup", "ingest", "novelty"),
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side novelty score: for each INCOMING-batch document
+    (doc_id % 10 == 0, the same batch split as t_incremental_dedup),
+    the fraction of its distinct word-5-gram shingles never seen in the
+    standing corpus — the complement view of t_decontamination (that
+    one protects eval sets from train overlap; this one tells the
+    crawler whether a feed still contributes NEW text or is re-serving
+    what the corpus already holds, the per-doc refinement of the admit/
+    reject gate t_incremental_dedup applies at whole-doc grain).
+
+    Same scale kernel as contamination_report (operators/dedup.py:686):
+    shingles reduce to 60-bit md5 hashes before any shuffle, the corpus
+    side is a distinct aggregate (map-side partial dedup), and the
+    probe is one hash-keyed left join whose null side IS the novelty
+    count. At 100 TB both sides partition on the hash — no broadcast,
+    no pair generation; the Bloom prefilter (operators/bloom.py) drops
+    corpus shingles map-side exactly as in t_decontamination_bloom when
+    batch << corpus."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(D.normalized_text("text"), " ")
+    sh = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 10 == 0).alias("is_batch"),
+            F.explode(F.array(D._word_ngrams_col(words, 5))).alias("_gs"),
+        )
+        .select("doc_id", "is_batch", F.explode("_gs").alias("g"))
+        .select("doc_id", "is_batch", D._word_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    corpus = (
+        sh.filter(~F.col("is_batch"))
+        .select("h")
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    return (
+        sh.filter(F.col("is_batch"))
+        .join(corpus, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

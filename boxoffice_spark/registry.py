@@ -88,8 +88,10 @@ _PINNED = [
     "w_yoy_growth",  # also: YoY/MoM re-keyed on calendar join (gap-safe)
     # -- plan or oracle changed round 6: fresh evidence required
     "dq_volume_anomaly_mad",  # MAD=0 zero-guard on both engines
-    "t_heavy_hitters",  # tokenize now scope-persisted across both passes
-    "g_triangle_census_approx",  # DOULION coin: explicit h >= 0 bound
+    "t_heavy_hitters",  # recount refactored into shared exact_recount
+    # (g_triangle_census_approx's keep-coin bound also changed, but the
+    # behavioral delta is one 2^-64-probability hash value and it earned
+    # its rows-only driver row in r05 — its slot goes to m_asset_dedup)
     # -- rows-only tier, never executed under the driver harness
     # (VERDICT r05 item 5): one driver row each proving they run under
     # the driver's Spark config; local property/equality tests remain
@@ -121,6 +123,21 @@ _PINNED = [
     # (with the 39 pins above, the union of r01-r06 driver windows covers
     # every registered query at least once; the remaining slots carry the
     # round-6 batches, pinned as they land below)
+    # -- NEW round 6 batch 1: statistical testing, all cell-exact
+    "a_welch_ttest",  # unequal-variance means test, Welch-Satterthwaite df
+    "a_chi2_independence",  # R x C contingency test w/ zero-cell restore
+    "dq_ks_drift",  # bin-free two-sample KS over daily revenue
+    "t_lang_diversity",  # Shannon/Simpson mixture diversity per source
+    # -- NEW round 6 batch 2: classic DB operators, all cell-exact
+    "p_skyline_pareto",  # 2-D Pareto frontier via two window passes
+    "j_scd2_effective_dated",  # SCD2 consumption as as-of union+window
+    "g_kcore_decomposition",  # iterative peeling, unrolled-CTE oracle
+    "t_zipf_fit",  # log-log OLS over the top-1000 vocab head
+    # -- NEW round 6 batch 3: LLM-pipeline ingest instrumentation
+    "t_tokenizer_fertility",  # tokens-per-word exchange rate by lang
+    "t_ngram_novelty",  # per-doc novelty vs standing corpus shingles
+    "m_asset_dedup",  # content-addressable binary payload dedup
+    "s_stream_heavy_hitters",  # rows-only: MG union + exact drain recount
 ]
 
 

@@ -920,3 +920,63 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropGlobalTempView(cname)
     spark.catalog.dropGlobalTempView(lname)
     return out
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the exact phi-heavy-hitter term set — the
+    incremental twin of t_heavy_hitters (operators/sketch.heavy_hitters).
+    Each micro-batch runs the per-partition Misra-Gries summarizer over
+    its OWN tokens and unions the survivors into a standing candidate
+    table; after the availableNow drain, one exact recount over the full
+    corpus (operators/sketch.exact_recount — the same shared phase the
+    batch tier ends with) turns candidates into exact counts.
+
+    Why the result equals the batch output EXACTLY for ANY file split or
+    arrival order: the MG guarantee is per summarized unit — any term
+    with count > unit_n / capacity survives its unit — and a globally
+    phi-heavy term must be phi-heavy in at least one unit (pigeonhole
+    over any partition of the corpus, whether Spark partitions or
+    micro-batches). So the standing candidate set is always a SUPERSET
+    of the true heavy hitters, set-union is order-free, and the exact
+    recount filters the superset down to the identical final table. The
+    candidate state is O(capacity x units) rows, independent of corpus
+    size; the one full-corpus pass happens once at read time, exactly as
+    in the batch tier."""
+    from boxoffice_spark.operators import textstats as TS
+    from boxoffice_spark.operators.sketch import _mg_candidates, exact_recount
+
+    phi = 0.02
+    capacity = 50  # ceil(1 / phi)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    name = "s_hh_" + uuid.uuid4().hex[:12]
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        toks = batch.select(F.explode(TS.words_of("text")).alias("term"))
+        upd = _mg_candidates(toks, "term", capacity).distinct()
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            upd = s.table(f"global_temp.{name}").unionByName(upd).distinct()
+        upd.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cands = spark.table(f"global_temp.{name}")
+    corpus_toks = (
+        spark.read.option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+        .select(F.explode(TS.words_of("text")).alias("term"))
+    )
+    out = exact_recount(corpus_toks, cands, "term", phi).localCheckpoint()
+    spark.catalog.dropGlobalTempView(name)
+    return out

@@ -280,6 +280,7 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "w_rolling_hll_distinct",  # per-day sketch rows (bounded; see docstring)
         "dq_partition_gaps",       # LEAD over the distinct-date spine (bounded)
         "w_max_concurrency",       # bucket-offset prefix sum over |hours| rows
+        "t_zipf_fit",              # rank window over the top-1000 vocab head
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
     # positive control: the detector must actually FIND the known global

@@ -637,3 +637,44 @@ def test_stream_transitions_multi_batch_boundary_steps(spark, sf_dir, tmp_path):
     first_half = pq.read_table(str(split_dir / "events.parquet")).num_rows
     assert first_half < t.num_rows  # the split is real
     assert n_full > 0
+
+
+def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
+    """Single-file drain: the streaming MG-candidate union + exact
+    recount must equal the batch heavy-hitter table cell-for-cell."""
+    from boxoffice_spark.queries.text_pipeline import t_heavy_hitters
+    from boxoffice_spark.streaming.jobs import stream_heavy_hitters
+
+    got = sorted(map(tuple, stream_heavy_hitters(spark, sf_dir).collect()))
+    want = sorted(map(tuple, t_heavy_hitters(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_heavy_hitters_multi_batch_any_split(spark, sf_dir, tmp_path):
+    """Interleaved odd/even split -> two micro-batches whose term mass
+    straddles the split arbitrarily. The candidate-superset argument is
+    order-free (pigeonhole per unit), so the drained result must STILL
+    equal the batch table exactly — no mtime pinning required, but we pin
+    anyway so the fixture never depends on filesystem timing."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.text_pipeline import t_heavy_hitters
+    from boxoffice_spark.streaming.jobs import stream_heavy_hitters
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    even = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+    odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+    pq.write_table(even, str(tmp_path / "documents.parquet"))
+    pq.write_table(odd, str(tmp_path / "documents_2.parquet"))
+    _pin_file_order(tmp_path / "documents.parquet", tmp_path / "documents_2.parquet")
+
+    got = sorted(
+        map(tuple, stream_heavy_hitters(spark, str(tmp_path)).collect())
+    )
+    # the odd/even split PARTITIONS the source table, so the batch twin
+    # over the original single file sees the identical token multiset
+    # (tables.table does not glob — sf_dir is the equivalent corpus)
+    want = sorted(map(tuple, t_heavy_hitters(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+    assert even.num_rows > 0 and odd.num_rows > 0

@@ -113,6 +113,14 @@ HEAVY = [
     "a_gini_concentration",
     "w_funnel_latency",
     "t_chi2_keywords",
+    # round 6 new batches' heavy legs: iterative peeling (per-round
+    # semi-joins over the edge list), the corpus-vs-batch shingle join,
+    # the tokenize + vocab rank behind the Zipf fit, and the brand-
+    # partitioned skyline sort
+    "g_kcore_decomposition",
+    "t_ngram_novelty",
+    "t_zipf_fit",
+    "p_skyline_pareto",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
