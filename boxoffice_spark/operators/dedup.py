@@ -359,7 +359,13 @@ def minhash_lsh_pairs(
     # the permutation index (constant cost): xxhash64(xxhash64(g), j) is an
     # independent-enough family for banding and cuts the string-hash work
     # num_hashes-fold — at sf1 the signature scan dominated the tier's
-    # wall (alpha 0.93, the suite's worst; VERDICT r05 item 7).
+    # wall (alpha 0.93, the suite's worst; VERDICT r05 item 7). The
+    # single-string-hash signature cut the measured exponent to
+    # alpha=0.61 at sf1 (SCALE_sf1.json). The concrete candidate set
+    # differs (different permutation family -> different bucket
+    # collisions) but the EXPECTED recall is set by the banding shape
+    # (b=16, r=2), not by which independent hash family seeds it;
+    # t_dedup_recall_report stays the measured guardrail.
     words = (
         spread(df)
         .select(F.col(id_col), F.explode(shingles).alias("_g"))

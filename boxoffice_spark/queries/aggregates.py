@@ -1644,3 +1644,1016 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+@register(
+    "a_mann_whitney_u",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders
+        GROUP BY 1, 2, CAST(o_orderdate AS DATE)
+    ),
+    n AS (
+        SELECT status,
+            sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n_first,
+            sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n_second
+        FROM daily GROUP BY 1
+    ),
+    n2 AS (SELECT * FROM n WHERE n_first > 0 AND n_second > 0),
+    ranked AS (
+        SELECT daily.status, first_half, n_first, n_second,
+            rank() OVER (PARTITION BY daily.status ORDER BY rev) AS rk,
+            count(*) OVER (PARTITION BY daily.status, rev) AS tie_n
+        FROM daily JOIN n2 ON n2.status = daily.status
+    ),
+    agg AS (
+        SELECT status, n_first, n_second,
+            CAST(sum(CASE WHEN first_half
+                THEN CAST(rk + (tie_n - 1) / 2.0 AS DECIMAL(20, 1)) END)
+                AS DOUBLE) AS r1,
+            sum(tie_n * tie_n - 1) AS tie_sum
+        FROM ranked GROUP BY 1, 2, 3
+    ),
+    stat AS (
+        SELECT status, n_first, n_second,
+            r1 - n_first * (n_first + 1) / 2.0 AS u1,
+            n_first * CAST(n_second AS DOUBLE) / 2.0 AS mu,
+            sqrt(n_first * CAST(n_second AS DOUBLE) / 12.0
+                 * ((n_first + n_second + 1.0)
+                    - CAST(tie_sum AS DOUBLE)
+                      / ((n_first + n_second)
+                         * (n_first + n_second - 1.0)))) AS sigma
+        FROM agg
+    )
+    SELECT status, n_first, n_second, round(u1, 1) AS u1,
+        CASE WHEN sigma > 0 THEN round((u1 - mu) / sigma, 6) END AS z_mwu,
+        CASE WHEN sigma > 0 THEN abs((u1 - mu) / sigma) > 1.96 END
+            AS significant
+    FROM stat
+    ORDER BY status
+    """,
+    tags=("agg", "stats", "nonparametric"),
+)
+def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on the daily-revenue distribution
+    between the early (< 1995) and late eras, per order status — the
+    nonparametric LOCATION complement to dq_ks_drift's shape test and
+    a_welch_ttest's parametric means test: did typical daily revenue
+    SHIFT, without assuming normality?
+
+    Pooled average ranks come from two windows over the bounded daily
+    aggregate — rank() for the strictly-below count plus a per-(status,
+    rev) tie count, giving avg_rank = rk + (tie_n-1)/2 (exactly the
+    midrank, and exactly representable at one decimal place, so the
+    rank-sum rides the decimal path order-independently). The tie
+    correction Σ(t³-t) falls out of the same tie window as
+    Σ tie_n²-1 per row. z uses the normal approximation with tie-
+    corrected σ (no continuity correction — documented contract);
+    σ = 0 (all days tied) yields NULL on both engines, not ±inf.
+
+    At 100 TB: the only corpus-sized work is the first groupBy to the
+    daily grain; ranks/windows run per-status over the calendar-bounded
+    daily table, and everything after is a per-status scalar."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        F.to_date("o_orderdate").alias("_d"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    n = daily.groupBy("status").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("n_second"),
+    )
+    both = n.filter((F.col("n_first") > 0) & (F.col("n_second") > 0))
+    w_rank = W.partitionBy("status").orderBy("rev")
+    w_tie = W.partitionBy("status", "rev")
+    ranked = daily.join(F.broadcast(both), "status").select(
+        "status",
+        "first_half",
+        "n_first",
+        "n_second",
+        F.rank().over(w_rank).alias("rk"),
+        F.count("*").over(w_tie).alias("tie_n"),
+    )
+    avg_rank = (F.col("rk") + (F.col("tie_n") - 1) / 2.0).cast("decimal(20,1)")
+    agg = ranked.groupBy("status", "n_first", "n_second").agg(
+        F.sum(F.when(F.col("first_half"), avg_rank)).cast("double").alias("r1"),
+        F.sum(F.col("tie_n") * F.col("tie_n") - 1).alias("tie_sum"),
+    )
+    n1, n2_ = F.col("n_first"), F.col("n_second")
+    nn = n1 + n2_
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2_.cast("double") / 2.0
+    sigma = F.sqrt(
+        n1 * n2_.cast("double") / 12.0
+        * (
+            (nn + 1.0)
+            - F.col("tie_sum").cast("double") / (nn * (nn - 1.0))
+        )
+    )
+    stat = agg.select(
+        "status", "n_first", "n_second",
+        u1.alias("u1"), mu.alias("mu"), sigma.alias("sigma"),
+    )
+    z = (F.col("u1") - F.col("mu")) / F.col("sigma")
+    return stat.select(
+        "status",
+        "n_first",
+        "n_second",
+        F.round("u1", 1).alias("u1"),
+        F.when(F.col("sigma") > 0, F.round(z, 6)).alias("z_mwu"),
+        F.when(F.col("sigma") > 0, F.abs(z) > 1.96).alias("significant"),
+    ).orderBy("status")
+
+
+@register(
+    "a_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS x,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.status,
+            round((b.rev - a.rev) / (b.x - a.x), 6) AS slope
+        FROM daily a JOIN daily b ON a.status = b.status AND b.x > a.x
+    ),
+    sl AS (
+        SELECT status, round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+            count(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    ),
+    icpt AS (
+        SELECT d.status,
+            round(quantile_cont(d.rev - s.ts_slope * d.x, 0.5), 4)
+                AS ts_intercept,
+            count(*) AS n_days
+        FROM daily d JOIN sl s ON s.status = d.status
+        GROUP BY 1
+    )
+    SELECT s.status, i.n_days, s.n_pairs, s.ts_slope, i.ts_intercept
+    FROM sl s JOIN icpt i ON i.status = s.status
+    ORDER BY s.status
+    """,
+    tags=("agg", "stats", "trend"),
+)
+def a_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue per order status: the
+    median of all pairwise slopes (rev_j - rev_i)/(x_j - x_i) over the
+    daily series, plus the companion median-residual intercept — the
+    outlier-proof alternative to a_regression_by_group's OLS (one wild
+    revenue day moves OLS but not the median slope, breakdown point
+    ~29%).
+
+    Pairs come from a self-equi-join on status with the x_j > x_i range
+    as a post-join filter (SortMergeJoin, never a cartesian). The pair
+    count is C(|days|, 2) per status — quadratic in CALENDAR DAYS, not
+    in rows, so it's bounded (~3M pairs per status for a 7-year
+    window) at any data volume; the only corpus-sized work is the
+    first groupBy to the daily grain. Slopes are rounded at 6dp before
+    the exact interpolated median so both engines interpolate identical
+    doubles; slope/intercept rounded again on output.
+
+    The slope median is SORT-based, not percentile()-based: Spark's
+    exact percentile aggregate materializes a value->count map per
+    group and merges those maps across partitions — measured 14x
+    slower on the ~3M-slope groups than a row_number window + the
+    type-7 pick (x_lo + (x_hi - x_lo) * 0.5 over the one or two middle
+    ranks, the identical interpolation quantile_cont uses, exact for
+    the odd case since frac = 0). The window sort is spillable and
+    per-status. The intercept median stays percentile() — it runs over
+    |days| rows, where the map path is fine — and its groupBy also
+    carries the slope/n_pairs columns through, so the pair pipeline is
+    evaluated ONCE, not once per downstream join.
+
+    At 100 TB: same shape — the daily aggregate is calendar-bounded,
+    and the per-status median sorts at most the bounded pair list. For
+    minute-grain series where |points|² explodes, the documented
+    fallback is the repeated-median or sampled-pairs estimator; the
+    engine contract here is the exact bounded tier."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    # The daily aggregate is a few thousand rows, so AQE coalesces it to
+    # one partition — which would make the C(n,2) pair EXPANSION serial.
+    # Spreading the probe side by x (explicit numPartitions survives AQE
+    # coalescing) and broadcasting the build side turns the expansion
+    # into a parallel BroadcastHashJoin: each task expands its own slice
+    # of days against the broadcast table.
+    a = daily.repartition(32, "x").alias("a")
+    b = F.broadcast(daily).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.status") == F.col("b.status")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.status").alias("status"),
+        F.round(
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.x") - F.col("a.x")), 6
+        ).alias("slope"),
+    )
+    np_ = pairs.groupBy("status").agg(F.count("*").alias("n_pairs"))
+    ranked = pairs.join(F.broadcast(np_), "status").select(
+        "status",
+        "slope",
+        "n_pairs",
+        F.row_number()
+        .over(W.partitionBy("status").orderBy("slope"))
+        .alias("rn"),
+    )
+    lo = F.floor((F.col("n_pairs") - 1) / 2) + 1
+    hi = F.col("n_pairs") - F.floor((F.col("n_pairs") - 1) / 2)
+    mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    # type-7 interpolation at q=0.5: lower + (upper - lower) * 0.5 —
+    # the exact expression quantile_cont/percentile use, so the sorted
+    # pick is bit-compatible with the oracle's aggregate
+    sl = mid.groupBy("status").agg(
+        F.round(
+            F.min("slope") + (F.max("slope") - F.min("slope")) * 0.5, 6
+        ).alias("ts_slope"),
+        F.any_value("n_pairs").alias("n_pairs"),
+    )
+    return (
+        daily.join(F.broadcast(sl), "status")
+        .groupBy("status")
+        .agg(
+            F.any_value("n_pairs").alias("n_pairs"),
+            F.any_value("ts_slope").alias("ts_slope"),
+            F.round(
+                F.percentile(
+                    F.col("rev") - F.col("ts_slope") * F.col("x"), F.lit(0.5)
+                ),
+                4,
+            ).alias("ts_intercept"),
+            F.count("*").alias("n_days"),
+        )
+        .select("status", "n_days", "n_pairs", "ts_slope", "ts_intercept")
+        .orderBy("status")
+    )
+
+
+@register(
+    "a_mode_per_group",
+    oracle="""
+    WITH cnt AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+            count(*) AS n
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT *,
+            row_number() OVER (
+                PARTITION BY segment ORDER BY n DESC, priority
+            ) AS rn,
+            sum(n) OVER (PARTITION BY segment) AS seg_n
+        FROM cnt
+    )
+    SELECT segment, priority AS modal_priority, n AS modal_n,
+        round(CAST(n AS DOUBLE) / seg_n, 6) AS modal_share
+    FROM rk WHERE rn = 1
+    ORDER BY segment
+    """,
+    tags=("agg", "mode"),
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tie-break: the
+    most frequent order priority within each customer segment, plus its
+    share of the segment. Spark's native ``mode()`` aggregate is
+    explicitly non-deterministic under ties, which makes it untestable
+    and irreproducible across runs — the count + row_number(count DESC,
+    value ASC) formulation is the reproducible idiom this engine
+    standardizes on (same contract as the dedup keepers' min-id rule).
+
+    One shuffle to the |segments| x |priorities| grain (map-side
+    partials absorb the fact volume, dimension broadcast); the ranking
+    windows run over that bounded grid, and the output is |segments|
+    rows at any scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cnt = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"))
+    )
+    rk = cnt.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy(F.desc("n"), F.asc("priority")))
+        .alias("rn"),
+        F.sum("n").over(W.partitionBy("segment")).alias("seg_n"),
+    )
+    return (
+        rk.filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("modal_priority"),
+            F.col("n").alias("modal_n"),
+            F.round(F.col("n").cast("double") / F.col("seg_n"), 6).alias(
+                "modal_share"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+def _poisson1_ladder():
+    """Cumulative Poisson(1) thresholds as 8-hex-digit md5-bucket cutoffs
+    (operators/sampling's portable uniform): bucket < cum_hex(k) <=> draw
+    <= k. Returns [(hex_threshold, k), ...] for k = 0..8; draws past the
+    ladder cap at 9 (P ~ 1e-7)."""
+    import math
+
+    from boxoffice_spark.operators.sampling import _threshold_hex
+
+    cum, out = 0.0, []
+    for k in range(9):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append((_threshold_hex(cum), k))
+    return out
+
+
+@register(
+    "a_permutation_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+            date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS x,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT
+            sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n_first,
+            sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n_second,
+            round({dsum_sql('CASE WHEN first_half THEN rev END')}
+                / sum(CASE WHEN first_half THEN 1 ELSE 0 END)
+                - {dsum_sql('CASE WHEN NOT first_half THEN rev END')}
+                / sum(CASE WHEN first_half THEN 0 ELSE 1 END), 6) AS obs_diff
+        FROM daily
+    ),
+    reps AS (SELECT CAST(range AS INT) AS rep FROM range(0, 200)),
+    shuffled AS (
+        SELECT rep, rev, n_first,
+            row_number() OVER (
+                PARTITION BY rep
+                ORDER BY md5('perm:' || CAST(rep AS VARCHAR) || ':'
+                             || CAST(x AS VARCHAR)), x
+            ) AS rn
+        FROM daily CROSS JOIN reps CROSS JOIN obs
+    ),
+    perm AS (
+        SELECT rep,
+            round({dsum_sql('CASE WHEN rn <= n_first THEN rev END')}
+                / max(n_first)
+                - {dsum_sql('CASE WHEN rn > n_first THEN rev END')}
+                / (count(*) - max(n_first)), 6) AS diff_r
+        FROM shuffled GROUP BY rep
+    )
+    SELECT n_first AS n_days_first, n_second AS n_days_second, obs_diff,
+        count(*) AS b_reps,
+        sum(CASE WHEN abs(diff_r) >= abs(obs_diff) THEN 1 ELSE 0 END)
+            AS n_extreme,
+        round((1.0 + sum(CASE WHEN abs(diff_r) >= abs(obs_diff)
+                         THEN 1 ELSE 0 END)) / (count(*) + 1.0), 6)
+            AS p_value
+    FROM perm CROSS JOIN obs
+    GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "stats", "resampling"),
+)
+def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test of the difference in mean daily
+    revenue between the early (< 1995) and late eras — the
+    assumption-free complement to a_welch_ttest: no normality, no
+    variance model, the null distribution IS the data's own relabeling.
+    B = 200 fixed-size permutations: per replicate, days are ranked by
+    a salted md5 of (rep, day) — the engine's standard retry-safe
+    portable uniform (operators/sampling.py) — and the n_first smallest
+    take the first-era label, so every replicate preserves the observed
+    group sizes exactly (a true permutation, not Bernoulli relabeling).
+    The add-one p-value (1 + #extreme)/(B + 1) is the standard
+    Monte-Carlo form; replicate and observed diffs are 6dp-rounded
+    before the >= comparison so both engines count the identical
+    extreme set.
+
+    At 100 TB: the corpus is touched ONCE (the groupBy to the daily
+    grain); the 200-replicate spine multiplies only the calendar-
+    bounded daily table (~200 x |days| rows), the per-rep ranking
+    window is partitioned by rep, and each replicate reduces to one
+    row. Deterministic under retries by construction — rand() would
+    re-draw on task re-execution."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    obs = daily.agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("n_second"),
+        F.round(
+            dsum(F.when(F.col("first_half"), F.col("rev")))
+            / F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+            - dsum(F.when(~F.col("first_half"), F.col("rev")))
+            / F.sum(F.when(F.col("first_half"), 0).otherwise(1)),
+            6,
+        ).alias("obs_diff"),
+    )
+    reps = spark.range(0, 200).select(F.col("id").cast("int").alias("rep"))
+    coin = F.md5(
+        F.concat(
+            F.lit("perm:"),
+            F.col("rep").cast("string"),
+            F.lit(":"),
+            F.col("x").cast("string"),
+        )
+    )
+    shuffled = (
+        daily.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "rep",
+            "rev",
+            "n_first",
+            F.row_number()
+            .over(W.partitionBy("rep").orderBy(coin, F.col("x")))
+            .alias("rn"),
+        )
+    )
+    perm = shuffled.groupBy("rep").agg(
+        F.round(
+            dsum(F.when(F.col("rn") <= F.col("n_first"), F.col("rev")))
+            / F.max("n_first")
+            - dsum(F.when(F.col("rn") > F.col("n_first"), F.col("rev")))
+            / (F.count("*") - F.max("n_first")),
+            6,
+        ).alias("diff_r")
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("diff_r")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy(
+            F.col("n_first").alias("n_days_first"),
+            F.col("n_second").alias("n_days_second"),
+            "obs_diff",
+        )
+        .agg(
+            F.count("*").alias("b_reps"),
+            extreme.alias("n_extreme"),
+            F.round((1.0 + extreme) / (F.count("*") + 1.0), 6).alias("p_value"),
+        )
+    )
+
+
+def _bootstrap_oracle() -> str:
+    ladder = " ".join(
+        f"WHEN substr(md5('boot:' || status || ':' || CAST(rep AS VARCHAR)"
+        f" || ':' || CAST(x AS VARCHAR)), 1, 8) < '{hx}' THEN {k}"
+        for hx, k in _poisson1_ladder()
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS x,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    reps AS (SELECT CAST(range AS INT) AS rep FROM range(0, 200)),
+    drawn AS (
+        SELECT status, rep, rev,
+            CASE {ladder} ELSE 9 END AS w
+        FROM daily CROSS JOIN reps
+    ),
+    boot AS (
+        SELECT status, rep,
+            round({dsum_sql('w * rev')} / sum(w), 6) AS mean_r
+        FROM drawn GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    stat AS (
+        SELECT status, count(*) AS n_days,
+            round({davg_sql('rev', 2)}, 6) AS mean_daily_rev
+        FROM daily GROUP BY 1
+    ),
+    ci AS (
+        SELECT status, count(*) AS b_reps,
+            round(quantile_cont(mean_r, 0.025), 4) AS ci_lo,
+            round(quantile_cont(mean_r, 0.975), 4) AS ci_hi
+        FROM boot GROUP BY 1
+    )
+    SELECT stat.status, n_days, mean_daily_rev, b_reps, ci_lo, ci_hi
+    FROM stat JOIN ci ON ci.status = stat.status
+    ORDER BY stat.status
+    """
+
+
+@register(
+    "a_bootstrap_ci_poisson",
+    oracle=_bootstrap_oracle(),
+    tags=("agg", "stats", "resampling"),
+)
+def a_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean daily revenue per order status
+    — THE bootstrap that scales: instead of materializing B resamples
+    (impossible at 100 TB), each row draws an independent Poisson(1)
+    replication weight per replicate, which approximates multinomial
+    resampling with n unknown ahead of time and needs exactly ONE pass.
+    Here the draw is the engine's portable md5 uniform pushed through
+    the cumulative-Poisson CASE ladder as pure HEX-STRING compares
+    (_poisson1_ladder — no hex parsing, mirrorable to any engine with
+    md5 and string order), so every replicate weight is deterministic
+    under retries and identical across engines.
+
+    Replicate means are Sum(w * rev)/Sum(w) with the weighted sum
+    decimal-summed (exact — w is a small integer, rev is 2dp); the CI
+    is the 2.5/97.5 exact interpolated percentile over the B = 200
+    6dp-rounded replicate means per status. Empty-weight replicates
+    (P ~ e^-|days|, effectively never) drop out via the Sum(w) > 0
+    guard on both engines.
+
+    At 100 TB: one corpus pass to the daily grain; the B-replicate
+    spine multiplies only the calendar-bounded daily table; per-status
+    percentiles collect B values."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    reps = spark.range(0, 200).select(F.col("id").cast("int").alias("rep"))
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("status"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+                F.lit(":"),
+                F.col("x").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = F.lit(9)
+    for hx, k in reversed(_poisson1_ladder()):
+        w = F.when(bucket < F.lit(hx), F.lit(k)).otherwise(w)
+    drawn = daily.crossJoin(F.broadcast(reps)).select(
+        "status", "rep", "rev", w.alias("w")
+    )
+    boot = (
+        drawn.groupBy("status", "rep")
+        .agg(
+            dsum(F.col("w") * F.col("rev")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            "status",
+            F.round(F.col("ws") / F.col("wn"), 6).alias("mean_r"),
+        )
+    )
+    stat = daily.groupBy("status").agg(
+        F.count("*").alias("n_days"),
+        F.round(davg("rev", scale=2), 6).alias("mean_daily_rev"),
+    )
+    ci = boot.groupBy("status").agg(
+        F.count("*").alias("b_reps"),
+        F.round(F.percentile("mean_r", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_r", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+    return (
+        stat.join(ci, "status")
+        .select(
+            "status", "n_days", "mean_daily_rev", "b_reps", "ci_lo", "ci_hi"
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "a_winsorized_mean",
+    oracle=f"""
+    WITH th AS (
+        SELECT o_orderpriority,
+            quantile_cont(o_totalprice, 0.05) AS p5,
+            quantile_cont(o_totalprice, 0.95) AS p95
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, count(*) AS n,
+        {davg_sql('o.o_totalprice')} AS mean_all,
+        count(CASE WHEN o.o_totalprice < th.p5 THEN 1 END) AS n_clamped_low,
+        count(CASE WHEN o.o_totalprice > th.p95 THEN 1 END) AS n_clamped_high,
+        ({dsum_sql('least(greatest(o.o_totalprice, th.p5), th.p95)', 6)}
+         / count(*)) AS winsorized_mean
+    FROM orders o JOIN th ON th.o_orderpriority = o.o_orderpriority
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("agg", "robust", "winsorize"),
+)
+def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorized mean of order value per priority class — the
+    robust companion to a_trimmed_mean that CLAMPS tail values to the
+    percentile fences instead of dropping them, so n stays intact (the
+    estimator of choice when the tail rows are real business but their
+    magnitudes are noise — a_trimmed_mean discards them, which biases
+    per-row ratios computed downstream). Exact p5/p95 from one grouped
+    percentile aggregate (type-7 interpolation == quantile_cont, the
+    same contract a_trimmed_mean relies on), broadcast back, then
+    least(greatest(x, p5), p95) under a decimal mean. Clamp counts sit
+    alongside so the tail mass being flattened is visible. Cell-exact;
+    one percentile pass + one clamped-aggregate pass, thresholds are a
+    |priorities|-row broadcast — same 100 TB shape as the trimmed tier."""
+    o = table(spark, sf_dir, "orders")
+    th = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p5"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    x = F.col("o_totalprice")
+    clamped = F.least(F.greatest(x, F.col("p5")), F.col("p95"))
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            davg(x).alias("mean_all"),
+            F.count(F.when(x < F.col("p5"), 1)).alias("n_clamped_low"),
+            F.count(F.when(x > F.col("p95"), 1)).alias("n_clamped_high"),
+            (dsum(clamped, scale=6) / F.count("*")).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a_kendall_tau",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS x,
+            {dsum_sql('o_totalprice')} AS rev,
+            count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.status,
+            CASE WHEN (b.rev - a.rev) * (b.cnt - a.cnt) > 0 THEN 1 ELSE 0
+                END AS conc,
+            CASE WHEN (b.rev - a.rev) * (b.cnt - a.cnt) < 0 THEN 1 ELSE 0
+                END AS disc,
+            CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END AS tie_rev,
+            CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END AS tie_cnt
+        FROM daily a JOIN daily b ON a.status = b.status AND b.x > a.x
+    ),
+    agg AS (
+        SELECT status, count(*) AS n_pairs,
+            sum(conc) AS concordant, sum(disc) AS discordant,
+            sum(tie_rev) AS ties_rev, sum(tie_cnt) AS ties_cnt
+        FROM pairs GROUP BY 1
+    ),
+    nd AS (SELECT status, count(*) AS n_days FROM daily GROUP BY 1)
+    SELECT a.status, nd.n_days, a.n_pairs, a.concordant, a.discordant,
+        a.ties_rev, a.ties_cnt,
+        CASE WHEN (a.n_pairs - a.ties_rev) > 0 AND (a.n_pairs - a.ties_cnt) > 0
+            THEN round((a.concordant - a.discordant)
+                / sqrt(CAST(a.n_pairs - a.ties_rev AS DOUBLE)
+                       * CAST(a.n_pairs - a.ties_cnt AS DOUBLE)), 6)
+        END AS tau_b
+    FROM agg a JOIN nd ON nd.status = a.status
+    ORDER BY a.status
+    """,
+    tags=("agg", "stats", "rank-corr"),
+)
+def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between daily revenue and daily
+    order count per status — the concordance-based alternative to
+    a_spearman_rank_corr: tau counts agreeing pair ORDERINGS directly,
+    so it is interpretable as P(concordant) - P(discordant) and is less
+    sensitive to a single wild rank than Spearman's rho (which squares
+    rank gaps). Tie handling is the tau-b denominator: pairs tied on
+    either margin are removed from that margin's normalizer,
+    sqrt((n0 - T_rev)(n0 - T_cnt)); a zero normalizer (a margin fully
+    tied) yields NULL on both engines, never 0/0.
+
+    Pairs enumerate from the same spread-probe x broadcast-build
+    equi-join as a_theil_sen_trend (BroadcastHashJoin, never cartesian;
+    explicit repartition survives AQE's small-table coalescing) —
+    quadratic in CALENDAR DAYS only, so the pair list is bounded at any
+    corpus volume and the only row-linear work is the first groupBy to
+    the daily grain. Concordance tests compare the decimal-summed daily
+    revenue cast to double IDENTICALLY on both engines (dsum == its SQL
+    twin) and exact integer counts, so every sign/tie test sees
+    bit-identical inputs — tau needs no rounding until the final ratio.
+    Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+    ).agg(
+        dsum("o_totalprice").alias("rev"),
+        F.count("*").alias("cnt"),
+    )
+    a = daily.repartition(32, "x").alias("a")
+    b = F.broadcast(daily).alias("b")
+    drev = F.col("b.rev") - F.col("a.rev")
+    dcnt = F.col("b.cnt") - F.col("a.cnt")
+    pairs = a.join(
+        b,
+        (F.col("a.status") == F.col("b.status")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.status").alias("status"),
+        F.when(drev * dcnt > 0, 1).otherwise(0).alias("conc"),
+        F.when(drev * dcnt < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("b.rev") == F.col("a.rev"), 1).otherwise(0).alias("tie_rev"),
+        F.when(F.col("b.cnt") == F.col("a.cnt"), 1).otherwise(0).alias("tie_cnt"),
+    )
+    agg = pairs.groupBy("status").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.sum("tie_rev").alias("ties_rev"),
+        F.sum("tie_cnt").alias("ties_cnt"),
+    )
+    nd = daily.groupBy("status").agg(F.count("*").alias("n_days"))
+    n0r = (F.col("n_pairs") - F.col("ties_rev")).cast("double")
+    n0c = (F.col("n_pairs") - F.col("ties_cnt")).cast("double")
+    tau = F.when(
+        (n0r > 0) & (n0c > 0),
+        F.round(
+            (F.col("concordant") - F.col("discordant")) / F.sqrt(n0r * n0c), 6
+        ),
+    )
+    return (
+        agg.join(F.broadcast(nd), "status")
+        .select(
+            "status",
+            "n_days",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties_rev",
+            "ties_cnt",
+            tau.alias("tau_b"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "a_kruskal_wallis",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders
+        GROUP BY 1, CAST(o_orderdate AS DATE)
+    ),
+    ranked AS (
+        SELECT grp, rev,
+            rank() OVER (ORDER BY rev) AS rk,
+            count(*) OVER (PARTITION BY rev) AS tie_n
+        FROM daily
+    ),
+    per_group AS (
+        SELECT grp, count(*) AS n_i,
+            CAST(sum(CAST(rk + (tie_n - 1) / 2.0 AS DECIMAL(20, 1)))
+                AS DOUBLE) AS r_i
+        FROM ranked GROUP BY 1
+    ),
+    ties AS (
+        SELECT CAST(sum(tie_n * tie_n - 1) AS DOUBLE) AS tie_sum,
+            count(*) AS n_total
+        FROM ranked
+    ),
+    stat AS (
+        SELECT t.n_total, count(*) AS n_groups,
+            12.0 / (t.n_total * (t.n_total + 1.0))
+                * cast(sum(cast(round(g.r_i * g.r_i / g.n_i, 4)
+                                as decimal(27,4))) as double)
+                - 3.0 * (t.n_total + 1.0) AS h_raw,
+            1.0 - t.tie_sum
+                / (CAST(t.n_total AS DOUBLE) * t.n_total * t.n_total
+                   - t.n_total) AS tie_c
+        FROM per_group g, ties t
+        GROUP BY t.n_total, t.tie_sum
+    )
+    SELECT n_total, n_groups, round(h_raw, 6) AS h_raw,
+        round(tie_c, 8) AS tie_c,
+        CASE WHEN tie_c > 0 THEN round(h_raw / tie_c, 6) END AS h_stat,
+        n_groups - 1 AS df,
+        CASE WHEN tie_c > 0 THEN
+            round(h_raw / tie_c, 6) > CASE n_groups - 1
+                WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+                WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                ELSE 0 END
+        END AS significant
+    FROM stat
+    """,
+    tags=("agg", "stats", "nonparametric"),
+)
+def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the k=5 order-priority classes draw
+    their DAILY-REVENUE distributions from the same population? The
+    k-sample generalization of a_mann_whitney_u (k=2) — one omnibus
+    rank test instead of C(5,2) pairwise U tests with their multiple-
+    comparison inflation. Pooled midranks (rank() + tie window, the
+    exact machinery of the U test) over the per-(priority, day) revenue
+    series; H = 12/(N(N+1)) * sum R_i^2/n_i - 3(N+1), divided by the
+    tie correction C = 1 - sum(t^3-t)/(N^3-N); compared against the
+    chi-square 95% critical value for df = k-1 (lookup CASE, identical
+    on both engines). A fully-tied pool (C = 0) yields NULL, never 0/0.
+
+    The pooled rank window is GLOBAL by the test's definition — but it
+    runs over the calendar-bounded daily grain (|days| x |priorities|
+    rows, ~13k for a 7-year window AT ANY corpus volume), never over
+    raw orders: the only corpus-sized work is the first groupBy. The
+    R_i^2/n_i terms are rounded at 4dp and decimal-summed so the
+    5-row group sum is order-independent. Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.to_date("o_orderdate").alias("_d"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    w_rank = W.partitionBy().orderBy("rev")
+    w_tie = W.partitionBy("rev")
+    ranked = daily.select(
+        "grp",
+        "rev",
+        F.rank().over(w_rank).alias("rk"),
+        F.count("*").over(w_tie).alias("tie_n"),
+    )
+    avg_rank = (F.col("rk") + (F.col("tie_n") - 1) / 2.0).cast("decimal(20,1)")
+    per_group = ranked.groupBy("grp").agg(
+        F.count("*").alias("n_i"),
+        F.sum(avg_rank).cast("double").alias("r_i"),
+    )
+    ties = ranked.agg(
+        F.sum(F.col("tie_n") * F.col("tie_n") - 1).cast("double").alias("tie_sum"),
+        F.count("*").alias("n_total"),
+    )
+    nt = F.col("n_total").cast("double")
+    stat = (
+        per_group.crossJoin(F.broadcast(ties))
+        .groupBy("n_total", "tie_sum")
+        .agg(
+            F.count("*").alias("n_groups"),
+            (
+                12.0
+                / (nt * (nt + 1.0))
+                * F.sum(
+                    F.round(
+                        F.col("r_i") * F.col("r_i") / F.col("n_i"), 4
+                    ).cast("decimal(27,4)")
+                ).cast("double")
+                - 3.0 * (nt + 1.0)
+            ).alias("h_raw"),
+            F.first(
+                1.0 - F.col("tie_sum") / (nt * nt * nt - nt)
+            ).alias("tie_c"),
+        )
+    )
+    crit = (
+        F.when(F.col("df") == 1, 3.841)
+        .when(F.col("df") == 2, 5.991)
+        .when(F.col("df") == 3, 7.815)
+        .when(F.col("df") == 4, 9.488)
+        .when(F.col("df") == 5, 11.070)
+        .when(F.col("df") == 6, 12.592)
+        .otherwise(0.0)
+    )
+    h = F.col("h_raw") / F.col("tie_c")
+    return (
+        stat.select(
+            "n_total",
+            "n_groups",
+            F.round("h_raw", 6).alias("h_raw"),
+            F.round("tie_c", 8).alias("tie_c"),
+            F.when(F.col("tie_c") > 0, F.round(h, 6)).alias("h_stat"),
+            (F.col("n_groups") - 1).alias("df"),
+        )
+        .select(
+            "n_total",
+            "n_groups",
+            "h_raw",
+            "tie_c",
+            "h_stat",
+            "df",
+            F.when(
+                F.col("tie_c") > 0, F.col("h_stat") > crit
+            ).alias("significant"),
+        )
+    )
+
+
+@register(
+    "a_cramers_v",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, count(*) AS n_obs
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, sum(n_obs) AS row_n FROM obs GROUP BY 1),
+    ct AS (SELECT source, sum(n_obs) AS col_n FROM obs GROUP BY 1),
+    g AS (SELECT sum(n_obs) AS grand FROM obs),
+    grid AS (
+        SELECT rt.lang, ct.source, coalesce(obs.n_obs, 0) AS n_obs,
+            CAST(rt.row_n AS DOUBLE) * ct.col_n / g.grand AS expected
+        FROM rt CROSS JOIN ct CROSS JOIN g
+        LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+    ),
+    tot AS (
+        SELECT cast(sum(cast(round((n_obs - expected) * (n_obs - expected)
+                                   / expected, 6) AS DECIMAL(27, 6)))
+                    AS DOUBLE) AS chi2,
+            count(DISTINCT lang) AS r, count(DISTINCT source) AS c,
+            sum(n_obs) AS n
+        FROM grid
+    )
+    SELECT n, r, c, round(chi2, 6) AS chi2,
+        round(sqrt(chi2 / n / least(r - 1, c - 1)), 6) AS cramers_v,
+        round(sqrt(
+            greatest(chi2 / n - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1),
+                     0.0)
+            / least(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) - 1,
+                    c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1) - 1)
+        ), 6) AS cramers_v_corrected
+    FROM tot
+    """,
+    tags=("agg", "stats", "effect-size"),
+)
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the (language x source) association in
+    the documents corpus — the readout a_chi2_independence cannot give:
+    with corpus-scale n, chi-squared is ALWAYS significant; V = sqrt(
+    (chi2/n) / min(r-1, c-1)) in [0,1] says whether the association
+    MATTERS (is the corpus's language mix actually source-driven — the
+    'our German is all from one crawl' diagnosis that predicts style
+    entanglement). Alongside: the Bergsma bias-corrected V, which
+    shrinks the positive bias plain V carries on sparse grids. Same
+    zero-cell-restoring marginal machinery as a_chi2_independence (an
+    absent (lang, source) cell still contributes its expected mass);
+    per-cell contributions rounded 6dp + decimal-summed. One shuffle to
+    the R x C grain, constant-size after. Cell-exact."""
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    rt = obs.groupBy("lang").agg(F.sum("n_obs").alias("row_n"))
+    ct = obs.groupBy("source").agg(F.sum("n_obs").alias("col_n"))
+    g = obs.agg(F.sum("n_obs").alias("grand"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            (
+                F.col("row_n").cast("double") * F.col("col_n") / F.col("grand")
+            ).alias("expected"),
+        )
+    )
+    contrib = F.round(
+        (F.col("n_obs") - F.col("expected"))
+        * (F.col("n_obs") - F.col("expected"))
+        / F.col("expected"),
+        6,
+    )
+    tot = grid.agg(
+        F.sum(contrib.cast("decimal(27,6)")).cast("double").alias("chi2"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+        F.sum("n_obs").alias("n"),
+    )
+    r_, c_, n_ = F.col("r"), F.col("c"), F.col("n")
+    phi2 = F.col("chi2") / n_
+    phi2_corr = F.greatest(
+        phi2 - ((r_ - 1) * (c_ - 1)).cast("double") / (n_ - 1), F.lit(0.0)
+    )
+    r_corr = r_ - ((r_ - 1) * (r_ - 1)).cast("double") / (n_ - 1) - 1
+    c_corr = c_ - ((c_ - 1) * (c_ - 1)).cast("double") / (n_ - 1) - 1
+    return tot.select(
+        "n",
+        "r",
+        "c",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(phi2 / F.least(r_ - 1, c_ - 1)), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(phi2_corr / F.least(r_corr, c_corr)), 6
+        ).alias("cramers_v_corrected"),
+    )

@@ -592,3 +592,217 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"), "core_deg")
         .orderBy("node")
     )
+
+
+@register(
+    "g_degree_assortativity",
+    oracle="""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    sym AS (
+        SELECT du.d AS dx, dv.d AS dy
+        FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+        UNION ALL
+        SELECT dv.d, du.d
+        FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(dx) AS DOUBLE) AS sx,
+            CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+            CAST(sum(dx * dy) AS DOUBLE) AS sxy
+        FROM sym
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+            (SELECT count(*) FROM e) AS n_edges
+    )
+    SELECT n_nodes, n_edges,
+        round(CAST(2 * n_edges AS DOUBLE) / n_nodes, 4) AS mean_degree,
+        CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sx)  / (n * sxx - sx * sx), 6) END
+            AS assortativity
+    FROM s CROSS JOIN tot
+    """,
+    tags=("graph", "degree", "stats"),
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the part co-purchase graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — positive means hubs attach to hubs (social-network shape),
+    negative means hub-and-spoke (typical for catalogs), and the sign
+    decides whether the census/link-prediction degree caps bite on a
+    thin tail or on the graph's core. Under symmetrization the x and y
+    marginals coincide, so r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) with
+    every moment an exact INTEGER sum (degrees are ints — no decimal
+    path needed, no rounding before the final scalar); a degree-regular
+    graph (zero variance) yields NULL on both engines, not a 0/0.
+
+    At 100 TB: edge build and degree aggregate are the same
+    order-local shapes as g_degree_distribution; the moment aggregate
+    is one pass over 2|E| integer pairs, output is one row. The edge
+    set and degree table are scope-persisted — edges feed the degree
+    build, two endpoint joins, and the edge count, and deg feeds both
+    join sides plus the node count; without the persist each consumer
+    re-runs the lineitem scan + self-join (measured: 48 shuffles ->
+    12)."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    edges = scoped_persist(
+        a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct(),
+        "degree_assortativity.edges",
+    )
+    deg = scoped_persist(
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d")),
+        "degree_assortativity.deg",
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    joined = edges.join(du, "u").join(dv, "v")
+    sym = joined.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(joined.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    s = sym.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    tot = deg.agg(F.count("*").alias("n_nodes")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges"))
+    )
+    n, sx = F.col("n"), F.col("sx")
+    var_n = n * F.col("sxx") - sx * sx
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_nodes",
+        "n_edges",
+        F.round((2 * F.col("n_edges")).cast("double") / F.col("n_nodes"), 4).alias(
+            "mean_degree"
+        ),
+        F.when(
+            var_n > 0, F.round((n * F.col("sxy") - sx * sx) / var_n, 6)
+        ).alias("assortativity"),
+    )
+
+
+_HARMONIC_ORACLE = f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    srcs AS (SELECT node AS src FROM nodes ORDER BY node LIMIT 16),
+    d0 AS (SELECT src AS node, src, 0 AS dist FROM srcs),
+    {_bfs_round('0', '1')},
+    {_bfs_round('1', '2')},
+    {_bfs_round('2', '3')},
+    {_bfs_round('3', '4')},
+    per_node AS (
+        SELECT node, count(*) AS n_seeds_reached,
+            cast(sum(cast(round(1.0 / dist, 8) as decimal(20,8)))
+                 as double) AS h_raw
+        FROM d4 WHERE dist > 0 GROUP BY 1
+    )
+    SELECT node, n_seeds_reached, round(h_raw, 8) AS h_raw,
+        round(h_raw * n_nodes / 16.0, 4) AS h_scaled
+    FROM per_node, nn
+    ORDER BY node
+"""
+
+
+@register(
+    "g_harmonic_centrality",
+    oracle=_HARMONIC_ORACLE,
+    tags=("graph", "centrality", "iterative"),
+)
+def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled harmonic centrality over the part co-purchase graph
+    — the centrality behind Common Crawl's domain ranking (harmonic
+    centrality is preferred over closeness on disconnected graphs
+    because unreachable pairs contribute 0, not infinity): for each node
+    v, sum 1/d(s, v) over a deterministic 16-seed pivot set within 4
+    hops, scaled by n_nodes/|seeds| (the Eppstein-Wang estimator — exact
+    harmonic centrality needs all-pairs distances, O(V*E), which no one
+    runs at corpus scale). The importance-semantics complement to
+    PageRank: harmonic rewards being CLOSE to everything, PageRank
+    rewards being LINKED from important places.
+
+    Same bounded multi-source BFS as g_bfs_distances (per round one
+    frontier-edge join + one (node, seed) min-aggregate,
+    localCheckpoint truncating lineage; state bounded by |seeds| x
+    |reached|), then one 1/d aggregate: the inverse distances are
+    rounded at 8dp and decimal-summed per node, so the <=16-term sum is
+    order-independent and cell-exact against the unrolled chained-CTE
+    oracle. Seeds and hop cap are the scale dials — more pivots tighten
+    the estimate, the BFS cost stays |seeds|-linear."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = pl.select("o", F.col("p").alias("u"))
+    b = pl.select("o", F.col("p").alias("v"))
+    e = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    srcs = nodes.orderBy("node").limit(16)
+    dist = srcs.select(
+        F.col("node"), F.col("node").alias("src"), F.lit(0).alias("dist")
+    )
+    for _ in range(4):
+        relaxed = (
+            sym.join(dist, sym.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                dist.src.alias("src"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .unionByName(dist.select("node", "src", "dist"))
+        )
+        dist = (
+            relaxed.groupBy("node", "src")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    per_node = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_seeds_reached"),
+            F.sum(F.round(1.0 / F.col("dist"), 8).cast("decimal(20,8)"))
+            .cast("double")
+            .alias("h_raw"),
+        )
+    )
+    return (
+        per_node.crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            "n_seeds_reached",
+            F.round("h_raw", 8).alias("h_raw"),
+            F.round(F.col("h_raw") * F.col("n_nodes") / 16.0, 4).alias(
+                "h_scaled"
+            ),
+        )
+        .orderBy("node")
+    )

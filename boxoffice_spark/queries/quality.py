@@ -867,3 +867,148 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+               count(*) AS group_size,
+               count(DISTINCT c_nationkey) AS l_distinct
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, bal_bucket, group_size, l_distinct
+    FROM cells WHERE l_distinct < 3
+    """,
+    tags=("quality", "privacy"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a
+    quasi-identifier cell can be k-large yet still leak if every member
+    shares the same SENSITIVE value (homogeneity attack: 'all 50 people
+    in that cell have nationality X' identifies nothing about WHO but
+    everything about WHAT). Over the quasi-id (market segment, account-
+    balance bucket) with nationality as the sensitive attribute: any
+    cell carrying fewer than l=3 distinct sensitive values must be
+    generalized or suppressed before release — even when it passes
+    dq_k_anonymity's size gate. One scan + one shuffle on the quasi-id
+    (countDistinct rides the same hash aggregate); violating cells are
+    the distribution's tail, so the output is tiny by construction.
+    floor() bucketing on both sides for the portable bucket rule, as in
+    dq_k_anonymity. Cell-exact."""
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(2000)).alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("c_nationkey").alias("l_distinct"),
+    )
+    return cells.filter(F.col("l_distinct") < 3)
+
+
+@register(
+    "dq_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, dayname(CAST(o_orderdate AS DATE)) AS day_name,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT {dsum_sql('rev')} AS rev_all, count(*) AS days_all FROM daily
+    ),
+    dow AS (
+        SELECT day_name, round(({dsum_sql('rev')} / count(*))
+                / (SELECT rev_all / days_all FROM tot), 6) AS idx
+        FROM daily GROUP BY 1
+    ),
+    adj AS (
+        SELECT d, daily.day_name, rev,
+            round(rev / idx, 4) AS adjusted
+        FROM daily JOIN dow ON dow.day_name = daily.day_name
+    ),
+    med AS (SELECT round(quantile_cont(adjusted, 0.5), 4) AS med FROM adj),
+    mad AS (
+        SELECT round(quantile_cont(abs(adjusted - med), 0.5), 4) AS mad, med
+        FROM adj, med GROUP BY med
+    )
+    SELECT d, day_name, rev, adjusted,
+        round(0.6745 * (adjusted - med) / mad, 4) AS robust_z
+    FROM adj, mad
+    WHERE mad > 0 AND abs(0.6745 * (adjusted - med) / mad) > 3.5
+    ORDER BY d
+    """,
+    tags=("quality", "anomaly", "seasonality"),
+)
+def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily-revenue anomaly gate — the alarm
+    dq_volume_anomaly_mad would false-fire without: a quiet Sunday is
+    NOT an anomaly if Sundays always run light. Day-of-week indices
+    (w_seasonality_indices' ratio-to-overall decomposition, computed
+    in-plan from the same data) divide out the weekly cycle, then the
+    robust MAD z-score (0.6745(x - med)/MAD, the dq_volume_anomaly_mad
+    rule) flags |z| > 3.5 on the ADJUSTED series — so the gate fires on
+    genuinely unusual days, not on the calendar. Index rounded 6dp and
+    adjusted values 4dp before the exact interpolated medians so both
+    engines compare identical doubles; MAD = 0 yields an empty readout
+    on both engines (guarded), never ±inf rows. One shuffle to the
+    daily grain; the dow index is a 7-row broadcast, the med/MAD pass
+    two bounded one-row aggregates over the calendar-bounded daily
+    table. Cell-exact."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.date_format(F.to_date("o_orderdate"), "EEEE").alias("day_name"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    tot = daily.agg(
+        dsum("rev").alias("rev_all"), F.count("*").alias("days_all")
+    )
+    dow = (
+        daily.groupBy("day_name")
+        .agg(dsum("rev").alias("rev_dow"), F.count("*").alias("n_days"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day_name",
+            F.round(
+                (F.col("rev_dow") / F.col("n_days"))
+                / (F.col("rev_all") / F.col("days_all")),
+                6,
+            ).alias("idx"),
+        )
+    )
+    adj = daily.join(F.broadcast(dow), "day_name").select(
+        "d",
+        "day_name",
+        "rev",
+        F.round(F.col("rev") / F.col("idx"), 4).alias("adjusted"),
+    )
+    med = adj.agg(F.round(F.percentile("adjusted", F.lit(0.5)), 4).alias("med"))
+    mad = (
+        adj.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("adjusted") - F.col("med")), F.lit(0.5)),
+                4,
+            ).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    rz = 0.6745 * (F.col("adjusted") - F.col("med")) / F.col("mad")
+    return (
+        adj.crossJoin(F.broadcast(mad))
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "d",
+            "day_name",
+            "rev",
+            "adjusted",
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .orderBy("d")
+    )

@@ -336,3 +336,55 @@ def p_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "p_retailprice", "p_size")
         .orderBy("p_brand", "p_retailprice", "p_partkey")
     )
+
+
+@register(
+    "p_relational_division",
+    oracle="""
+    WITH pr AS (
+        SELECT count(DISTINCT o_orderpriority) AS n_all FROM orders
+    ),
+    cov AS (
+        SELECT o_custkey,
+            count(DISTINCT o_orderpriority) AS n_cov,
+            count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, c_name, c_mktsegment, n_orders
+    FROM cov
+    JOIN customer ON c_custkey = o_custkey
+    CROSS JOIN pr
+    WHERE n_cov = n_all
+    ORDER BY c_custkey
+    """,
+    tags=("projection", "setops", "division"),
+)
+def p_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the FOR ALL quantifier: customers whose
+    order history spans EVERY order priority class. Codd's division is
+    the one classic relational operator with no direct SQL keyword; the
+    set-cover formulation (per-divisor-group distinct count == divisor
+    cardinality) replaces the textbook double-NOT-EXISTS correlated
+    subquery, which Catalyst would otherwise plan as a nested anti-join
+    per divisor row.
+
+    One shuffle to the per-customer grain folds both the distinct
+    priority count and the order count (the distinct rides the same
+    hash partitioning); the divisor cardinality is a 1-row broadcast
+    and the customer dimension joins on the post-aggregate (already
+    customer-keyed) side. At 100 TB: corpus scan -> one customer-keyed
+    exchange -> bounded output."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    pr = o.agg(F.countDistinct("o_orderpriority").alias("n_all"))
+    cov = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_cov"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        cov.crossJoin(F.broadcast(pr))
+        .filter(F.col("n_cov") == F.col("n_all"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "n_orders")
+        .orderBy("c_custkey")
+    )

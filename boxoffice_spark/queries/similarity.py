@@ -629,3 +629,103 @@ def v_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "v_centroid_similarity_matrix",
+    oracle="""
+    WITH ex AS (
+        SELECT label, p.dim AS dim, CAST(p.val AS DOUBLE) AS val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {'dim': i, 'val': embedding[i]})) AS p
+            FROM embeddings
+        )
+    ),
+    cent AS (
+        SELECT label, dim,
+            round(cast(sum(cast(val as decimal(27,9))) as double)
+                  / count(*), 8) AS cm
+        FROM ex GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT label,
+            cast(sum(cast(cm * cm as decimal(27,12))) as double) AS nsq
+        FROM cent GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+            cast(sum(cast(a.cm * b.cm as decimal(27,12))) as double) AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+        round(d.dot / sqrt(na.nsq * nb.nsq), 6) AS centroid_cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    ORDER BY 1, 2
+    """,
+    tags=("similarity", "centroid", "geometry"),
+)
+def v_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    class-geometry readout that says which label populations overlap in
+    embedding space (centroid cosine near 1 = classes an ANN index or a
+    classifier will confuse; v_embedding_drift watches one label move
+    over time, this compares labels to each other). Centroids come from
+    one posexplode + (label, dim) decimal-mean pass (order-independent,
+    rounded at 8dp so both engines carry identical coordinates); the
+    pair matrix is a self-join on dim over the bounded |labels| x dims
+    centroid table — the corpus-sized work is exactly one explode scan,
+    and the pairwise stage touches only |labels|^2 x dims tiny rows,
+    never vector pairs. Dot products and norms decimal-sum 12dp products
+    of identical doubles; cosine rounds at 6dp. Cell-exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,9)")).cast("double")
+            / F.count("*"),
+            8,
+        ).alias("cm")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum((F.col("cm") * F.col("cm")).cast("decimal(27,12)"))
+        .cast("double")
+        .alias("nsq")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum((F.col("a.cm") * F.col("b.cm")).cast("decimal(27,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nsq").alias("nsq_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("nsq_a") * F.col("nsq_b")), 6
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

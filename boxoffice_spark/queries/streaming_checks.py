@@ -175,3 +175,18 @@ def s_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_heavy_hitters
 
     return stream_heavy_hitters(spark, sf_dir)
+
+
+@register("s_stream_quantile_merge", oracle=None, tags=("streaming", "sketch"))
+def s_stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-quantile sketch: per-event-type equi-width
+    histogram counts ADD across micro-batches; p50/p95 read off the
+    drained histogram with a two-bin-width error bound (streaming/jobs.
+    stream_quantile_histogram_merge). Count addition is order-free, so
+    the drained histogram — and every quantile read from it — equals the
+    batch twin EXACTLY for any file split; asserted single- and
+    multi-batch in tests/test_streaming.py, with the error-bound property
+    checked against the exact percentile."""
+    from boxoffice_spark.streaming.jobs import stream_quantile_histogram_merge
+
+    return stream_quantile_histogram_merge(spark, sf_dir)

@@ -3188,3 +3188,723 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_lang_id_agreement",
+    oracle=f"""
+    WITH conf AS (
+        SELECT lang AS declared, {TS.lang_id_sql('text')} AS guess,
+            count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT sum(n) AS n_docs,
+            CAST(sum(CASE WHEN declared = guess THEN n ELSE 0 END)
+                 AS DOUBLE) / sum(n) AS p_o
+        FROM conf
+    ),
+    rt AS (SELECT declared AS cls, sum(n) AS rn FROM conf GROUP BY 1),
+    ct AS (SELECT guess AS cls, sum(n) AS cn FROM conf GROUP BY 1),
+    pe AS (
+        SELECT CAST(sum(CAST(round(
+                CAST(rn AS DOUBLE) * cn / (n_docs * CAST(n_docs AS DOUBLE)),
+                8) AS DECIMAL(18, 8))) AS DOUBLE) AS p_e
+        FROM rt JOIN ct ON ct.cls = rt.cls CROSS JOIN tot
+    ),
+    k AS (
+        SELECT n_docs, round(p_o, 6) AS observed_agreement,
+            round(p_e, 6) AS expected_agreement,
+            CASE WHEN p_e < 1 THEN round((p_o - p_e) / (1 - p_e), 6) END
+                AS kappa
+        FROM tot CROSS JOIN pe
+    )
+    SELECT *,
+        CASE WHEN kappa IS NULL THEN 'undefined'
+             WHEN kappa < 0 THEN 'poor'
+             WHEN kappa < 0.2 THEN 'slight'
+             WHEN kappa < 0.4 THEN 'fair'
+             WHEN kappa < 0.6 THEN 'moderate'
+             WHEN kappa < 0.8 THEN 'substantial'
+             ELSE 'almost perfect' END AS band
+    FROM k
+    """,
+    tags=("text", "langid", "stats"),
+)
+def t_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the DECLARED language label and the
+    engine's heuristic lang-ID guess — chance-corrected inter-annotator
+    agreement, the calibration readout that tells a pipeline operator
+    whether the cheap classifier can replace the upstream metadata
+    (raw accuracy overstates agreement when one language dominates;
+    kappa subtracts the marginal-product chance floor).
+
+    p_o and the marginals come from ONE confusion-matrix aggregate;
+    p_e is the marginal-product sum over classes present on BOTH sides
+    (a class missing on either side contributes zero product), each
+    term 8dp-rounded then decimal-summed so the class-order of the sum
+    cannot flip a bit. Banding (Landis-Koch) applies to the 6dp-rounded
+    kappa so both engines bucket the identical double.
+
+    At 100 TB: one scan to the |langs|^2 confusion grain (map-side
+    partials do the work); everything after is constant-size."""
+    d = table(spark, sf_dir, "documents")
+    conf = d.groupBy(
+        F.col("lang").alias("declared"), TS.lang_id("text").alias("guess")
+    ).agg(F.count("*").alias("n"))
+    tot = conf.agg(
+        F.sum("n").alias("n_docs"),
+        (
+            F.sum(F.when(F.col("declared") == F.col("guess"), F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n")
+        ).alias("p_o"),
+    )
+    rt = conf.groupBy(F.col("declared").alias("cls")).agg(F.sum("n").alias("rn"))
+    ct = conf.groupBy(F.col("guess").alias("cls")).agg(F.sum("n").alias("cn"))
+    pe = (
+        rt.join(ct, "cls")
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .select(
+            F.round(
+                F.col("rn").cast("double")
+                * F.col("cn")
+                / (F.col("n_docs") * F.col("n_docs").cast("double")),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("p_e"))
+    )
+    kappa_raw = (F.col("p_o") - F.col("p_e")) / (1 - F.col("p_e"))
+    k = tot.crossJoin(F.broadcast(pe)).select(
+        "n_docs",
+        F.round("p_o", 6).alias("observed_agreement"),
+        F.round("p_e", 6).alias("expected_agreement"),
+        F.when(F.col("p_e") < 1, F.round(kappa_raw, 6)).alias("kappa"),
+    )
+    kc = F.col("kappa")
+    return k.select(
+        "*",
+        F.when(kc.isNull(), "undefined")
+        .when(kc < 0, "poor")
+        .when(kc < 0.2, "slight")
+        .when(kc < 0.4, "fair")
+        .when(kc < 0.6, "moderate")
+        .when(kc < 0.8, "substantial")
+        .otherwise("almost perfect")
+        .alias("band"),
+    )
+
+
+@register(
+    "t_heaps_law_fit",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ),
+    pts AS (
+        SELECT source, count(*) AS n_tokens,
+            count(DISTINCT term) AS n_vocab
+        FROM t WHERE term <> '' GROUP BY 1
+    ),
+    xy AS (
+        SELECT source, n_tokens, n_vocab,
+            round(ln(CAST(n_tokens AS DOUBLE)), 8) AS x,
+            round(ln(CAST(n_vocab AS DOUBLE)), 8) AS y
+        FROM pts WHERE n_tokens > 0 AND n_vocab > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+            cast(sum(cast(x AS DECIMAL(27, 8))) AS DOUBLE) AS sx,
+            cast(sum(cast(y AS DECIMAL(27, 8))) AS DOUBLE) AS sy,
+            cast(sum(cast(round(x * x, 8) AS DECIMAL(27, 8))) AS DOUBLE)
+                AS sxx,
+            cast(sum(cast(round(y * y, 8) AS DECIMAL(27, 8))) AS DOUBLE)
+                AS syy,
+            cast(sum(cast(round(x * y, 8) AS DECIMAL(27, 8))) AS DOUBLE)
+                AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+        round(exp(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+              * (sx / n)), 4) AS heaps_k,
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("text", "vocab", "stats"),
+)
+def t_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * N^beta of vocabulary growth: per-source
+    (total tokens, distinct terms) points, log-log OLS across sources —
+    the datasheet companion to t_zipf_fit (Zipf reads the frequency
+    head; Heaps reads how fast NEW vocabulary accrues as the corpus
+    grows, which predicts tokenizer OOV pressure when scaling a source
+    up). Natural-language text sits near beta in [0.4, 0.6]; beta near
+    1 flags ID-like or machine-generated vocabularies.
+
+    One tokenize shuffle to the (source, term) grain folds both counts
+    — token totals are the weighted sum and vocabulary sizes are plain
+    row counts of that grain (no countDistinct expand); the OLS runs on
+    |sources| log points, 8dp-rounded then decimal-summed exactly like
+    t_zipf_fit, so the moments are order-independent — cell-exact. At
+    100 TB the only corpus-sized step is the tokenize groupBy."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(TS.words_of("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    pts = (
+        toks.groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("n_vocab"),
+        )
+    )
+    xy = pts.filter((F.col("n_tokens") > 0) & (F.col("n_vocab") > 0)).select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("n_vocab").cast("double")), 8).alias("y"),
+    )
+
+    def dsum8(c):
+        return F.sum(c.cast("decimal(27,8)")).cast("double")
+
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum8(F.col("x")).alias("sx"),
+        dsum8(F.col("y")).alias("sy"),
+        dsum8(F.round(F.col("x") * F.col("x"), 8)).alias("sxx"),
+        dsum8(F.round(F.col("y") * F.col("y"), 8)).alias("syy"),
+        dsum8(F.round(F.col("x") * F.col("y"), 8)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(sy / n - beta * (sx / n)), 4).alias("heaps_k"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "t_js_divergence_matrix",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ),
+    tt AS (SELECT source, term FROM t WHERE term <> ''),
+    head AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS tf FROM tt GROUP BY 1
+            ORDER BY tf DESC, term LIMIT 300
+        )
+    ),
+    cnt AS (
+        SELECT tt.source, tt.term, count(*) AS n
+        FROM tt JOIN head ON head.term = tt.term
+        GROUP BY 1, 2
+    ),
+    srctot AS (SELECT source, sum(n) AS src_n FROM cnt GROUP BY 1),
+    grid AS (
+        SELECT srctot.source, head.term, srctot.src_n,
+            coalesce(cnt.n, 0) AS n
+        FROM srctot CROSS JOIN head
+        LEFT JOIN cnt ON cnt.source = srctot.source
+            AND cnt.term = head.term
+    ),
+    p AS (
+        SELECT source, term, CAST(n AS DOUBLE) / src_n AS p FROM grid
+    ),
+    pair_terms AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+            round(
+                0.5 * CASE WHEN a.p > 0
+                    THEN a.p * log2(a.p / ((a.p + b.p) / 2)) ELSE 0 END
+                + 0.5 * CASE WHEN b.p > 0
+                    THEN b.p * log2(b.p / ((a.p + b.p) / 2)) ELSE 0 END,
+                8) AS jsd_term
+        FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+        round(cast(sum(cast(jsd_term AS DECIMAL(27, 8))) AS DOUBLE), 6)
+            AS jsd_bits
+    FROM pair_terms
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("text", "mixture", "drift"),
+)
+def t_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions over the global top-300 vocabulary head — the
+    source-similarity matrix behind mixture design: JSD(bits) is 0 for
+    identical word distributions and 1 for disjoint ones, so near-zero
+    off-diagonal pairs are redundant sources (t_source_overlap_matrix
+    finds shared DOCUMENTS; this finds shared STYLE even with zero
+    overlapping docs), and the most-distant pairs mark genuine
+    diversity worth preserving in t_mixture_rebalance.
+
+    Distributions are restricted to the shared top-300 head (the
+    TakeOrdered vocabulary with the min-term tie-break) and
+    renormalized over it — the head restriction is what keeps the grid
+    |sources| x 300 and the comparison apples-to-apples; zero cells are
+    restored by the source x head cross join so a term one source
+    never uses still contributes its full mass to the other side's
+    divergence. Per-term contributions are 8dp-rounded then
+    decimal-summed (order-independent); a p=0 side contributes exactly
+    0 by the KL convention. At 100 TB: the corpus is tokenized ONCE
+    into scope-persisted (source, term, n) partial counts — the head
+    is a re-aggregate of those counts, not a second corpus pass — and
+    the pair join runs on the bounded sources x 300 grid."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(TS.words_of("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    cnt_all = scoped_persist(
+        toks.groupBy("source", "term").agg(F.count("*").alias("n")),
+        "js_divergence.cnt",
+    )
+    head = (
+        cnt_all.groupBy("term")
+        .agg(F.sum("n").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(300)
+        .select("term")
+    )
+    cnt = cnt_all.join(F.broadcast(head), "term").select("source", "term", "n")
+    srctot = cnt.groupBy("source").agg(F.sum("n").alias("src_n"))
+    grid = (
+        srctot.crossJoin(F.broadcast(head))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("src_n")).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        F.col("term").alias("term_b"),
+        F.col("p").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    jsd_term = F.round(
+        0.5
+        * F.when(F.col("pa") > 0, F.col("pa") * F.log2(F.col("pa") / m)).otherwise(0.0)
+        + 0.5
+        * F.when(F.col("pb") > 0, F.col("pb") * F.log2(F.col("pb") / m)).otherwise(0.0),
+        8,
+    )
+    pair_terms = a.join(
+        b,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    ).select("source_a", "source_b", jsd_term.alias("jsd_term"))
+    return (
+        pair_terms.groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(F.col("jsd_term").cast("decimal(27,8)")).cast("double"), 6
+            ).alias("jsd_bits")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "t_oov_rate",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ),
+    tt AS (SELECT source, term FROM t WHERE term <> ''),
+    head AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS tf FROM tt GROUP BY 1
+            ORDER BY tf DESC, term LIMIT 1000
+        )
+    ),
+    marked AS (
+        SELECT tt.source, tt.term, head.term IS NOT NULL AS in_vocab
+        FROM tt LEFT JOIN head ON head.term = tt.term
+    )
+    SELECT source,
+        count(*) AS n_tokens,
+        sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS oov_tokens,
+        round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+              / count(*), 6) AS oov_token_rate,
+        count(DISTINCT term) AS n_terms,
+        count(DISTINCT CASE WHEN NOT in_vocab THEN term END) AS oov_terms,
+        round(CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN term END)
+                   AS DOUBLE) / count(DISTINCT term), 6) AS oov_term_rate
+    FROM marked
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("text", "vocab", "quality"),
+)
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary pressure per source against the global
+    top-1000 vocabulary head: the fraction of token OCCURRENCES and of
+    DISTINCT terms a head-limited vocabulary fails to cover — the
+    companion readout to t_tokenizer_fertility (fertility prices the
+    tokens you keep; OOV rate prices what a fixed vocab throws away)
+    and the per-source drill-down of what t_heaps_law_fit predicts in
+    aggregate. A source whose occurrence-OOV is low but term-OOV is
+    high is long-tail-rich (fine for BPE); high occurrence-OOV flags a
+    vocabulary mismatch (wrong language/domain for the head).
+
+    The corpus is tokenized ONCE into scope-persisted (source, term,
+    n) partial counts — the head (a global top-1000 re-aggregate of
+    those counts), the membership mark, and every output column derive
+    from that bounded table, so occurrence counts are weighted sums and
+    the distinct-term counts are plain row counts (the (source, term)
+    grain IS distinct — no countDistinct expand). At 100 TB: one
+    tokenize shuffle to |sources| x |vocab|; everything after runs on
+    the bounded count table."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(TS.words_of("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    cnt = scoped_persist(
+        toks.groupBy("source", "term").agg(F.count("*").alias("n")),
+        "oov_rate.cnt",
+    )
+    head = (
+        cnt.groupBy("term")
+        .agg(F.sum("n").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(1000)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    marked = cnt.join(F.broadcast(head), "term", "left").select(
+        "source",
+        "n",
+        F.coalesce(F.col("in_vocab"), F.lit(False)).alias("in_vocab"),
+    )
+    oov_n = F.sum(F.when(F.col("in_vocab"), 0).otherwise(F.col("n")))
+    oov_t = F.sum(F.when(F.col("in_vocab"), 0).otherwise(1))
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            oov_n.alias("oov_tokens"),
+            F.round(oov_n.cast("double") / F.sum("n"), 6).alias("oov_token_rate"),
+            F.count("*").alias("n_terms"),
+            oov_t.alias("oov_terms"),
+            F.round(oov_t.cast("double") / F.count("*"), 6).alias("oov_term_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_capture_recapture_dups",
+    oracle=f"""
+    WITH marks AS (
+        SELECT doc_id,
+            md5(substring({_NORM}, 1, 64)) AS pre,
+            md5(substring(reverse({_NORM}), 1, 64)) AS suf
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id,
+            count(*) OVER (PARTITION BY pre) > 1 AS cap_a,
+            count(*) OVER (PARTITION BY suf) > 1 AS cap_b
+        FROM marks
+    ),
+    agg AS (
+        SELECT count(CASE WHEN cap_a THEN 1 END) AS n1,
+            count(CASE WHEN cap_b THEN 1 END) AS n2,
+            count(CASE WHEN cap_a AND cap_b THEN 1 END) AS m
+        FROM flagged
+    )
+    SELECT n1, n2, m,
+        round((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1, 2)
+            AS est_total_dup_docs,
+        round(n1 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
+            AS recall_a,
+        round(n2 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
+            AS recall_b
+    FROM agg
+    """,
+    tags=("dedup", "stats", "capture-recapture"),
+)
+def t_capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen) estimate of
+    the corpus's TRUE duplicated-document population from two cheap
+    independent detectors — the ecology trick applied to dedup QA: when
+    no detector is exhaustive, two partial 'capture occasions' plus their
+    overlap estimate how many duplicates exist IN TOTAL, i.e. how much
+    each detector misses (t_dedup_recall_report measures recall against
+    exact-tier truth; this estimates it when no ground truth exists —
+    the production case). Occasion A marks docs sharing a duplicated
+    64-char PREFIX hash of the normalized text, occasion B a duplicated
+    64-char SUFFIX hash (reverse-prefix): near-identical copies collide
+    on both ends, and the two marks are computed from disjoint text
+    regions, approximating the independence assumption. Chapman
+    estimator N = (n1+1)(n2+1)/(m+1) - 1 (bias-corrected, finite when
+    the overlap m is 0); each detector's implied recall n_i / N lands
+    alongside. One scan computes both 16-byte marks; each occasion is a
+    count-over-hash-key aggregate (window over the mark, exactly the
+    exact-dedup shuffle shape x2) and the readout is a single row — no
+    pair generation anywhere, so the estimate costs two hash shuffles of
+    (id, mark) at any corpus size. Cell-exact."""
+    d = table(spark, sf_dir, "documents")
+    norm = D.normalized_text("text")
+    marks = d.select(
+        "doc_id",
+        F.md5(F.substring(norm, 1, 64)).alias("pre"),
+        F.md5(F.substring(F.reverse(norm), 1, 64)).alias("suf"),
+    )
+    from pyspark.sql import Window as W
+
+    flagged = marks.select(
+        (F.count("*").over(W.partitionBy("pre")) > 1).alias("cap_a"),
+        (F.count("*").over(W.partitionBy("suf")) > 1).alias("cap_b"),
+    )
+    agg = flagged.agg(
+        F.count(F.when(F.col("cap_a"), 1)).alias("n1"),
+        F.count(F.when(F.col("cap_b"), 1)).alias("n2"),
+        F.count(F.when(F.col("cap_a") & F.col("cap_b"), 1)).alias("m"),
+    )
+    est = (F.col("n1") + 1) * (F.col("n2") + 1) / (
+        F.col("m") + 1
+    ).cast("double") - 1
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.round(est, 2).alias("est_total_dup_docs"),
+        F.round(F.col("n1") / est, 6).alias("recall_a"),
+        F.round(F.col("n2") / est, 6).alias("recall_b"),
+    )
+
+
+@register(
+    "t_temperature_mixture",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang, {TS.BPEISH_SQL.format(col='text')} AS n_tok FROM documents
+    ),
+    agg AS (
+        SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS est_tokens
+        FROM base GROUP BY 1
+    ),
+    sc AS (
+        SELECT lang, n_docs, est_tokens,
+            round(CAST(est_tokens AS DOUBLE) / sum(est_tokens) OVER (), 6)
+                AS p_raw,
+            round(pow(round(CAST(est_tokens AS DOUBLE)
+                            / sum(est_tokens) OVER (), 6), 0.3), 8) AS s,
+            sum(est_tokens) OVER () AS total_tokens
+        FROM agg
+    )
+    SELECT lang, n_docs, est_tokens, p_raw,
+        round(s / cast(sum(cast(s as decimal(27,8))) over () as double), 6)
+            AS w_temp,
+        round(round(s / cast(sum(cast(s as decimal(27,8))) over ()
+                    as double), 6)
+              * total_tokens / est_tokens, 4) AS expected_epochs
+    FROM sc
+    ORDER BY lang
+    """,
+    tags=("text", "mixture", "sampling"),
+)
+def t_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha-power) language sampling weights — the
+    multilingual-LM mixing recipe (mT5/XLM-R style): sampling
+    probability w_l proportional to p_l^alpha with alpha=0.3 upweights
+    low-resource languages relative to their raw token share without the
+    hard uniform target of t_mixture_rebalance (alpha=1 reproduces
+    natural sampling, alpha=0 uniform; 0.3 is the published sweet spot).
+    expected_epochs = w_l * budget / tokens_l at a budget of one corpus
+    pass shows the compromise's cost: how many times each low-resource
+    language's data repeats (epochs > ~4 signal memorization risk — the
+    readout that decides whether alpha must rise toward 1). Raw shares
+    rounded at 6dp before pow so both engines exponentiate identical
+    doubles, pow outputs rounded at 8dp, and the normalizer decimal-sums
+    the rounded scores over the bounded language list — order-independent
+    on both engines. One corpus scan to the |langs| grain; everything
+    after is window math over a handful of rows. Cell-exact."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    agg = d.select("lang", TS.bpe_ish_token_count("text").alias("n_tok")).groupBy(
+        "lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("est_tokens"),
+    )
+    p_raw = F.round(
+        F.col("est_tokens").cast("double") / F.sum("est_tokens").over(w), 6
+    )
+    sc = agg.select(
+        "lang",
+        "n_docs",
+        "est_tokens",
+        p_raw.alias("p_raw"),
+        F.round(F.pow(p_raw, F.lit(0.3)), 8).alias("s"),
+        F.sum("est_tokens").over(w).alias("total_tokens"),
+    )
+    w_temp = F.round(
+        F.col("s")
+        / F.sum(F.col("s").cast("decimal(27,8)")).over(w).cast("double"),
+        6,
+    )
+    return sc.select(
+        "lang",
+        "n_docs",
+        "est_tokens",
+        "p_raw",
+        w_temp.alias("w_temp"),
+        F.round(
+            w_temp * F.col("total_tokens") / F.col("est_tokens"), 4
+        ).alias("expected_epochs"),
+    ).orderBy("lang")
+
+
+@register(
+    "t_token_budget_select",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, round({_QUALITY_EXPR_SQL}, 6) AS q,
+            {TS.BPEISH_SQL.format(col='text')} AS tok
+        FROM documents
+    ),
+    banded AS (SELECT doc_id, round(q, 2) AS band, tok FROM base),
+    bstat AS (
+        SELECT band, CAST(sum(tok) AS BIGINT) AS band_tokens
+        FROM banded GROUP BY 1
+    ),
+    brun AS (
+        SELECT band, band_tokens,
+            sum(band_tokens) OVER (ORDER BY band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+            CAST(floor(sum(band_tokens) OVER () * 0.10) AS BIGINT) AS budget
+        FROM bstat
+    ),
+    full_bands AS (SELECT band FROM brun WHERE run <= budget),
+    straddle AS (
+        SELECT band, budget - (run - band_tokens) AS budget_left
+        FROM brun WHERE run > budget AND run - band_tokens < budget
+        ORDER BY band DESC LIMIT 1
+    ),
+    partial_docs AS (
+        SELECT doc_id, band, tok, 'partial' AS fill
+        FROM (
+            SELECT b.doc_id, b.band, b.tok, s.budget_left,
+                sum(b.tok) OVER (ORDER BY
+                    md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM banded b JOIN straddle s ON s.band = b.band
+        ) WHERE cum <= budget_left
+    )
+    SELECT b.doc_id, b.band, b.tok, 'full' AS fill
+    FROM banded b JOIN full_bands f ON f.band = b.band
+    UNION ALL
+    SELECT doc_id, band, tok, fill FROM partial_docs
+    """,
+    tags=("text", "selection", "budget"),
+)
+def t_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    whose estimated tokens fit a training budget (here 10% of the corpus
+    token total) — the 'we can only afford N tokens, take the best'
+    pass that follows scoring in every data-constrained training run.
+    NOT a global quality sort: docs aggregate into 2dp quality BANDS
+    (bounded: score is [0,1], so <= 101 bands), the running token total
+    over the descending band list picks whole bands until the budget
+    line, and only the ONE band straddling the line is broken up —
+    ordered by the deterministic md5 shuffle key (quality within a 2dp
+    band is indistinguishable; hash order avoids biasing the cut toward
+    low doc_ids = oldest documents). At 100 TB the global sort this
+    replaces is the canonical single-reducer anti-pattern: here the
+    corpus-sized work is one band groupBy + two broadcast-joined
+    filters, and the only sort is within the straddle band (~1/|bands|
+    of the corpus). All token arithmetic is integer-exact; the budget is
+    floor(total * 0.10) computed identically on both engines.
+    Cell-exact."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    from boxoffice_spark.operators.textstats import quality_score
+
+    banded = d.select(
+        "doc_id",
+        F.round(quality_score("text"), 2).alias("band"),
+        TS.bpe_ish_token_count("text").alias("tok"),
+    )
+    bstat = banded.groupBy("band").agg(
+        F.sum("tok").cast("long").alias("band_tokens")
+    )
+    wrun = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    brun = bstat.select(
+        "band",
+        "band_tokens",
+        F.sum("band_tokens").over(wrun).alias("run"),
+        F.floor(F.sum("band_tokens").over(wall) * 0.10)
+        .cast("long")
+        .alias("budget"),
+    )
+    full_bands = brun.filter(F.col("run") <= F.col("budget")).select("band")
+    straddle = (
+        brun.filter(
+            (F.col("run") > F.col("budget"))
+            & (F.col("run") - F.col("band_tokens") < F.col("budget"))
+        )
+        .orderBy(F.col("band").desc())
+        .limit(1)
+        .select(
+            "band",
+            (F.col("budget") - (F.col("run") - F.col("band_tokens"))).alias(
+                "budget_left"
+            ),
+        )
+    )
+    full_docs = banded.join(F.broadcast(full_bands), "band").select(
+        "doc_id", "band", "tok", F.lit("full").alias("fill")
+    )
+    wcum = Window.partitionBy("band").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    partial_docs = (
+        banded.join(F.broadcast(straddle), "band")
+        .select(
+            "doc_id",
+            "band",
+            "tok",
+            "budget_left",
+            F.sum("tok").over(wcum).alias("cum"),
+        )
+        .filter(F.col("cum") <= F.col("budget_left"))
+        .select("doc_id", "band", "tok", F.lit("partial").alias("fill"))
+    )
+    return full_docs.unionAll(partial_docs)

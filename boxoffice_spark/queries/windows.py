@@ -1591,3 +1591,195 @@ def w_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "months_since")
     )
+
+
+@register(
+    "w_acf_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS x,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT status, {davg_sql('rev', 2)} AS mean, count(*) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    cent AS (
+        SELECT d.status, x, rev - m.mean AS c, n_days
+        FROM daily d JOIN m ON m.status = d.status
+    ),
+    den AS (
+        SELECT status, n_days, {dsum_sql('round(c * c, 4)', 4)} AS denom
+        FROM cent GROUP BY 1, 2
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag_k FROM range(1, 8)),
+    num AS (
+        SELECT a.status, lag_k, {dsum_sql('round(a.c * b.c, 4)', 4)} AS num,
+            count(*) AS n_pairs
+        FROM cent a CROSS JOIN lags
+        JOIN cent b ON b.status = a.status AND b.x = a.x + lag_k
+        GROUP BY 1, 2
+    )
+    SELECT num.status, lag_k, den.n_days, n_pairs,
+        CASE WHEN denom > 0 THEN round(num / denom, 6) END AS acf
+    FROM num JOIN den ON den.status = num.status
+    ORDER BY num.status, lag_k
+    """,
+    tags=("window", "timeseries", "stats"),
+)
+def w_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at calendar lags 1..7 days, per
+    order status — the weekly-seasonality fingerprint that says whether
+    w_seasonality_indices / w_ewma_daily_revenue should model a 7-day
+    cycle at all (a spike at lag 7 is the signature).
+
+    Calendar-exact: lag pairs come from an equi-join on (status,
+    x + lag_k) over the day-index spine, so a MISSING day drops its
+    pairs instead of silently shifting the comparison to the wrong day
+    (the standard missing-data ACF estimator; same gap-safety call as
+    the calendar-join YoY). Numerators and the variance denominator are
+    4dp-rounded products decimal-summed (order-independent); the 7-lag
+    spine is a 7-row broadcast cross join, not a window, so both
+    engines share the identical join semantics. Statuses whose series
+    is shorter than a lag simply have no row at that lag.
+
+    At 100 TB: the only corpus-sized work is the groupBy to the daily
+    grain; the lag join runs over the calendar-bounded centered table
+    (|days| x 7 rows) and the readout is |status| x 7 rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    m = daily.groupBy("status").agg(
+        davg("rev", scale=2).alias("mean"), F.count("*").alias("n_days")
+    )
+    cent = daily.join(F.broadcast(m), "status").select(
+        "status", "x", (F.col("rev") - F.col("mean")).alias("c"), "n_days"
+    )
+    den = cent.groupBy("status", "n_days").agg(
+        dsum(F.round(F.col("c") * F.col("c"), 4), scale=4).alias("denom")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    a = cent.select("status", "x", F.col("c").alias("ca")).crossJoin(
+        F.broadcast(lags)
+    )
+    b = cent.select(
+        "status", F.col("x").alias("xb"), F.col("c").alias("cb")
+    )
+    num = (
+        a.join(
+            b,
+            (a["status"] == b["status"]) & (b["xb"] == a["x"] + a["lag_k"]),
+        )
+        .select(a["status"], "lag_k", F.round(F.col("ca") * F.col("cb"), 4).alias("prod"))
+        .groupBy("status", "lag_k")
+        .agg(dsum("prod", scale=4).alias("num"), F.count("*").alias("n_pairs"))
+    )
+    return (
+        num.join(F.broadcast(den), "status")
+        .select(
+            "status",
+            "lag_k",
+            "n_days",
+            "n_pairs",
+            F.when(
+                F.col("denom") > 0, F.round(F.col("num") / F.col("denom"), 6)
+            ).alias("acf"),
+        )
+        .orderBy("status", "lag_k")
+    )
+
+
+@register(
+    "w_gaps_islands",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev
+    ),
+    seq AS (
+        SELECT user_id, d,
+            date_diff('day', DATE '1992-01-01', d)
+            - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+            count(*) AS streak_days
+        FROM seq GROUP BY user_id, grp
+    ),
+    best AS (
+        SELECT *,
+            row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY streak_days DESC, streak_start
+            ) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id, n_streaks, streak_days AS longest_streak_days,
+        streak_start AS longest_streak_start,
+        streak_end AS longest_streak_end
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("window", "sessionize"),
+)
+def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity days: contiguous
+    consecutive-day streaks via the classic day-index-minus-row-number
+    grouping key (consecutive days share a constant difference), then
+    each user's longest streak (earliest-start tie-break) and streak
+    count — the engagement-streak readout behind retention features,
+    and the canonical islands idiom i_sessionize's timestamp-gap
+    sessionizer doesn't cover (calendar-day grain, exact-consecutive
+    semantics).
+
+    Everything is partitioned by user_id: the distinct-day dedup, the
+    row_number, the streak aggregate, and the longest-streak pick all
+    share one hash partitioning on user — Catalyst reuses the exchange,
+    so the whole plan is ONE shuffle wide. At 100 TB the per-user state
+    is bounded by the calendar (a user has at most |days| rows)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    seq = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1992-01-01"))
+            - F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+        ).alias("grp"),
+    )
+    streaks = seq.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count("*").alias("streak_days"),
+    )
+    best = streaks.select(
+        "*",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.desc("streak_days"), F.asc("streak_start")
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n_streaks"),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_streaks",
+            F.col("streak_days").alias("longest_streak_days"),
+            F.col("streak_start").alias("longest_streak_start"),
+            F.col("streak_end").alias("longest_streak_end"),
+        )
+        .orderBy("user_id")
+    )

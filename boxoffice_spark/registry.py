@@ -140,6 +140,55 @@ _PINNED = [
     "s_stream_heavy_hitters",  # rows-only: MG union + exact drain recount
 ]
 
+# Queued for the round-7 driver window (the 50 slots above were full when
+# these landed; all are local-oracle green and sf1-probed where heavy):
+# batch 4 (nonparametric/robust statistics): a_mann_whitney_u,
+#   a_theil_sen_trend, w_acf_daily, t_lang_id_agreement
+# batch 5 (classic DB operators): w_gaps_islands, p_relational_division,
+#   a_mode_per_group
+# batch 6 (corpus datasheet fits): t_heaps_law_fit, t_js_divergence_matrix
+# batch 7 (deterministic resampling): a_permutation_test,
+#   a_bootstrap_ci_poisson — md5-seeded draws, retry-safe, cell-exact
+# batch 8 (datasheet round-out): g_degree_assortativity, t_oov_rate
+# batch 9 (robust/privacy round-out): a_winsorized_mean, a_kendall_tau,
+#   dq_l_diversity, t_capture_recapture_dups
+# batch 10 (LLM-pipeline selection + geometry): t_temperature_mixture,
+#   t_token_budget_select, v_centroid_similarity_matrix
+# batch 11 (omnibus statistics + seasonal DQ): a_kruskal_wallis,
+#   dq_seasonal_anomaly
+# batch 12 (mergeable quantile sketch): s_stream_quantile_merge
+#   (rows-only; stream==batch equality + error-bound property tests)
+# batch 13 (graph centrality): g_harmonic_centrality (pivot-sampled
+#   Eppstein-Wang estimator, unrolled-CTE oracle)
+# batch 14 (effect sizes + reconciliation): a_cramers_v
+_QUEUED_R07 = [
+    "a_mann_whitney_u",
+    "a_theil_sen_trend",
+    "w_acf_daily",
+    "t_lang_id_agreement",
+    "w_gaps_islands",
+    "p_relational_division",
+    "a_mode_per_group",
+    "t_heaps_law_fit",
+    "t_js_divergence_matrix",
+    "a_permutation_test",
+    "a_bootstrap_ci_poisson",
+    "g_degree_assortativity",
+    "t_oov_rate",
+    "a_winsorized_mean",
+    "a_kendall_tau",
+    "dq_l_diversity",
+    "t_capture_recapture_dups",
+    "t_temperature_mixture",
+    "t_token_budget_select",
+    "v_centroid_similarity_matrix",
+    "a_kruskal_wallis",
+    "dq_seasonal_anomaly",
+    "s_stream_quantile_merge",
+    "g_harmonic_centrality",
+    "a_cramers_v",
+]
+
 
 def register(
     name: str,

@@ -980,3 +980,136 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exact_recount(corpus_toks, cands, "term", phi).localCheckpoint()
     spark.catalog.dropGlobalTempView(name)
     return out
+
+
+# Equi-width histogram contract for the streaming quantile sketch: bin
+# width 4.0 over the events.value range (~0-500 -> ~125 live bins per
+# type). The worst-case quantile error the readout reports is TWO bin
+# widths: the estimate lands anywhere inside its target-rank bin (one
+# width) and the exact type-7 percentile's rank convention ((N-1)q+1 vs
+# this readout's qN) differs by under one rank, which can place the
+# exact value in the ADJACENT bin (a second width). State is
+# O(types x |bins|), independent of stream length.
+QH_BIN_WIDTH = 4.0
+QH_ERR_BOUND = 2 * QH_BIN_WIDTH
+
+
+def quantile_hist_readout(hist: DataFrame, bin_width: float = QH_BIN_WIDTH) -> DataFrame:
+    """Per-type p50/p95 estimates from an equi-width histogram
+    (event_type, bin, cnt): cumulative counts over the bounded bin list
+    locate the target-rank bin, linear interpolation within it places the
+    estimate (the classic equi-width histogram quantile — error <= two
+    bin widths vs the exact type-7 percentile: one for within-bin
+    placement, one for the rank-convention offset; see QH_ERR_BOUND).
+    The window runs per type over |bins| rows, never over raw events."""
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_rows"),
+        F.count("*").over(wall).alias("n_bins"),
+    )
+    qs = hist.sparkSession.createDataFrame(
+        [(0.5,), (0.95,)], "q double"
+    )
+    tagged = cum.crossJoin(F.broadcast(qs))
+    target = F.col("q") * F.col("n_rows")
+    inbin = tagged.filter(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+    )
+    est = (
+        F.col("bin") * F.lit(bin_width)
+        + (target - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+        * F.lit(bin_width)
+    )
+    picked = inbin.select(
+        "event_type", "n_rows", "n_bins", "q", F.round(est, 4).alias("est")
+    )
+    return (
+        picked.groupBy("event_type", "n_rows", "n_bins")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("est_p50"),
+            F.max(F.when(F.col("q") == 0.95, F.col("est"))).alias("est_p95"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_bins",
+            "est_p50",
+            "est_p95",
+            F.lit(2 * bin_width).alias("err_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stream_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of per-event-type equi-width histogram
+    quantile sketches — the mergeable-quantile member of the sketch
+    family (KMV distinct, HLL rollup, Misra-Gries heavy hitters, and now
+    quantiles): each micro-batch's (type, bin) counts ADD into a standing
+    histogram inside ``foreachBatch``; p50/p95 read off the drained
+    histogram by cumulative interpolation with a hard two-bin-width error
+    bound (QH_ERR_BOUND).
+
+    Count addition is associative and commutative, so the drained
+    histogram equals the batch-computed histogram EXACTLY for ANY file
+    split or arrival order (the additive contract of the drift /
+    completeness twins; asserted single- and multi-batch in
+    tests/test_streaming.py) — and therefore so does every quantile read
+    from it. Not idempotent (re-delivering a file would double-count) —
+    exactly-once file semantics come from the availableNow source, as
+    with every additive twin here. State is O(types x |bins|) rows,
+    independent of stream length; on a cluster the same merge maintains
+    a keyed histogram table that tomorrow's partition UNIONs into, which
+    is what makes a quantile readout possible without ever re-sorting
+    history — the streaming substitute for percentile() at 100 TB."""
+    raw = _events_stream(spark, sf_dir, glob="events*.parquet", max_files=1)
+    name = "s_qh_" + uuid.uuid4().hex[:12]
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        upd = (
+            batch.select(
+                "event_type",
+                F.floor(F.col("value") / F.lit(QH_BIN_WIDTH)).alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            upd = (
+                s.table(f"global_temp.{name}")
+                .unionByName(upd)
+                .groupBy("event_type", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        upd.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not spark.catalog.tableExists(f"global_temp.{name}"):
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_rows long, n_bins long, est_p50 double, "
+            "est_p95 double, err_bound double",
+        )
+    hist = spark.table(f"global_temp.{name}")
+    out = quantile_hist_readout(hist).localCheckpoint()
+    spark.catalog.dropGlobalTempView(name)
+    return out

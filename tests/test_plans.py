@@ -281,6 +281,9 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "dq_partition_gaps",       # LEAD over the distinct-date spine (bounded)
         "w_max_concurrency",       # bucket-offset prefix sum over |hours| rows
         "t_zipf_fit",              # rank window over the top-1000 vocab head
+        "t_temperature_mixture",   # share/normalizer over |langs| rows
+        "t_token_budget_select",   # running token sum over <=101 band rows
+        "a_kruskal_wallis",        # pooled rank over the calendar-bounded daily grain
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
     # positive control: the detector must actually FIND the known global

@@ -678,3 +678,94 @@ def test_stream_heavy_hitters_multi_batch_any_split(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, t_heavy_hitters(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
     assert even.num_rows > 0 and odd.num_rows > 0
+
+
+def _batch_quantile_hist(ev):
+    """Batch twin of stream_quantile_histogram_merge: same bins, same
+    readout over a single static aggregate."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.streaming.jobs import QH_BIN_WIDTH, quantile_hist_readout
+
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(QH_BIN_WIDTH)).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return quantile_hist_readout(hist)
+
+
+def test_stream_quantile_merge_equals_batch(spark, sf_dir):
+    """Drained standing histogram quantiles == batch twin, cell for cell
+    (count addition is order-free, so equality is exact)."""
+    from boxoffice_spark.streaming.jobs import stream_quantile_histogram_merge
+    from boxoffice_spark.tables import table
+
+    got = sorted(
+        map(tuple, stream_quantile_histogram_merge(spark, sf_dir).collect())
+    )
+    want = sorted(map(tuple, _batch_quantile_hist(table(spark, sf_dir, "events")).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_quantile_merge_multi_batch_any_split(spark, sf_dir, tmp_path):
+    """Interleaved odd/even split -> two micro-batches whose types and
+    value bins straddle the split arbitrarily; the merged histogram (and
+    every quantile read from it) must STILL equal the batch twin exactly
+    — additive counts need no ordering contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.streaming.jobs import stream_quantile_histogram_merge
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = pa.array(range(t.num_rows))
+    even = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 0))
+    odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
+    pq.write_table(even, str(tmp_path / "events.parquet"))
+    pq.write_table(odd, str(tmp_path / "events_2.parquet"))
+    _pin_file_order(tmp_path / "events.parquet", tmp_path / "events_2.parquet")
+    got = sorted(
+        map(tuple, stream_quantile_histogram_merge(spark, str(tmp_path)).collect())
+    )
+    full = spark.read.option("pathGlobFilter", "events*.parquet").parquet(str(tmp_path))
+    from pyspark.sql import functions as F, types as T
+
+    if isinstance(full.schema["ts"].dataType, T.LongType):
+        full = full.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    want = sorted(map(tuple, _batch_quantile_hist(full).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_quantile_estimates_within_bin_width(spark, sf_dir):
+    """Error-bound property: every histogram quantile estimate must sit
+    within QH_ERR_BOUND (two bin widths: within-bin placement + the
+    rank-convention offset vs type-7) of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.streaming.jobs import QH_ERR_BOUND
+    from boxoffice_spark.tables import table
+
+    est = {
+        r["event_type"]: (r["est_p50"], r["est_p95"])
+        for r in _batch_quantile_hist(table(spark, sf_dir, "events")).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) > 0
+    for et, (e50, e95) in est.items():
+        x50, x95 = exact[et]
+        assert abs(e50 - x50) <= QH_ERR_BOUND, (et, e50, x50)
+        assert abs(e95 - x95) <= QH_ERR_BOUND, (et, e95, x95)

@@ -121,6 +121,34 @@ HEAVY = [
     "t_ngram_novelty",
     "t_zipf_fit",
     "p_skyline_pareto",
+    # round 6 batches 4-6 heavy legs: the Theil-Sen pair self-join
+    # (quadratic in calendar days, must stay flat in corpus size), the
+    # two tokenize-bound corpus fits, the JSD head-grid join, and the
+    # events-wide islands windows
+    "a_theil_sen_trend",
+    "a_mann_whitney_u",
+    "t_js_divergence_matrix",
+    "t_heaps_law_fit",
+    "w_gaps_islands",
+    # batches 7-8: the 200-replicate resampling spines (must stay flat —
+    # they multiply only the calendar-bounded daily grain), the tokenize-
+    # bound OOV audit, and the edge-moment assortativity pass
+    "a_permutation_test",
+    "a_bootstrap_ci_poisson",
+    "t_oov_rate",
+    "g_degree_assortativity",
+    # batches 9-10: the calendar-bounded kendall pair join, the two-window
+    # capture-recapture marks pass, the tokenize-bound band selection, and
+    # the embedding explode scan behind the centroid matrix
+    "a_kendall_tau",
+    "t_capture_recapture_dups",
+    "t_token_budget_select",
+    "v_centroid_similarity_matrix",
+    # batch 11: the pooled-rank omnibus test (global window over the
+    # calendar-bounded daily grain — must stay flat in corpus size)
+    "a_kruskal_wallis",
+    # batch 13: 16-seed 4-hop multi-source BFS + inverse-distance fold
+    "g_harmonic_centrality",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
