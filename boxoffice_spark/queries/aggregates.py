@@ -2657,3 +2657,111 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(phi2_corr / F.least(r_corr, c_corr)), 6
         ).alias("cramers_v_corrected"),
     )
+
+
+@register(
+    "a_cohens_d",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+            CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders
+        GROUP BY 1, 2, CAST(o_orderdate AS DATE)
+    ),
+    s AS (
+        SELECT status,
+            count(CASE WHEN first_half THEN 1 END) AS n1,
+            count(CASE WHEN NOT first_half THEN 1 END) AS n2,
+            {davg_sql('CASE WHEN first_half THEN rev END')} AS m1,
+            {davg_sql('CASE WHEN NOT first_half THEN rev END')} AS m2,
+            {dsum_sql('CASE WHEN first_half THEN round(rev * rev, 2) END')} AS s2_1,
+            {dsum_sql('CASE WHEN NOT first_half THEN round(rev * rev, 2) END')} AS s2_2,
+            {dsum_sql('CASE WHEN first_half THEN rev END')} AS sum1,
+            {dsum_sql('CASE WHEN NOT first_half THEN rev END')} AS sum2
+        FROM daily GROUP BY 1
+    ),
+    v AS (
+        SELECT status, n1, n2, m1, m2,
+            (s2_1 - sum1 * sum1 / n1) / (n1 - 1) AS var1,
+            (s2_2 - sum2 * sum2 / n2) / (n2 - 1) AS var2
+        FROM s WHERE n1 > 1 AND n2 > 1
+    )
+    SELECT status, n1, n2, round(m1, 4) AS mean_first,
+        round(m2, 4) AS mean_second,
+        CASE WHEN ((n1 - 1) * var1 + (n2 - 1) * var2) > 0 THEN
+            round((m2 - m1) / sqrt(((n1 - 1) * var1 + (n2 - 1) * var2)
+                                   / (n1 + n2 - 2)), 6)
+        END AS cohens_d,
+        CASE WHEN ((n1 - 1) * var1 + (n2 - 1) * var2) > 0 THEN
+            round((m2 - m1) / sqrt(((n1 - 1) * var1 + (n2 - 1) * var2)
+                                   / (n1 + n2 - 2))
+                  * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+        END AS hedges_g
+    FROM v
+    ORDER BY status
+    """,
+    tags=("agg", "stats", "effect-size"),
+)
+def a_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) of daily
+    revenue between the early and late eras, per status — the
+    CONTINUOUS effect size that completes what a_cramers_v does for
+    categorical association: a_welch_ttest says the means differ,
+    d says by HOW MUCH in noise units (0.2 small / 0.5 medium / 0.8
+    large — the only scale a mean shift is comparable across metrics
+    in). Hedges' g (the (1 - 3/(4N-9)) small-sample correction)
+    alongside. Variances expand from decimal power sums (rev² rounded
+    2dp first, the a_moments_profile determinism contract); a
+    zero-pooled-variance group yields NULL, never 0/0. One corpus
+    shuffle to the daily grain; the effect sizes are per-status
+    scalars over the calendar-bounded daily table. Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        F.to_date("o_orderdate").alias("_d"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    fh = F.col("first_half")
+    rev = F.col("rev")
+    rev2 = F.round(rev * rev, 2)
+    s = daily.groupBy("status").agg(
+        F.count(F.when(fh, 1)).alias("n1"),
+        F.count(F.when(~fh, 1)).alias("n2"),
+        (
+            dsum(F.when(fh, rev), scale=6) / F.count(F.when(fh, rev))
+        ).alias("m1"),
+        (
+            dsum(F.when(~fh, rev), scale=6) / F.count(F.when(~fh, rev))
+        ).alias("m2"),
+        dsum(F.when(fh, rev2)).alias("s2_1"),
+        dsum(F.when(~fh, rev2)).alias("s2_2"),
+        dsum(F.when(fh, rev)).alias("sum1"),
+        dsum(F.when(~fh, rev)).alias("sum2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    v = s.filter((n1 > 1) & (n2 > 1)).select(
+        "status",
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        ((F.col("s2_1") - F.col("sum1") * F.col("sum1") / n1) / (n1 - 1)).alias(
+            "var1"
+        ),
+        ((F.col("s2_2") - F.col("sum2") * F.col("sum2") / n2) / (n2 - 1)).alias(
+            "var2"
+        ),
+    )
+    pooled_num = (n1 - 1) * F.col("var1") + (n2 - 1) * F.col("var2")
+    d = (F.col("m2") - F.col("m1")) / F.sqrt(pooled_num / (n1 + n2 - 2))
+    g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+    return v.select(
+        "status",
+        "n1",
+        "n2",
+        F.round("m1", 4).alias("mean_first"),
+        F.round("m2", 4).alias("mean_second"),
+        F.when(pooled_num > 0, F.round(d, 6)).alias("cohens_d"),
+        F.when(pooled_num > 0, F.round(g, 6)).alias("hedges_g"),
+    ).orderBy("status")

@@ -934,3 +934,85 @@ def e_scd2_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "e_schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+            CAST(NULL AS VARCHAR) AS o_orderpriority,
+            CAST(NULL AS VARCHAR) AS channel
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+            o_orderpriority,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+                AS channel
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    ),
+    unioned AS (
+        SELECT 'v1' AS schema_ver, * FROM v1
+        UNION ALL
+        SELECT 'v2', * FROM v2
+    )
+    SELECT schema_ver, count(*) AS n_rows,
+        count(o_orderpriority) AS n_priority,
+        count(channel) AS n_channel,
+        count(DISTINCT channel) AS channel_values
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("etl", "schema-evolution"),
+)
+def e_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an early table version (missing the
+    priority column, predating the channel column) concatenated with the
+    evolved version via ``unionByName(allowMissingColumns=True)`` — the
+    Spark idiom for reading across a schema boundary without rewriting
+    history (Parquet mergeSchema is the storage-side twin; this is the
+    in-plan form). Missing columns NULL-fill, and the readout profiles
+    exactly what a consumer must know before trusting the unioned view:
+    per schema version, how many rows carry each evolved column. The
+    union is a zero-shuffle concatenation of two scans of the same
+    partitioned source (the version split is a pushed-down date
+    predicate); the profile is one |versions|-row aggregate.
+    Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.to_date("o_orderdate") < F.lit("1995-01-01"))
+        .select(
+            F.lit("v1").alias("schema_ver"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )
+    v2 = (
+        o.filter(F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        .select(
+            F.lit("v2").alias("schema_ver"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 3 == 0, "web")
+            .otherwise("store")
+            .alias("channel"),
+        )
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        unioned.groupBy("schema_ver")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderpriority").alias("n_priority"),
+            F.count("channel").alias("n_channel"),
+            F.countDistinct("channel").alias("channel_values"),
+        )
+        .orderBy("schema_ver")
+    )

@@ -714,12 +714,13 @@ _HARMONIC_ORACLE = f"""
     {_bfs_round('3', '4')},
     per_node AS (
         SELECT node, count(*) AS n_seeds_reached,
-            cast(sum(cast(round(1.0 / dist, 8) as decimal(20,8)))
-                 as double) AS h_raw
+            sum(cast(round(1.0 / dist, 8) as decimal(20,8))) AS h_dec
         FROM d4 WHERE dist > 0 GROUP BY 1
     )
-    SELECT node, n_seeds_reached, round(h_raw, 8) AS h_raw,
-        round(h_raw * n_nodes / 16.0, 4) AS h_scaled
+    SELECT node, n_seeds_reached,
+        cast(h_dec as double) AS h_raw,
+        cast(round(h_dec * n_nodes * CAST(0.0625 AS DECIMAL(6,4)), 4)
+             AS DOUBLE) AS h_scaled
     FROM per_node, nn
     ORDER BY node
 """
@@ -736,7 +737,8 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality is preferred over closeness on disconnected graphs
     because unreachable pairs contribute 0, not infinity): for each node
     v, sum 1/d(s, v) over a deterministic 16-seed pivot set within 4
-    hops, scaled by n_nodes/|seeds| (the Eppstein-Wang estimator — exact
+    hops, scaled by n_nodes x 0.0625 (= /16 seeds; the Eppstein-Wang
+    estimator — exact
     harmonic centrality needs all-pairs distances, O(V*E), which no one
     runs at corpus scale). The importance-semantics complement to
     PageRank: harmonic rewards being CLOSE to everything, PageRank
@@ -747,9 +749,13 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncating lineage; state bounded by |seeds| x
     |reached|), then one 1/d aggregate: the inverse distances are
     rounded at 8dp and decimal-summed per node, so the <=16-term sum is
-    order-independent and cell-exact against the unrolled chained-CTE
-    oracle. Seeds and hop cap are the scale dials — more pivots tighten
-    the estimate, the BFS cost stays |seeds|-linear."""
+    order-independent, and the n/16 scaling stays in DECIMAL arithmetic
+    (x n x 0.0625 exactly, rounded at 4dp by decimal rule) — a
+    round(double) here split engines on the exact .66665 ties that
+    1/3-sums x round seed counts produce. Cell-exact against the
+    unrolled chained-CTE oracle. Seeds and hop cap are the scale dials
+    — more pivots tighten the estimate, the BFS cost stays
+    |seeds|-linear."""
     pl = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -790,8 +796,7 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_seeds_reached"),
             F.sum(F.round(1.0 / F.col("dist"), 8).cast("decimal(20,8)"))
-            .cast("double")
-            .alias("h_raw"),
+            .alias("h_dec"),
         )
     )
     return (
@@ -799,10 +804,15 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "node",
             "n_seeds_reached",
-            F.round("h_raw", 8).alias("h_raw"),
-            F.round(F.col("h_raw") * F.col("n_nodes") / 16.0, 4).alias(
-                "h_scaled"
-            ),
+            F.col("h_dec").cast("double").alias("h_raw"),
+            F.round(
+                F.col("h_dec")
+                * F.col("n_nodes").cast("decimal(10,0)")
+                * F.lit("0.0625").cast("decimal(6,4)"),
+                4,
+            )
+            .cast("double")
+            .alias("h_scaled"),
         )
         .orderBy("node")
     )

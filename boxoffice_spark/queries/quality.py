@@ -1012,3 +1012,245 @@ def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "dq_order_lineitem_reconcile",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+            {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+                AS li_total,
+            count(*) AS n_lines
+        FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+        SELECT o.o_orderstatus AS status,
+            CASE
+                WHEN li.l_orderkey IS NULL THEN 'no_lineitems'
+                WHEN abs(o.o_totalprice - li.li_total)
+                     <= 0.01 * o.o_totalprice THEN 'within_1pct'
+                WHEN abs(o.o_totalprice - li.li_total)
+                     <= 0.10 * o.o_totalprice THEN 'within_10pct'
+                ELSE 'gap_over_10pct'
+            END AS bucket,
+            o.o_totalprice,
+            li.li_total
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT status, bucket, count(*) AS n_orders,
+        {dsum_sql('o_totalprice')} AS header_total,
+        cast(round(sum(cast(coalesce(li_total, 0) as decimal(27,6))), 2)
+             as double) AS detail_total
+    FROM joined
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("quality", "reconciliation", "cross-table"),
+)
+def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail financial reconciliation — the first audit any
+    warehouse runs across a fact pair: does the order header's total
+    match the sum of its line items (extended price net of discount,
+    plus tax)? Orders bucket into within-1%, within-10%, over-10%, and
+    no-lineitems-at-all (orphan headers — the LEFT join keeps them;
+    dq_fk_orphans finds the reverse direction), aggregated per status
+    with both sides' money totals so the absolute exposure is visible
+    next to the count. Per-line amounts are EXACT 6dp rationals (2dp
+    price x 2dp discount x 2dp tax), so the decimal sum casts at scale
+    6 and never rounds near a boundary (a round(x, 2) here split a cent
+    between engines on exact half-cent lines); detail_total then rounds
+    to cents IN DECIMAL (rule-based, tie-safe) before the double cast —
+    a raw scale-6 double at 1e10 magnitude exceeds double's 2^53/10^6
+    exactness budget and the engines' decimal->double conversions split
+    by one ulp. Bucket thresholds compare identical doubles on both
+    engines. One shuffle of lineitem to the order grain + one
+    key join against the header scan + a |status x bucket| aggregate —
+    two scans total at any scale, no second pass per rule. Cell-exact."""
+    from boxoffice_spark.functions.numeric import dsum
+
+    o = table(spark, sf_dir, "orders")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                scale=6,
+            ).alias("li_total"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    gap = F.abs(F.col("o_totalprice") - F.col("li_total"))
+    bucket = (
+        F.when(F.col("l_orderkey").isNull(), "no_lineitems")
+        .when(gap <= 0.01 * F.col("o_totalprice"), "within_1pct")
+        .when(gap <= 0.10 * F.col("o_totalprice"), "within_10pct")
+        .otherwise("gap_over_10pct")
+    )
+    return (
+        j.select(
+            F.col("o_orderstatus").alias("status"),
+            bucket.alias("bucket"),
+            "o_totalprice",
+            "li_total",
+        )
+        .groupBy("status", "bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("header_total"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("li_total"), F.lit(0.0)).cast(
+                        "decimal(27,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("detail_total"),
+        )
+        .orderBy("status", "bucket")
+    )
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+            CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_totalprice,
+        a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+        a.d AS date_a, b.d AS date_b,
+        date_diff('day', a.d, b.d) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', a.d, b.d)) <= 3
+    ORDER BY a.o_custkey, a.o_totalprice, orderkey_a, orderkey_b
+    """,
+    tags=("quality", "audit", "duplicates"),
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit — the classic AP fraud/error check: two
+    orders from the SAME customer for the EXACT same amount within 3
+    days are, overwhelmingly, one real transaction booked twice (a
+    double-click, a retried batch, a vendor re-invoice). The pair join
+    is EQUALITY-keyed on (customer, amount) — a hash shuffle join, never
+    a band scan: the date proximity is a cheap residual filter on the
+    few within-key pairs, and a (customer, amount) cell is almost always
+    0 or 1 rows, so the within-key pair expansion is bounded by real
+    duplicate volume (the same self-join shape as t_exact_dedup's
+    groups, expressed as pairs for the auditor's ledger). Canonical
+    a < b ordering dedups the pair list. At 100 TB: one shuffle of
+    (custkey, amount)-keyed rows; no window, no band join, no global
+    sort. Cell-exact."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            F.abs(F.datediff(F.col("b.d"), F.col("a.d"))) <= 3
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_totalprice").alias("o_totalprice"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.col("a.d").alias("date_a"),
+            F.col("b.d").alias("date_b"),
+            F.datediff(F.col("b.d"), F.col("a.d")).alias("days_apart"),
+        )
+        .orderBy("o_custkey", "o_totalprice", "orderkey_a", "orderkey_b")
+    )
+
+
+@register(
+    "dq_dp_noisy_release",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus AS status, count(*) AS true_n
+        FROM orders GROUP BY 1
+    ),
+    noised AS (
+        SELECT status, true_n,
+            (CAST(('0x' || substring(md5('dp-seed-1:' || status), 1, 15))
+                  AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+        FROM counts
+    )
+    SELECT status, true_n,
+        round(CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+                   ELSE -2.0 * ln(2.0 - 2.0 * u) END, 6) AS noise,
+        round(true_n + round(CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+                   ELSE -2.0 * ln(2.0 - 2.0 * u) END, 6), 6) AS released_n,
+        0.5 AS epsilon
+    FROM noised
+    ORDER BY status
+    """,
+    tags=("quality", "privacy", "dp"),
+)
+def dq_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism): per-
+    status order counts plus Laplace(sensitivity/epsilon = 1/0.5 = 2)
+    noise via the inverse-CDF transform of an md5-derived uniform —
+    count queries have sensitivity 1, so released_n is an
+    (epsilon=0.5)-DP release of each cell. The noise draw is SEEDED
+    (md5 of a fixed seed + the cell key), which a real one-shot DP
+    release must also do in retry-prone pipelines: a job that redraws
+    fresh noise per retry leaks privacy budget with every attempt —
+    determinism here is the privacy-accounting discipline, not a test
+    convenience (the seed must rotate per release period and never be
+    published; true_n sits alongside for the oracle check and is
+    exactly what production would NOT emit). Uniform quantized to 1e-6
+    with a half-offset so u is never 0 or 1 (ln stays finite, identical
+    on both engines after 6dp rounding). One aggregate + constant-size
+    noise math. Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-seed-1:"), F.col("status"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    noise = F.round(
+        F.when(u < 0.5, 2.0 * F.log(2.0 * u)).otherwise(
+            -2.0 * F.log(2.0 - 2.0 * u)
+        ),
+        6,
+    )
+    return (
+        counts.select(
+            "status",
+            "true_n",
+            noise.alias("noise"),
+            F.round(F.col("true_n") + noise, 6).alias("released_n"),
+            F.lit(0.5).alias("epsilon"),
+        )
+        .orderBy("status")
+    )

@@ -3908,3 +3908,428 @@ def t_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "band", "tok", F.lit("partial").alias("fill"))
     )
     return full_docs.unionAll(partial_docs)
+
+
+@register(
+    "t_domain_loss_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ), vocab AS (
+        SELECT term, count(*) AS tf FROM t GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM t
+    ), scored AS (
+        SELECT doc_id, round(log10(CAST(tf AS DOUBLE) / n), 6) AS lp
+        FROM t JOIN vocab USING (term) CROSS JOIN tot
+    ), per_src AS (
+        SELECT d.source, count(DISTINCT s.doc_id) AS n_docs,
+            count(*) AS n_tokens,
+            {davg_sql('s.lp', 6)} AS mean_logprob
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY 1
+    ), base AS (
+        SELECT min(mean_logprob) AS hardest FROM per_src
+    ), ex AS (
+        SELECT source, n_docs, n_tokens, mean_logprob,
+            round(exp(least(5.0 * (hardest - mean_logprob), 50.0)), 8)
+                AS escore
+        FROM per_src, base
+    )
+    SELECT source, n_docs, n_tokens, mean_logprob,
+        round(escore / cast(sum(cast(escore as decimal(27,8))) over ()
+              as double), 6) AS domain_weight
+    FROM ex
+    ORDER BY source
+    """,
+    tags=("text", "mixture", "doremi"),
+)
+def t_domain_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting from MODEL signal: per-source
+    TOKEN-level mean log-probability under the corpus's own unigram LM
+    (the t_unigram_logprob proxy for a reference model's loss — token-
+    weighted, as training loss is), softmaxed
+    into domain sampling weights — the source the model finds HARDEST
+    (lowest mean log-prob) anchors at weight-score 1 and easier sources
+    decay exponentially in their log-prob advantage: the third mixing
+    recipe alongside t_mixture_rebalance (uniform target) and
+    t_temperature_mixture (token-share power law), and the only one
+    driven by model signal rather than volume. Temperature 5.0 on the
+    log-prob gap, exponent clamped at 50 so a degenerate outlier
+    can't overflow. The per-source mean log-prob is ONE raw decimal-sum
+    quotient over the source's token stream, never re-rounded and with
+    no intermediate per-doc quotient — the t_unigram_logprob contract,
+    twice learned: a final quotient of a decimal sum is bit-identical
+    across engines, but round()ing OR decimal-casting an intermediate
+    quotient lands on exact grid ties (a /25 doc mean of 6dp values has
+    an 8-digit expansion ending in 50) that the engines break
+    differently. exp() outputs rounded at 8dp; normalizer
+    decimal-summed over the bounded source list. Corpus cost is exactly
+    the unigram-LM pipeline (one tokenize shuffle + term join); the
+    reweighting is window math over |sources| rows. Cell-exact."""
+    from pyspark.sql import Window
+
+    from boxoffice_spark.functions.numeric import davg
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(D.normalized_text("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    toks = scoped_persist(toks, "t_domain_loss_weights.toks")
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log10(F.col("tf").cast("double") / F.col("n")), 6).alias(
+                "lp"
+            ),
+        )
+    )
+    # (token grain: one lp row per token occurrence)
+    per_src = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            davg("lp", scale=6).alias("mean_logprob"),
+        )
+    )
+    base = per_src.agg(F.min("mean_logprob").alias("hardest"))
+    ex = per_src.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_logprob",
+        F.round(
+            F.exp(
+                F.least(
+                    5.0 * (F.col("hardest") - F.col("mean_logprob")),
+                    F.lit(50.0),
+                )
+            ),
+            8,
+        ).alias("escore"),
+    )
+    w = Window.partitionBy()
+    return ex.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_logprob",
+        F.round(
+            F.col("escore")
+            / F.sum(F.col("escore").cast("decimal(27,8)")).over(w).cast("double"),
+            6,
+        ).alias("domain_weight"),
+    ).orderBy("source")
+
+
+@register(
+    "t_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.tok AS token, u.pos AS pos
+        FROM (
+            SELECT doc_id,
+                unnest(list_transform(
+                    string_split({_NORM}, ' '),
+                    (x, i) -> {{'tok': x, 'pos': i - 1}})) AS u
+            FROM documents
+        )
+        WHERE u.tok <> ''
+    ),
+    marked AS (
+        SELECT doc_id, token, pos,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(pos AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < 15 AS masked
+        FROM toks
+    ),
+    spans0 AS (
+        SELECT doc_id, token, pos, masked,
+            CASE WHEN masked AND NOT coalesce(
+                lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+            THEN 1 ELSE 0 END AS span_start
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, token, pos,
+            sum(span_start) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS span_id
+        FROM spans0 WHERE masked
+    )
+    SELECT doc_id, span_id,
+        '<extra_id_' || span_id || '>' AS sentinel,
+        min(pos) AS start_pos, count(*) AS span_len,
+        string_agg(token, ' ' ORDER BY pos) AS span_text
+    FROM spans
+    GROUP BY 1, 2
+    ORDER BY doc_id, span_id
+    """,
+    tags=("text", "pretraining", "span-corruption"),
+)
+def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption target construction: ~15% of each
+    document's tokens are masked by a deterministic md5 coin
+    (retry-safe, the t_hash_sample contract — resubmitting the job
+    yields the same pretraining targets, which rand() cannot promise),
+    consecutive masked tokens MERGE into spans, and each span gets its
+    per-document sentinel <extra_id_k> in reading order — the
+    denoising-objective table a seq2seq pretraining run consumes (the
+    input/target strings are a client-side concat of this span ledger
+    against the untouched token stream; the ledger is the part that
+    must be exact). Span boundaries via a lag window per document
+    (masked AND previous-not-masked), sentinel numbering via the
+    running span-start count — both windows partition on doc_id, so the
+    corpus-scale work is one tokenize shuffle + per-doc windows, no
+    global state anywhere. Span text reassembles order-independently
+    (sorted by position on both engines). Cell-exact."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(D.normalized_text("text"), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 15
+    )
+    marked = toks.select("doc_id", "token", "pos", masked.alias("masked"))
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    spans0 = marked.select(
+        "doc_id",
+        "token",
+        "pos",
+        "masked",
+        F.when(
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(wlag), F.lit(False)),
+            1,
+        )
+        .otherwise(0)
+        .alias("span_start"),
+    )
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = spans0.filter(F.col("masked")).select(
+        "doc_id",
+        "token",
+        "pos",
+        (F.sum("span_start").over(wrun) - 1).alias("span_id"),
+    )
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count("*").alias("span_len"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+        .select(
+            "doc_id",
+            "span_id",
+            F.concat(
+                F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">")
+            ).alias("sentinel"),
+            "start_pos",
+            "span_len",
+            "span_text",
+        )
+        .orderBy("doc_id", "span_id")
+    )
+
+
+@register(
+    "t_code_detection",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, source, length(text) AS n_chars,
+            len(regexp_extract_all(text, '[{}();=\\[\\]<>]')) AS n_code_chars,
+            len(regexp_extract_all(text, '\\n[ \\t]{2,}')) AS n_indents,
+            len(regexp_extract_all(text,
+                '(?:def |class |import |return |function |var |const |#include)'))
+                AS n_keywords
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, n_chars,
+            round(CAST(n_code_chars AS DOUBLE) / greatest(n_chars, 1), 6)
+                AS code_char_ratio,
+            n_indents, n_keywords,
+            (CAST(n_code_chars AS DOUBLE) / greatest(n_chars, 1) > 0.02
+             AND (n_indents >= 2 OR n_keywords >= 1)) AS is_code
+        FROM sig
+    )
+    SELECT source,
+        count(*) AS n_docs,
+        count(CASE WHEN is_code THEN 1 END) AS n_code_docs,
+        round(CAST(count(CASE WHEN is_code THEN 1 END) AS DOUBLE)
+              / count(*), 6) AS code_fraction,
+        round(cast(sum(cast(code_char_ratio as decimal(27,6))) as double)
+              / count(*), 6) AS mean_code_char_ratio
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("text", "filter", "code-detection"),
+)
+def t_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the routing filter every mixed crawl
+    needs before mixture weighting (code wants different dedup
+    thresholds, different quality gates, and its own mixture cell;
+    prose pipelines that ingest code unawares get brace-soup 'low
+    quality' scores from gates tuned for sentences): per document,
+    the density of code-punctuation characters ({};()=[]<>), indented
+    continuation lines, and language keywords vote a deterministic
+    is_code flag (the t_lang_id recipe pointed at syntax instead of
+    stopwords); the per-source roll-up is the corpus datacard row.
+    Pure regexp_count projections — zero-shuffle scan work, one
+    |sources|-row aggregate after; ratios rounded 6dp and
+    decimal-summed. Cell-exact."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_code_chars = F.regexp_count("text", F.lit(r"[{}();=\[\]<>]"))
+    n_indents = F.regexp_count("text", F.lit("\n[ \t]{2,}"))
+    n_keywords = F.regexp_count(
+        "text",
+        F.lit(
+            "(?:def |class |import |return |function |var |const |#include)"
+        ),
+    )
+    ratio = F.round(
+        n_code_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+    )
+    scored = d.select(
+        "source",
+        ratio.alias("code_char_ratio"),
+        (
+            (n_code_chars.cast("double") / F.greatest(n_chars, F.lit(1)) > 0.02)
+            & ((n_indents >= 2) | (n_keywords >= 1))
+        ).alias("is_code"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("is_code"), 1)).alias("n_code_docs"),
+            F.round(
+                F.count(F.when(F.col("is_code"), 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("code_fraction"),
+            F.round(
+                F.sum(F.col("code_char_ratio").cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_code_char_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_readability_scores",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, lang,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS n_sentences,
+            greatest(len(regexp_extract_all(lower(text),
+                '[a-z가-힣]+')), 1) AS n_words,
+            greatest(len(regexp_extract_all(lower(text),
+                '[aeiouy가-힣]+')), 1) AS n_syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_sentences, n_words, n_syllables,
+            round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                  - 15.59, 4) AS fk_grade
+        FROM sig
+    )
+    SELECT lang, count(*) AS n_docs,
+        round(cast(sum(cast(fk_grade as decimal(27,4))) as double)
+              / count(*), 4) AS mean_fk_grade,
+        round(quantile_cont(fk_grade, 0.5), 4) AS median_fk_grade
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("text", "quality", "readability"),
+)
+def t_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per language — the
+    audience-targeting quality axis the length/punct gates don't see
+    (two equally 'clean' corpora can sit at grade 4 vs grade 14; a
+    chat-assistant mix wants to KNOW its register): words per sentence
+    + syllables per word through the standard FK coefficients, with
+    syllables approximated by vowel-group runs (the classic portable
+    heuristic — exact syllabification needs a dictionary; the
+    approximation is monotone in true syllable count, which is all a
+    corpus-level comparison uses). All three counts are regexp
+    projections with floor-at-1 guards (a no-sentence fragment scores
+    as one sentence, never a division blow-up); per-doc grades rounded
+    4dp, decimal-summed means + exact interpolated medians per
+    language. Zero-shuffle scan + one |langs|-row aggregate.
+    Cell-exact."""
+    d = table(spark, sf_dir, "documents")
+    n_sentences = F.greatest(
+        F.regexp_count("text", F.lit("[.!?]+")), F.lit(1)
+    )
+    n_words = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[a-z가-힣]+")), F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy가-힣]+")), F.lit(1)
+    )
+    fk = F.round(
+        0.39 * (n_words.cast("double") / n_sentences)
+        + 11.8 * (n_syllables.cast("double") / n_words)
+        - 15.59,
+        4,
+    )
+    scored = d.select("lang", fk.alias("fk_grade"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("fk_grade").cast("decimal(27,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_fk_grade"),
+            F.round(F.percentile("fk_grade", F.lit(0.5)), 4).alias(
+                "median_fk_grade"
+            ),
+        )
+        .orderBy("lang")
+    )

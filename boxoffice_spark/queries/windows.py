@@ -1783,3 +1783,284 @@ def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w_bollinger_breakout",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS d,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    roll AS (
+        SELECT status, d, rev,
+            count(*) OVER w AS n_win,
+            cast(sum(cast(rev as decimal(27,2))) OVER w as double) AS s1,
+            cast(sum(cast(round(rev * rev, 2) as decimal(27,2))) OVER w
+                 as double) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY status ORDER BY d
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+        SELECT status, d, rev, n_win,
+            round(s1 / 20.0, 4) AS mid,
+            round(sqrt(greatest((s2 - s1 * s1 / 20.0) / 19.0, 0.0)), 4)
+                AS sd
+        FROM roll WHERE n_win = 20
+    )
+    SELECT status, d, rev, mid, sd,
+        round(mid + 2 * sd, 4) AS upper_band,
+        round(mid - 2 * sd, 4) AS lower_band,
+        CASE WHEN rev > mid + 2 * sd THEN 'up' ELSE 'down' END AS breakout
+    FROM bands
+    WHERE rev > mid + 2 * sd OR rev < mid - 2 * sd
+    ORDER BY status, d
+    """,
+    tags=("window", "timeseries", "bands"),
+)
+def w_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout days: daily revenue per status against a
+    20-day trailing mean +/- 2 trailing stddevs — the self-calibrating
+    volatility envelope (w_anomaly_zscore fixes its mean/std over a
+    static era; this one re-centers every day, so a slow drift never
+    saturates the alarm). Only complete 20-day windows emit (count
+    guard), matching the estimator's definition. Both moment sums ride
+    decimal INSIDE the window frame (rev exact at 2dp, rev^2 rounded to
+    2dp first — identical doubles on both engines), so the windowed
+    sums are order-independent even if an engine's frame accumulator
+    reorders (segment trees); sample variance over n-1 with a zero
+    floor for ulp-negative results. One shuffle to the daily grain,
+    windows over the calendar-bounded per-status series. Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    w20 = (
+        W.partitionBy("status")
+        .orderBy("d")
+        .rowsBetween(-19, W.currentRow)
+    )
+    roll = daily.select(
+        "status",
+        "d",
+        "rev",
+        F.count("*").over(w20).alias("n_win"),
+        F.sum(F.col("rev").cast("decimal(27,2)")).over(w20).cast("double").alias("s1"),
+        F.sum(F.round(F.col("rev") * F.col("rev"), 2).cast("decimal(27,2)"))
+        .over(w20)
+        .cast("double")
+        .alias("s2"),
+    )
+    bands = roll.filter(F.col("n_win") == 20).select(
+        "status",
+        "d",
+        "rev",
+        "n_win",
+        F.round(F.col("s1") / 20.0, 4).alias("mid"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / 20.0) / 19.0,
+                    F.lit(0.0),
+                )
+            ),
+            4,
+        ).alias("sd"),
+    )
+    up = F.col("mid") + 2 * F.col("sd")
+    lo = F.col("mid") - 2 * F.col("sd")
+    return (
+        bands.filter((F.col("rev") > up) | (F.col("rev") < lo))
+        .select(
+            "status",
+            "d",
+            "rev",
+            "mid",
+            "sd",
+            F.round(up, 4).alias("upper_band"),
+            F.round(lo, 4).alias("lower_band"),
+            F.when(F.col("rev") > up, "up").otherwise("down").alias("breakout"),
+        )
+        .orderBy("status", "d")
+    )
+
+
+@register(
+    "w_holt_backtest",
+    oracle=None,
+    tags=("window", "timeseries", "backtest", "pandas-op"),
+)
+def w_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt forecaster (w_holt_trend):
+    every day's one-step-ahead forecast is scored against the NEXT day's
+    actual, per status — MAE, MAPE, and the skill score
+    1 - MAE_holt/MAE_naive against the naive carry-forward forecast
+    (yesterday's value). Skill > 0 is the go/no-go gate for shipping the
+    smoother: a forecaster that can't beat 'same as yesterday' has no
+    business feeding a capacity plan. Rows-only (the Holt recursion is a
+    pandas op); the scoring itself is a lag window + one aggregate over
+    the calendar-bounded daily series — properties (perfect skill on
+    linear series, skill <= 1, alignment) pinned in
+    tests/test_temporal.py. Same applyInPandas scale contract as
+    w_holt_trend: one status group's bounded series per worker."""
+    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.operators.temporal import holt_by_key
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    )
+    fitted = holt_by_key(daily, ["status"], "day", "revenue", alpha=0.5, beta=0.3)
+    w = W.partitionBy("status").orderBy("day")
+    scored = fitted.select(
+        "status",
+        "day",
+        "revenue",
+        F.lag("forecast_next").over(w).alias("holt_pred"),
+        F.lag("revenue").over(w).alias("naive_pred"),
+    ).filter(F.col("holt_pred").isNotNull())
+    agg = scored.groupBy("status").agg(
+        F.count("*").alias("n_scored"),
+        (
+            dsum(F.abs(F.col("revenue") - F.col("holt_pred")), scale=6)
+            / F.count("*")
+        ).alias("mae_holt"),
+        (
+            dsum(F.abs(F.col("revenue") - F.col("naive_pred")), scale=6)
+            / F.count("*")
+        ).alias("mae_naive"),
+        (
+            dsum(
+                F.abs(F.col("revenue") - F.col("holt_pred"))
+                / F.abs(F.col("revenue")),
+                scale=8,
+            )
+            / F.count("*")
+        ).alias("mape_holt"),
+    )
+    return agg.select(
+        "status",
+        "n_scored",
+        F.round("mae_holt", 4).alias("mae_holt"),
+        F.round("mae_naive", 4).alias("mae_naive"),
+        F.round("mape_holt", 6).alias("mape_holt"),
+        F.when(
+            F.col("mae_naive") > 0,
+            F.round(1.0 - F.col("mae_holt") / F.col("mae_naive"), 6),
+        ).alias("skill_vs_naive"),
+    ).orderBy("status")
+
+
+@register(
+    "w_markov_3step",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    nxt AS (
+        SELECT event_type AS from_type,
+            LEAD(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS to_type
+        FROM ev
+    ),
+    t AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    p1 AS (
+        SELECT from_type, to_type,
+            round(CAST(n_transitions AS DOUBLE)
+                  / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+        FROM t
+    ),
+    p2 AS (
+        SELECT a.from_type, b.to_type,
+            cast(sum(cast(round(a.p * b.p, 12) as decimal(27,12)))
+                 as double) AS p
+        FROM p1 a JOIN p1 b ON b.from_type = a.to_type
+        GROUP BY 1, 2
+    ),
+    p3 AS (
+        SELECT a.from_type, b.to_type,
+            round(cast(sum(cast(round(a.p * b.p, 12) as decimal(27,12)))
+                       as double), 6) AS p3_prob
+        FROM p2 a JOIN p1 b ON b.from_type = a.to_type
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, p3_prob FROM p3
+    ORDER BY from_type, to_type
+    """,
+    tags=("window", "markov", "sequence"),
+)
+def w_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step Markov reach: P³ over w_event_transitions' one-step
+    matrix — where does a user END UP three actions after X, the
+    medium-horizon flow question one-step probabilities can't answer
+    (a low direct view->purchase cell can still carry high 3-step mass
+    through click chains). The chain rule is two matrix multiplications
+    expressed as equi-joins on the BOUNDED |event_types|² transition
+    table — after the one corpus-sized LEAD shuffle, every join touches
+    at most |types|³ tiny rows, so the 'matrix power' costs nothing at
+    any corpus size (the pattern extends to P^k for path-length k).
+    Products rounded at 12dp and decimal-summed per cell (the sum over
+    intermediate states is order-independent on both engines); one-step
+    probabilities carry w_event_transitions' exact 6dp contract.
+    Cell-exact."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = nxt.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    norm = W.partitionBy("from_type")
+    p1 = t.select(
+        "from_type",
+        "to_type",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm),
+            6,
+        ).alias("p"),
+    )
+    a1 = p1.alias("a")
+    b1 = p1.alias("b")
+    p2 = (
+        a1.join(b1, F.col("b.from_type") == F.col("a.to_type"))
+        .groupBy(F.col("a.from_type").alias("from_type"), F.col("b.to_type").alias("to_type"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.p") * F.col("b.p"), 12).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("p")
+        )
+    )
+    a2 = p2.alias("a")
+    p3 = (
+        a2.join(b1, F.col("b.from_type") == F.col("a.to_type"))
+        .groupBy(F.col("a.from_type").alias("from_type"), F.col("b.to_type").alias("to_type"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("a.p") * F.col("b.p"), 12).cast(
+                        "decimal(27,12)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("p3_prob")
+        )
+    )
+    return p3.select("from_type", "to_type", "p3_prob").orderBy(
+        "from_type", "to_type"
+    )

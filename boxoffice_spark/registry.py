@@ -160,7 +160,15 @@ _PINNED = [
 #   (rows-only; stream==batch equality + error-bound property tests)
 # batch 13 (graph centrality): g_harmonic_centrality (pivot-sampled
 #   Eppstein-Wang estimator, unrolled-CTE oracle)
-# batch 14 (effect sizes + reconciliation): a_cramers_v
+# batch 14 (effect sizes + reconciliation): a_cramers_v,
+#   dq_order_lineitem_reconcile, w_bollinger_breakout,
+#   e_schema_evolution_union
+# batch 15 (effect size + audit + backtest): a_cohens_d,
+#   dq_duplicate_payments, w_holt_backtest (rows-only)
+# batch 16 (LLM-pipeline model-signal + pretraining + privacy):
+#   t_domain_loss_weights, t_span_corruption, dq_dp_noisy_release
+# batch 17 (routing + register + chain analysis): t_code_detection,
+#   t_readability_scores, w_markov_3step
 _QUEUED_R07 = [
     "a_mann_whitney_u",
     "a_theil_sen_trend",
@@ -187,6 +195,18 @@ _QUEUED_R07 = [
     "s_stream_quantile_merge",
     "g_harmonic_centrality",
     "a_cramers_v",
+    "dq_order_lineitem_reconcile",
+    "w_bollinger_breakout",
+    "e_schema_evolution_union",
+    "a_cohens_d",
+    "dq_duplicate_payments",
+    "w_holt_backtest",
+    "t_domain_loss_weights",
+    "t_span_corruption",
+    "dq_dp_noisy_release",
+    "t_code_detection",
+    "t_readability_scores",
+    "w_markov_3step",
 ]
 
 

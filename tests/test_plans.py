@@ -284,6 +284,7 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "t_temperature_mixture",   # share/normalizer over |langs| rows
         "t_token_budget_select",   # running token sum over <=101 band rows
         "a_kruskal_wallis",        # pooled rank over the calendar-bounded daily grain
+        "t_domain_loss_weights",   # softmax normalizer over |sources| rows
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
     # positive control: the detector must actually FIND the known global

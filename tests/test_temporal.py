@@ -384,3 +384,49 @@ class TestHoltByKey:
                 # trend holds the slope
                 assert abs(r.level - (2.0 + 3.0 * r.t)) < 1e-9, r
                 assert abs(r.trend - 3.0) < 1e-9, r
+
+
+class TestHoltBacktest:
+    def test_runs_and_scores_all_statuses(self, spark, sf_dir):
+        from boxoffice_spark.registry import load_all
+
+        fn = load_all()["w_holt_backtest"].fn
+        rows = {r.status: r for r in fn(spark, sf_dir).collect()}
+        assert len(rows) > 0
+        for r in rows.values():
+            assert r.n_scored > 0
+            assert r.mae_holt >= 0 and r.mae_naive >= 0
+            # skill is bounded above by 1 (MAE >= 0); no lower bound
+            if r.skill_vs_naive is not None:
+                assert r.skill_vs_naive <= 1.0
+
+    def test_perfect_skill_on_linear_series(self, spark, tmp_path):
+        """On an exact line, Holt's one-step forecast is exact from the
+        first step (linear fixed point) while the naive forecast is off
+        by the slope every day -> skill == 1."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        days = [dt.datetime(1995, 1, 1) + dt.timedelta(days=i) for i in range(40)]
+        t = pa.table(
+            {
+                "o_orderkey": list(range(40)),
+                "o_custkey": [1] * 40,
+                "o_orderstatus": ["L"] * 40,
+                "o_totalprice": [100.0 + 7.0 * i for i in range(40)],
+                "o_orderdate": days,
+                "o_orderpriority": ["1-URGENT"] * 40,
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        from boxoffice_spark.registry import load_all
+
+        fn = load_all()["w_holt_backtest"].fn
+        rows = fn(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.mae_holt == 0.0, r
+        assert r.mae_naive == 7.0, r
+        assert r.skill_vs_naive == 1.0, r

@@ -149,6 +149,16 @@ HEAVY = [
     "a_kruskal_wallis",
     # batch 13: 16-seed 4-hop multi-source BFS + inverse-distance fold
     "g_harmonic_centrality",
+    # batch 16: the unigram-LM pipeline behind the DoReMi weights and the
+    # tokenize + per-doc window chain behind span corruption
+    "t_domain_loss_weights",
+    "t_span_corruption",
+    # batches 14-17: the (customer, amount)-keyed audit pair join, the
+    # lineitem-to-order reconciliation shuffle, and the event-stream LEAD
+    # behind the bounded matrix powers
+    "dq_duplicate_payments",
+    "dq_order_lineitem_reconcile",
+    "w_markov_3step",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
