@@ -2765,3 +2765,293 @@ def a_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pooled_num > 0, F.round(d, 6)).alias("cohens_d"),
         F.when(pooled_num > 0, F.round(g, 6)).alias("hedges_g"),
     ).orderBy("status")
+
+
+@register(
+    "a_kpi_decomposition",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+            count(*) AS n_orders,
+            {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ),
+    paired AS (
+        SELECT mon, n_orders, revenue,
+            lag(n_orders) OVER (ORDER BY mon) AS n_prev,
+            lag(revenue) OVER (ORDER BY mon) AS rev_prev
+        FROM monthly
+    )
+    SELECT mon, n_orders, revenue,
+        round(revenue - rev_prev, 2) AS delta_revenue,
+        round((n_orders - n_prev)
+              * ((revenue / n_orders + rev_prev / n_prev) / 2), 4)
+            AS volume_effect,
+        round((revenue / n_orders - rev_prev / n_prev)
+              * ((n_orders + n_prev) / 2.0), 4) AS aov_effect
+    FROM paired
+    WHERE n_prev IS NOT NULL
+    ORDER BY mon
+    """,
+    tags=("agg", "kpi", "decomposition"),
+)
+def a_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-change decomposition into VOLUME and
+    AOV effects (midpoint / Bennet attribution: each factor's delta
+    weighted by the other factor's period average, so the two effects
+    sum to the total delta EXACTLY, no interaction residual to argue
+    about) — the 'did we grow because more orders or bigger orders?'
+    question every revenue review starts with, answered additively.
+    revenue = n_orders x AOV; delta = dN x mid(AOV) + dAOV x mid(N).
+    One shuffle to the month grain; the lag window runs over the
+    bounded calendar spine. AOV quotients are bit-identical doubles on
+    both engines (decimal-summed revenue / exact counts); the effect
+    products round at 4dp where the inputs are non-terminating
+    quotients (no exact grid ties). Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("mon")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = W.orderBy("mon")
+    paired = monthly.select(
+        "mon",
+        "n_orders",
+        "revenue",
+        F.lag("n_orders").over(w).alias("n_prev"),
+        F.lag("revenue").over(w).alias("rev_prev"),
+    ).filter(F.col("n_prev").isNotNull())
+    aov = F.col("revenue") / F.col("n_orders")
+    aov_prev = F.col("rev_prev") / F.col("n_prev")
+    return paired.select(
+        "mon",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - F.col("rev_prev"), 2).alias("delta_revenue"),
+        F.round(
+            (F.col("n_orders") - F.col("n_prev")) * ((aov + aov_prev) / 2), 4
+        ).alias("volume_effect"),
+        F.round(
+            (aov - aov_prev) * ((F.col("n_orders") + F.col("n_prev")) / 2.0), 4
+        ).alias("aov_effect"),
+    ).orderBy("mon")
+
+
+@register(
+    "a_dunn_posthoc",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+            {dsum_sql('o_totalprice')} AS rev
+        FROM orders
+        GROUP BY 1, CAST(o_orderdate AS DATE)
+    ),
+    ranked AS (
+        SELECT grp, rev,
+            rank() OVER (ORDER BY rev) AS rk,
+            count(*) OVER (PARTITION BY rev) AS tie_n
+        FROM daily
+    ),
+    per_group AS (
+        SELECT grp, count(*) AS n_i,
+            CAST(sum(CAST(rk + (tie_n - 1) / 2.0 AS DECIMAL(20, 1)))
+                AS DOUBLE) / count(*) AS rbar_i
+        FROM ranked GROUP BY 1
+    ),
+    ties AS (
+        SELECT CAST(sum(tie_n * tie_n - 1) AS DOUBLE) AS tie_sum,
+            count(*) AS n_total
+        FROM ranked
+    ),
+    pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+            a.n_i AS n_a, b.n_i AS n_b,
+            a.rbar_i - b.rbar_i AS rdiff,
+            t.n_total, t.tie_sum
+        FROM per_group a
+        JOIN per_group b ON a.grp < b.grp
+        CROSS JOIN ties t
+    ),
+    stat AS (
+        SELECT grp_a, grp_b, n_a, n_b,
+            rdiff / sqrt(
+                (CAST(n_total AS DOUBLE) * (n_total + 1) / 12.0
+                 - tie_sum / (12.0 * (n_total - 1)))
+                * (1.0 / n_a + 1.0 / n_b)
+            ) AS z
+        FROM pairs
+    )
+    SELECT grp_a, grp_b, n_a, n_b, round(z, 6) AS z_dunn,
+        abs(z) > 2.807 AS significant_bonf
+    FROM stat
+    ORDER BY grp_a, grp_b
+    """,
+    tags=("agg", "stats", "posthoc"),
+)
+def a_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons — the follow-up question
+    a_kruskal_wallis leaves open: the omnibus H says SOME priority
+    classes differ on daily revenue; Dunn's z on the pooled-midrank
+    means says WHICH pairs, with the tie-corrected variance
+    N(N+1)/12 - sum(t^3-t)/(12(N-1)) and a Bonferroni-adjusted critical
+    value (2.807 = z at alpha 0.05 / (2*10) for the C(5,2)=10
+    comparisons — the multiple-testing discipline that stops
+    pairwise-U fishing). Rank means are raw quotients of the decimal
+    midrank sums (bit-identical; the rule-3 contract), the z
+    denominator is irrational (sqrt), so the 6dp round has no grid
+    ties. The pooled rank window runs once over the calendar-bounded
+    daily grain (the a_kruskal_wallis machinery); the pair grid is
+    C(|groups|, 2) tiny rows. Cell-exact."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.to_date("o_orderdate").alias("_d"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    w_rank = W.partitionBy().orderBy("rev")
+    w_tie = W.partitionBy("rev")
+    ranked = daily.select(
+        "grp",
+        "rev",
+        F.rank().over(w_rank).alias("rk"),
+        F.count("*").over(w_tie).alias("tie_n"),
+    )
+    avg_rank = (F.col("rk") + (F.col("tie_n") - 1) / 2.0).cast("decimal(20,1)")
+    per_group = ranked.groupBy("grp").agg(
+        F.count("*").alias("n_i"),
+        (F.sum(avg_rank).cast("double") / F.count("*")).alias("rbar_i"),
+    )
+    ties = ranked.agg(
+        F.sum(F.col("tie_n") * F.col("tie_n") - 1).cast("double").alias("tie_sum"),
+        F.count("*").alias("n_total"),
+    )
+    a = per_group.alias("a")
+    b = per_group.alias("b")
+    pairs = (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.col("a.n_i").alias("n_a"),
+            F.col("b.n_i").alias("n_b"),
+            (F.col("a.rbar_i") - F.col("b.rbar_i")).alias("rdiff"),
+            "n_total",
+            "tie_sum",
+        )
+    )
+    nt = F.col("n_total").cast("double")
+    z = F.col("rdiff") / F.sqrt(
+        (nt * (F.col("n_total") + 1) / 12.0 - F.col("tie_sum") / (12.0 * (nt - 1)))
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.round(z, 6).alias("z_dunn"),
+        (F.abs(z) > 2.807).alias("significant_bonf"),
+    ).orderBy("grp_a", "grp_b")
+
+
+@register(
+    "a_price_index",
+    oracle=f"""
+    WITH base AS (
+        SELECT l.l_partkey AS part,
+            {dsum_sql('l.l_quantity')} AS q0,
+            {dsum_sql('l.l_extendedprice')} AS v0
+        FROM lineitem l
+        WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1994-01-01'
+            AND DATE '1994-12-31'
+        GROUP BY 1
+    ),
+    cur AS (
+        SELECT l.l_partkey AS part,
+            {dsum_sql('l.l_quantity')} AS q1,
+            {dsum_sql('l.l_extendedprice')} AS v1
+        FROM lineitem l
+        WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+            AND DATE '1996-12-31'
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT base.part,
+            v0 / q0 AS p0, v1 / q1 AS p1,
+            q0, q1
+        FROM base JOIN cur ON cur.part = base.part
+        WHERE q0 > 0 AND q1 > 0
+    ),
+    sums AS (
+        SELECT count(*) AS n_parts,
+            {dsum_sql('round(p1 * q0, 4)', 4)} AS p1q0,
+            {dsum_sql('round(p0 * q0, 4)', 4)} AS p0q0,
+            {dsum_sql('round(p1 * q1, 4)', 4)} AS p1q1,
+            {dsum_sql('round(p0 * q1, 4)', 4)} AS p0q1
+        FROM j
+    )
+    SELECT n_parts,
+        round(p1q0 / p0q0, 6) AS laspeyres,
+        round(p1q1 / p0q1, 6) AS paasche,
+        round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6) AS fisher
+    FROM sums
+    """,
+    tags=("agg", "economics", "index"),
+)
+def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the 1994 and
+    1996 shipping years over the common part basket — the classic
+    'did prices move, holding the BASKET fixed' decomposition that a
+    raw revenue delta conflates with volume shifts (a_kpi_decomposition
+    splits one month's delta; this compares price LEVELS across years
+    with base-period weights, current-period weights, and their
+    geometric compromise). Unit prices derive per part from decimal
+    revenue/quantity sums; the cross products p x q round at 4dp before
+    the decimal sum — v/q quotients are non-terminating rationals, so
+    the round has no exact grid ties (rule 3's safe case), and the
+    index ratios are irrational quotients rounded at 6dp. Two scans of
+    the fact (one per period, both date-pruned at the parquet scan) to
+    the part grain, one part-keyed join, one scalar readout — the same
+    shape at any corpus size. Cell-exact."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def period(y0: str, y1: str, qn: str, vn: str) -> DataFrame:
+        return (
+            li.filter(F.to_date("l_shipdate").between(y0, y1))
+            .groupBy(F.col("l_partkey").alias("part"))
+            .agg(
+                dsum("l_quantity").alias(qn),
+                dsum("l_extendedprice").alias(vn),
+            )
+        )
+
+    base = period("1994-01-01", "1994-12-31", "q0", "v0")
+    cur = period("1996-01-01", "1996-12-31", "q1", "v1")
+    j = (
+        base.join(cur, "part")
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+        .select(
+            "part",
+            (F.col("v0") / F.col("q0")).alias("p0"),
+            (F.col("v1") / F.col("q1")).alias("p1"),
+            "q0",
+            "q1",
+        )
+    )
+    sums = j.agg(
+        F.count("*").alias("n_parts"),
+        dsum(F.round(F.col("p1") * F.col("q0"), 4), scale=4).alias("p1q0"),
+        dsum(F.round(F.col("p0") * F.col("q0"), 4), scale=4).alias("p0q0"),
+        dsum(F.round(F.col("p1") * F.col("q1"), 4), scale=4).alias("p1q1"),
+        dsum(F.round(F.col("p0") * F.col("q1"), 4), scale=4).alias("p0q1"),
+    )
+    las = F.col("p1q0") / F.col("p0q0")
+    paa = F.col("p1q1") / F.col("p0q1")
+    return sums.select(
+        "n_parts",
+        F.round(las, 6).alias("laspeyres"),
+        F.round(paa, 6).alias("paasche"),
+        F.round(F.sqrt(las * paa), 6).alias("fisher"),
+    )

@@ -4333,3 +4333,86 @@ def t_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "t_license_detection",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, source,
+            CASE
+                WHEN regexp_matches(lower(text),
+                    'apache license|licensed under the apache')
+                    THEN 'apache-2.0'
+                WHEN regexp_matches(lower(text),
+                    'mit license|permission is hereby granted, free of charge')
+                    THEN 'mit'
+                WHEN regexp_matches(lower(text),
+                    'gnu general public license|gpl-[23]')
+                    THEN 'gpl'
+                WHEN regexp_matches(lower(text),
+                    'creative commons|cc-by|cc by')
+                    THEN 'cc'
+                WHEN regexp_matches(lower(text),
+                    'all rights reserved')
+                    THEN 'all-rights-reserved'
+                ELSE 'none-detected'
+            END AS license
+        FROM documents
+    )
+    SELECT source, license, count(*) AS n_docs,
+        round(CAST(count(*) AS DOUBLE)
+              / sum(count(*)) OVER (PARTITION BY source), 6) AS share
+    FROM sig
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("text", "compliance", "license"),
+)
+def t_license_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-marker detection — the compliance gate a pretraining
+    corpus needs BEFORE mixing (an 'all rights reserved' bucket and a
+    CC bucket must route to different retention policies, and the GPL
+    share of a code crawl is a downstream-licensing question lawyers
+    ask by SOURCE): first-match-wins regex cascade over the canonical
+    license phrases (Apache/MIT/GPL/CC/ARR), rolled up to (source,
+    license) shares. The cascade's priority order is part of the
+    contract (a dual-marked doc counts once, by the earlier rule) and
+    identical in both engines' CASE semantics. Zero-shuffle regex scan
+    + one bounded aggregate; the share window runs per source over the
+    |sources| x |licenses| grid. Cell-exact."""
+    d = table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    license_col = (
+        F.when(
+            lt.rlike("apache license|licensed under the apache"),
+            "apache-2.0",
+        )
+        .when(
+            lt.rlike(
+                "mit license|permission is hereby granted, free of charge"
+            ),
+            "mit",
+        )
+        .when(lt.rlike("gnu general public license|gpl-[23]"), "gpl")
+        .when(lt.rlike("creative commons|cc-by|cc by"), "cc")
+        .when(lt.rlike("all rights reserved"), "all-rights-reserved")
+        .otherwise("none-detected")
+    )
+    from pyspark.sql import Window
+
+    sig = d.select("source", license_col.alias("license"))
+    wsrc = Window.partitionBy("source")
+    return (
+        sig.groupBy("source", "license")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "source",
+            "license",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(wsrc), 6
+            ).alias("share"),
+        )
+        .orderBy("source", "license")
+    )

@@ -169,6 +169,9 @@ _PINNED = [
 #   t_domain_loss_weights, t_span_corruption, dq_dp_noisy_release
 # batch 17 (routing + register + chain analysis): t_code_detection,
 #   t_readability_scores, w_markov_3step
+# batch 18 (compliance + revenue analytics): t_license_detection,
+#   a_kpi_decomposition
+# batch 19 (post-hoc + price economics): a_dunn_posthoc, a_price_index
 _QUEUED_R07 = [
     "a_mann_whitney_u",
     "a_theil_sen_trend",
@@ -207,6 +210,10 @@ _QUEUED_R07 = [
     "t_code_detection",
     "t_readability_scores",
     "w_markov_3step",
+    "t_license_detection",
+    "a_kpi_decomposition",
+    "a_dunn_posthoc",
+    "a_price_index",
 ]
 
 

@@ -285,6 +285,8 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "t_token_budget_select",   # running token sum over <=101 band rows
         "a_kruskal_wallis",        # pooled rank over the calendar-bounded daily grain
         "t_domain_loss_weights",   # softmax normalizer over |sources| rows
+        "a_kpi_decomposition",     # MoM lag over the bounded month spine
+        "a_dunn_posthoc",          # pooled rank over the calendar-bounded daily grain
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
     # positive control: the detector must actually FIND the known global
