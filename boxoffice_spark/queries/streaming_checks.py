@@ -190,3 +190,16 @@ def s_stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boxoffice_spark.streaming.jobs import stream_quantile_histogram_merge
 
     return stream_quantile_histogram_merge(spark, sf_dir)
+
+
+@register("s_stream_reconcile_totals", oracle=None, tags=("streaming", "audit"))
+def s_stream_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming header-vs-detail reconciliation: per-order detail sums
+    ADD across line-item micro-batches in decimal, the drained state
+    joins the header scan once, and the bucket report equals
+    dq_order_lineitem_reconcile EXACTLY for any file split (additive
+    decimal merge is order-free; asserted single- and multi-batch in
+    tests/test_streaming.py). streaming/jobs.stream_reconcile_totals."""
+    from boxoffice_spark.streaming.jobs import stream_reconcile_totals
+
+    return stream_reconcile_totals(spark, sf_dir)

@@ -172,6 +172,8 @@ _PINNED = [
 # batch 18 (compliance + revenue analytics): t_license_detection,
 #   a_kpi_decomposition
 # batch 19 (post-hoc + price economics): a_dunn_posthoc, a_price_index
+# batch 20 (streaming audit twin): s_stream_reconcile_totals (rows-only;
+#   stream==batch equality single- and multi-batch)
 _QUEUED_R07 = [
     "a_mann_whitney_u",
     "a_theil_sen_trend",
@@ -214,6 +216,7 @@ _QUEUED_R07 = [
     "a_kpi_decomposition",
     "a_dunn_posthoc",
     "a_price_index",
+    "s_stream_reconcile_totals",
 ]
 
 

@@ -1113,3 +1113,117 @@ def stream_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFra
     out = quantile_hist_readout(hist).localCheckpoint()
     spark.catalog.dropGlobalTempView(name)
     return out
+
+
+# only the columns the job touches: parquet readStream prunes to the
+# user schema, and omitting l_shipdate sidesteps the fixture's
+# timestamp physical-type drift entirely (no ts logic here)
+_LINEITEM_STREAM_SCHEMA = (
+    "l_orderkey long, l_extendedprice double, l_discount double, "
+    "l_tax double"
+)
+
+
+def stream_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the header-vs-detail reconciliation
+    (queries/quality.dq_order_lineitem_reconcile's twin): line items
+    arrive as a file stream and each micro-batch's per-order detail
+    sums ADD into a standing (order, detail_decimal, n_lines) table
+    inside ``foreachBatch``; at drain the standing table joins the
+    header scan once and emits the identical bucket report. Decimal
+    addition is associative/commutative, so the drained per-order sums
+    — and therefore every bucket decision and money total — equal the
+    batch audit EXACTLY for ANY file split or arrival order (asserted
+    single- and multi-batch in tests/test_streaming.py). This is the
+    shape a continuous AP audit runs in production: detail feeds land
+    all day, the standing order-grain state is O(orders), and the
+    report reads off state instead of rescanning the detail history.
+    The per-line amount keeps the batch query's exactness contract
+    (exact 6dp rational, decimal-summed at scale 6; cents rounded in
+    DECIMAL space at readout)."""
+    raw = (
+        spark.readStream.schema(_LINEITEM_STREAM_SCHEMA)
+        .option("pathGlobFilter", "lineitem*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    name = "s_rec_" + uuid.uuid4().hex[:12]
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        upd = batch.groupBy("l_orderkey").agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(27,6)")
+            ).alias("li_dec"),
+            F.count("*").alias("n_lines"),
+        )
+        if s.catalog.tableExists(f"global_temp.{name}"):
+            upd = (
+                s.table(f"global_temp.{name}")
+                .unionByName(upd)
+                .groupBy("l_orderkey")
+                .agg(
+                    F.sum("li_dec").alias("li_dec"),
+                    F.sum("n_lines").alias("n_lines"),
+                )
+            )
+        upd.localCheckpoint().createOrReplaceGlobalTempView(name)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from boxoffice_spark.tables import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    if spark.catalog.tableExists(f"global_temp.{name}"):
+        li = spark.table(f"global_temp.{name}").select(
+            "l_orderkey", F.col("li_dec").cast("double").alias("li_total")
+        )
+    else:
+        li = spark.createDataFrame([], "l_orderkey long, li_total double")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    gap = F.abs(F.col("o_totalprice") - F.col("li_total"))
+    bucket = (
+        F.when(F.col("l_orderkey").isNull(), "no_lineitems")
+        .when(gap <= 0.01 * F.col("o_totalprice"), "within_1pct")
+        .when(gap <= 0.10 * F.col("o_totalprice"), "within_10pct")
+        .otherwise("gap_over_10pct")
+    )
+    out = (
+        j.select(
+            F.col("o_orderstatus").alias("status"),
+            bucket.alias("bucket"),
+            "o_totalprice",
+            "li_total",
+        )
+        .groupBy("status", "bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("header_total"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("li_total"), F.lit(0.0)).cast(
+                        "decimal(27,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("detail_total"),
+        )
+        .orderBy("status", "bucket")
+        .localCheckpoint()
+    )
+    if spark.catalog.tableExists(f"global_temp.{name}"):
+        spark.catalog.dropGlobalTempView(name)
+    return out

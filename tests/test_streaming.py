@@ -769,3 +769,50 @@ def test_stream_quantile_estimates_within_bin_width(spark, sf_dir):
         x50, x95 = exact[et]
         assert abs(e50 - x50) <= QH_ERR_BOUND, (et, e50, x50)
         assert abs(e95 - x95) <= QH_ERR_BOUND, (et, e95, x95)
+
+
+def test_stream_reconcile_equals_batch(spark, sf_dir):
+    """Single-batch drain: the streamed reconciliation report must equal
+    dq_order_lineitem_reconcile cell for cell (decimal addition is
+    order-free, so equality is exact — counts, buckets, and money)."""
+    from boxoffice_spark.queries.quality import dq_order_lineitem_reconcile
+    from boxoffice_spark.streaming.jobs import stream_reconcile_totals
+
+    got = sorted(map(tuple, stream_reconcile_totals(spark, sf_dir).collect()))
+    want = sorted(
+        map(tuple, dq_order_lineitem_reconcile(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_reconcile_multi_batch_any_split(spark, sf_dir, tmp_path):
+    """Interleaved odd/even line split -> two micro-batches whose ORDERS
+    straddle the split (an order's lines land in both batches); the
+    merged per-order decimal state must still reconcile identically."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boxoffice_spark.queries.quality import dq_order_lineitem_reconcile
+    from boxoffice_spark.streaming.jobs import stream_reconcile_totals
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    idx = pa.array(range(t.num_rows))
+    even = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 0))
+    odd = t.filter(pc.equal(pc.bit_wise_and(idx, 1), 1))
+    pq.write_table(even, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(odd, str(tmp_path / "lineitem_2.parquet"))
+    _pin_file_order(tmp_path / "lineitem.parquet", tmp_path / "lineitem_2.parquet")
+    shutil.copyfile(f"{sf_dir}/orders.parquet", str(tmp_path / "orders.parquet"))
+    got = sorted(
+        map(tuple, stream_reconcile_totals(spark, str(tmp_path)).collect())
+    )
+    # the batch twin reads {dir}/lineitem.parquet only (tables.table does
+    # not glob) — run it on the ORIGINAL dir, which holds the identical
+    # rows in one file
+    want = sorted(
+        map(tuple, dq_order_lineitem_reconcile(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
