@@ -1016,3 +1016,55 @@ def e_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("schema_ver")
     )
+
+
+@register(
+    "e_surrogate_keys",
+    oracle="""
+    WITH mapped AS (
+        SELECT c_custkey, c_name,
+            CAST(('0x' || substring(md5('sk1:' || c_name), 1, 15))
+                 AS BIGINT) AS surrogate_key
+        FROM customer
+    )
+    SELECT c_custkey, c_name, surrogate_key,
+        count(*) OVER (PARTITION BY surrogate_key) AS collision_group
+    FROM mapped
+    ORDER BY c_custkey
+    """,
+    tags=("etl", "keys", "warehouse"),
+)
+def e_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key assignment + collision audit — the
+    warehouse key-generation step done the way a RETRY-SAFE distributed
+    pipeline must: a salted 60-bit md5 of the natural key, NOT
+    monotonically_increasing_id (partition-layout-dependent, changes on
+    every retry and reshuffle) and NOT a global row_number (the
+    single-reducer anti-pattern). The collision_group column is the
+    audit: any value > 1 means two natural keys collided and the salt
+    must rotate before the dimension ships (at 60 bits, expected
+    collisions stay < 1 up to ~1e9 keys — the birthday bound the salt
+    guards). Zero-shuffle key projection + one hash-partitioned count
+    window on the surrogate. Cell-exact."""
+    c = table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    mapped = c.select(
+        "c_custkey",
+        "c_name",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sk1:"), F.col("c_name"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("surrogate_key"),
+    )
+    return mapped.select(
+        "c_custkey",
+        "c_name",
+        "surrogate_key",
+        F.count("*")
+        .over(Window.partitionBy("surrogate_key"))
+        .alias("collision_group"),
+    ).orderBy("c_custkey")

@@ -729,3 +729,91 @@ def v_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "v_int8_quantization_report",
+    oracle="""
+    WITH ex AS (
+        SELECT label, p.dim AS dim, CAST(p.val AS DOUBLE) AS val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                          i -> {'dim': i, 'val': embedding[i]})) AS p
+            FROM embeddings
+        )
+    ),
+    rng AS (
+        SELECT dim, min(val) AS lo, max(val) AS hi
+        FROM ex GROUP BY 1
+    ),
+    q AS (
+        SELECT ex.label, ex.val,
+            CASE WHEN rng.hi > rng.lo THEN
+                rng.lo + least(255, greatest(0,
+                    floor((ex.val - rng.lo) * 255.0 / (rng.hi - rng.lo))))
+                * (rng.hi - rng.lo) / 255.0
+            ELSE ex.val END AS deq
+        FROM ex JOIN rng ON rng.dim = ex.dim
+    )
+    SELECT label, count(*) AS n_values,
+        cast(sum(cast(round((val - deq) * (val - deq), 12)
+                      as decimal(27,12))) as double) / count(*) AS mse,
+        round(max(abs(val - deq)), 8) AS max_abs_err
+    FROM q
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("similarity", "quantization", "compression"),
+)
+def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization error report — the storage decision
+    every embedding table faces before the ANN index is built (uint8
+    cells cut the table 4x vs float32; PQ goes further but this is the
+    reversible first step): per-dimension min/max ranges quantize each
+    value to a 0..255 code (floor, clipped — floor of identical doubles
+    is identical on both engines, no round() anywhere in the codec),
+    dequantize back, and report per-label MSE and worst-case absolute
+    error — the numbers that say whether recall will survive the 4x
+    (rule of thumb: max_abs_err under half the typical inter-vector
+    gap). Degenerate dims (hi == lo) pass through exactly. One explode
+    scan to (dim) ranges, a broadcast-joined codec projection, one
+    label-grain aggregate: squared errors round at 12dp (binary-fuzz
+    values, no grid ties) and decimal-sum; MSE is a raw final quotient.
+    Cell-exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "val"
+        ),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    rng = ex.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    code = F.least(
+        F.lit(255),
+        F.greatest(
+            F.lit(0), F.floor((F.col("val") - F.col("lo")) * 255.0 / span)
+        ),
+    )
+    deq = F.when(
+        F.col("hi") > F.col("lo"), F.col("lo") + code * span / 255.0
+    ).otherwise(F.col("val"))
+    q = ex.join(F.broadcast(rng), "dim").select(
+        "label", "val", deq.alias("deq")
+    )
+    err = F.col("val") - F.col("deq")
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").alias("n_values"),
+            (
+                F.sum(F.round(err * err, 12).cast("decimal(27,12)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("mse"),
+            F.round(F.max(F.abs(err)), 8).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )

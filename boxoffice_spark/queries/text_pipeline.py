@@ -4416,3 +4416,158 @@ def t_license_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "license")
     )
+
+
+@register(
+    "t_keyphrase_rake",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.tok AS token, u.pos AS pos
+        FROM (
+            SELECT doc_id,
+                unnest(list_transform(
+                    string_split({_NORM}, ' '),
+                    (x, i) -> {{'tok': x, 'pos': i - 1}})) AS u
+            FROM documents
+        )
+        WHERE u.tok <> ''
+    ),
+    marked AS (
+        SELECT doc_id, token, pos,
+            token IN ('the', 'and', 'of', 'a', 'is') AS is_stop
+        FROM toks
+    ),
+    runs0 AS (
+        SELECT doc_id, token, pos, is_stop,
+            CASE WHEN NOT is_stop AND coalesce(
+                lag(is_stop) OVER (PARTITION BY doc_id ORDER BY pos), TRUE)
+            THEN 1 ELSE 0 END AS run_start
+        FROM marked
+    ),
+    runs AS (
+        SELECT doc_id, token, pos,
+            sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM runs0 WHERE NOT is_stop
+    ),
+    phrases AS (
+        SELECT doc_id, run_id,
+            string_agg(token, ' ' ORDER BY pos) AS phrase,
+            count(*) AS n_words
+        FROM runs GROUP BY 1, 2
+        HAVING count(*) <= 4
+    ),
+    pwords AS (
+        SELECT phrase, n_words,
+            unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    wstat AS (
+        SELECT w, count(*) AS freq,
+            CAST(sum(n_words) AS DOUBLE) AS deg
+        FROM pwords GROUP BY 1
+    ),
+    pscore AS (
+        SELECT p.phrase, any_value(p.n_words) AS n_words,
+            count(*) / any_value(p.n_words) AS n_occurrences,
+            cast(sum(cast(round(s.deg / s.freq, 6) as decimal(27,6)))
+                 as double) / (count(*) / any_value(p.n_words))
+                AS rake_score
+        FROM pwords p JOIN wstat s ON s.w = p.w
+        GROUP BY 1
+    )
+    SELECT phrase, n_words, n_occurrences, rake_score
+    FROM pscore
+    ORDER BY rake_score DESC, phrase
+    LIMIT 50
+    """,
+    tags=("text", "keyphrases", "rake"),
+)
+def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyphrase extraction: stopwords DELIMIT
+    candidate phrases (contiguous content-word runs, <= 4 words), each
+    word scores deg(w)/freq(w) over the phrase table (deg = total words
+    co-occurring in w's phrases, freq = w's phrase occurrences — the
+    RAKE trade: long-phrase membership up, commonness down), and a
+    phrase scores the sum of its words — the datacard's 'what is this
+    corpus ABOUT' list, a multi-word complement to t_tfidf_top_terms
+    (single terms) and t_chi2_keywords (class-discriminative terms).
+    Phrase runs reuse the span-corruption boundary machinery (lag +
+    running-count windows per doc); word ratios round at 6dp and
+    decimal-sum per phrase, then normalize by occurrence count (a raw
+    final quotient, rule 3). Top-50 via TakeOrderedAndProject with the
+    phrase text as tie-break. One tokenize shuffle + per-doc windows +
+    one phrase-word join against the bounded word-stat table.
+    Cell-exact."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(D.normalized_text("text"), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    is_stop = F.col("token").isin("the", "and", "of", "a", "is")
+    marked = toks.select("doc_id", "token", "pos", is_stop.alias("is_stop"))
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    runs0 = marked.select(
+        "doc_id",
+        "token",
+        "pos",
+        "is_stop",
+        F.when(
+            ~F.col("is_stop")
+            & F.coalesce(F.lag("is_stop").over(wlag), F.lit(True)),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = runs0.filter(~F.col("is_stop")).select(
+        "doc_id",
+        "token",
+        "pos",
+        F.sum("run_start").over(wrun).alias("run_id"),
+    )
+    phrases = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= 4)
+    )
+    pwords = phrases.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wstat = pwords.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("n_words").cast("double").alias("deg"),
+    )
+    pscore = (
+        pwords.join(wstat, "w")
+        .groupBy("phrase")
+        .agg(
+            F.any_value("n_words").alias("n_words"),
+            (F.count("*") / F.any_value("n_words")).alias("n_occurrences"),
+            (
+                F.sum(
+                    F.round(F.col("deg") / F.col("freq"), 6).cast(
+                        "decimal(27,6)"
+                    )
+                ).cast("double")
+                / (F.count("*") / F.any_value("n_words"))
+            ).alias("rake_score"),
+        )
+    )
+    return pscore.select(
+        "phrase", "n_words", "n_occurrences", "rake_score"
+    ).orderBy(F.col("rake_score").desc(), "phrase").limit(50)

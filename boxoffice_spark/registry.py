@@ -174,6 +174,8 @@ _PINNED = [
 # batch 19 (post-hoc + price economics): a_dunn_posthoc, a_price_index
 # batch 20 (streaming audit twin): s_stream_reconcile_totals (rows-only;
 #   stream==batch equality single- and multi-batch)
+# batch 21 (keyphrases + quantization + key generation):
+#   t_keyphrase_rake, v_int8_quantization_report, e_surrogate_keys
 _QUEUED_R07 = [
     "a_mann_whitney_u",
     "a_theil_sen_trend",
@@ -217,6 +219,9 @@ _QUEUED_R07 = [
     "a_dunn_posthoc",
     "a_price_index",
     "s_stream_reconcile_totals",
+    "t_keyphrase_rake",
+    "v_int8_quantization_report",
+    "e_surrogate_keys",
 ]
 
 

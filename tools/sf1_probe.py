@@ -159,6 +159,10 @@ HEAVY = [
     "dq_duplicate_payments",
     "dq_order_lineitem_reconcile",
     "w_markov_3step",
+    # batch 21: the tokenize + per-doc runs + phrase-word join behind
+    # RAKE, and the embedding explode + codec pass behind int8
+    "t_keyphrase_rake",
+    "v_int8_quantization_report",
 ]
 
 # queries whose DuckDB oracle is impractical at sf1 even though the
