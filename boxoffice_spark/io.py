@@ -186,3 +186,62 @@ def read_jsonl_quarantine(
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, bad
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    audits: list,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write-Audit-Publish (WAP): stage the write to a sibling directory,
+    run every audit callable against a re-READ of the staged files (what
+    consumers will actually see — catching writer-side schema/encoding
+    surprises a DataFrame-level check misses), and only then atomically
+    promote the staging directory to the target path. A failing audit
+    leaves the CURRENT table untouched and the staging directory in
+    place for forensics — downstream readers never observe a bad or
+    partial publish, which plain ``overwrite`` cannot promise (it
+    deletes before it writes).
+
+    ``audits`` are callables ``(DataFrame) -> (bool, str)``; all run,
+    all must pass. Returns {"published": bool, "audit_results": [...],
+    "staging_path": ...}. On a lakehouse this maps to branch-commit
+    (Iceberg WAP / Delta CDF staging tables); on plain parquet
+    directories the atomic step is a filesystem rename, which is
+    per-directory atomic on HDFS/local (S3 needs the table-format
+    route — documented limitation, same contract).
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    staged = df.sparkSession.read.parquet(staging)
+    results = []
+    ok = True
+    for audit in audits:
+        passed, msg = audit(staged)
+        results.append({"passed": bool(passed), "msg": msg})
+        ok = ok and bool(passed)
+    if not ok:
+        return {
+            "published": False,
+            "audit_results": results,
+            "staging_path": staging,
+        }
+    backup = None
+    if os.path.exists(path):
+        backup = path.rstrip("/") + "__prev"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if backup is not None:
+        shutil.rmtree(backup)
+    return {"published": True, "audit_results": results, "staging_path": None}

@@ -817,3 +817,132 @@ def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "v_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest([64, 32, 16, 8]) AS d),
+    scored AS (
+        SELECT dims.d, q.query_id, c.neighbor_id,
+            round(list_cosine_similarity(
+                list_slice(q.qv, 1, dims.d),
+                list_slice(c.cv, 1, dims.d)), 6) AS cos_sim
+        FROM q CROSS JOIN dims
+        JOIN c ON q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+        SELECT d, query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY d, query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= 10),
+    truth AS (SELECT query_id, neighbor_id FROM topk WHERE d = 64),
+    hits AS (
+        SELECT t.d, t.query_id, count(tr.neighbor_id) AS n_hits
+        FROM topk t
+        LEFT JOIN truth tr ON tr.query_id = t.query_id
+            AND tr.neighbor_id = t.neighbor_id
+        GROUP BY 1, 2
+    )
+    SELECT d AS dim, count(*) AS n_queries,
+        cast(sum(cast(n_hits / 10.0 as decimal(20,1))) as double)
+            / count(*) AS mean_recall_at_10
+    FROM hits
+    GROUP BY 1
+    ORDER BY 1 DESC
+    """,
+    tags=("similarity", "matryoshka", "truncation"),
+)
+def v_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall: top-10 cosine retrieval with
+    embeddings truncated to their FIRST 32/16/8 dimensions, scored as
+    recall@10 against the full-64-dim truth — the evaluation that
+    decides whether prefix-truncated vectors (the MRL serving trick:
+    one stored embedding, many precision/cost points) can replace the
+    full vector for candidate generation. Complements
+    v_int8_quantization_report (which cuts precision per cell; this
+    cuts cells) and v_ann_recall_report (which fixes the vector and
+    approximates the SEARCH). Brute-force over a bounded 20-query audit
+    set x 4 dims (the v_cosine_topk truth-tier posture — production
+    scores recall on exactly this kind of bounded probe set, never the
+    full corpus); cosines rounded 6dp with neighbor-id tie-break,
+    per-query recalls are exact tenths decimal-summed, and the macro
+    average is a raw final quotient. Cell-exact."""
+    from boxoffice_spark.operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    dims = spark.createDataFrame([(64,), (32,), (16,), (8,)], "d int")
+    scored = (
+        q.crossJoin(F.broadcast(dims))
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "d",
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.slice(F.col("qv"), F.lit(1), F.col("d")),
+                    F.slice(F.col("cv"), F.lit(1), F.col("d")),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    topk = scored.select(
+        "d", "query_id", "neighbor_id", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    truth = (
+        topk.filter(F.col("d") == 64)
+        .select(
+            F.col("query_id").alias("t_query"),
+            F.col("neighbor_id").alias("t_neighbor"),
+        )
+        .alias("tr")
+    )
+    tk = topk.alias("tk")
+    hits = (
+        tk.join(
+            F.broadcast(truth),
+            (F.col("tk.query_id") == F.col("tr.t_query"))
+            & (F.col("tk.neighbor_id") == F.col("tr.t_neighbor")),
+            "left",
+        )
+        .groupBy(F.col("tk.d").alias("d"), F.col("tk.query_id").alias("query_id"))
+        .agg(F.count("t_neighbor").alias("n_hits"))
+    )
+    return (
+        hits.groupBy(F.col("d").alias("dim"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.sum(
+                    (F.col("n_hits") / 10.0).cast("decimal(20,1)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("mean_recall_at_10"),
+        )
+        .orderBy(F.col("dim").desc())
+    )

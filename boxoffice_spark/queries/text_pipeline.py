@@ -4571,3 +4571,53 @@ def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pscore.select(
         "phrase", "n_words", "n_occurrences", "rake_score"
     ).orderBy(F.col("rake_score").desc(), "phrase").limit(50)
+
+
+@register(
+    "t_bpe_pair_stats",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT substring(w, i, 2) AS pair
+        FROM (
+            SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2
+        )
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 50
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def t_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics: corpus-wide frequencies of
+    adjacent character pairs WITHIN words — exactly the statistic one
+    byte-pair-encoding induction step maximizes (the top pair is the
+    next merge), and the readout that says which tokenizer merges a
+    corpus would learn first (a Korean-heavy crawl surfaces Hangul
+    pairs a GPT-2 vocab lacks — the tokenizer-fit check next to
+    t_tokenizer_fertility's exchange-rate view). Word-internal pairs
+    only (BPE never merges across whitespace): each word explodes into
+    len-1 substring(i, 2) pairs via a sequence explode — pure codegen,
+    no Python; occurrences weighted by word frequency because every
+    occurrence votes in real BPE. Top-50 via TakeOrderedAndProject with
+    the pair text as tie-break. One tokenize + one pair-grain shuffle.
+    Cell-exact."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(D.normalized_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(50)
+    )

@@ -176,6 +176,9 @@ _PINNED = [
 #   stream==batch equality single- and multi-batch)
 # batch 21 (keyphrases + quantization + key generation):
 #   t_keyphrase_rake, v_int8_quantization_report, e_surrogate_keys
+# batch 22 (MRL evaluation): v_matryoshka_recall
+# batch 23 (WAP sink + tokenizer induction): io.write_audit_publish
+#   (sink pattern, tested in tests/test_etl_write.py), t_bpe_pair_stats
 _QUEUED_R07 = [
     "a_mann_whitney_u",
     "a_theil_sen_trend",
@@ -222,6 +225,8 @@ _QUEUED_R07 = [
     "t_keyphrase_rake",
     "v_int8_quantization_report",
     "e_surrogate_keys",
+    "v_matryoshka_recall",
+    "t_bpe_pair_stats",
 ]
 
 

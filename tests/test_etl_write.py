@@ -275,3 +275,68 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     assert got == {(1, "ok"), (2, "also ok"), (5, "fine")}
     raw = {r.raw_line for r in bad.collect()}
     assert raw == {'{"id": "NOT_A_NUMBER", "name": "type clash"}', "{broken json"}
+
+
+class TestWriteAuditPublish:
+    def _audits(self):
+        return [
+            lambda df: (df.count() > 0, "non-empty"),
+            lambda df: (
+                df.filter(df.o_totalprice <= 0).count() == 0,
+                "positive prices",
+            ),
+        ]
+
+    def test_publish_on_green_audits(self, spark, sf_dir, tmp_path):
+        from boxoffice_spark.io import write_audit_publish
+        from boxoffice_spark.tables import table
+
+        o = table(spark, sf_dir, "orders").limit(100)
+        target = str(tmp_path / "wap_table")
+        res = write_audit_publish(o, target, self._audits())
+        assert res["published"] is True
+        assert all(r["passed"] for r in res["audit_results"])
+        assert spark.read.parquet(target).count() == 100
+        import os
+
+        assert not os.path.exists(target + "__staging")
+
+    def test_failing_audit_blocks_and_preserves_current(
+        self, spark, sf_dir, tmp_path
+    ):
+        from boxoffice_spark.io import write_audit_publish
+        from boxoffice_spark.tables import table
+
+        o = table(spark, sf_dir, "orders")
+        target = str(tmp_path / "wap_table")
+        # publish v1 (50 rows) green
+        res1 = write_audit_publish(o.limit(50), target, self._audits())
+        assert res1["published"] is True
+        # attempt v2 with a failing audit: current table must survive
+        bad = [lambda df: (False, "forced failure")]
+        res2 = write_audit_publish(o.limit(80), target, bad)
+        assert res2["published"] is False
+        assert res2["audit_results"][0]["passed"] is False
+        assert spark.read.parquet(target).count() == 50  # v1 intact
+        import os
+
+        assert os.path.exists(res2["staging_path"])  # forensics kept
+
+    def test_audits_run_against_reread_files(self, spark, sf_dir, tmp_path):
+        """The audit sees the STAGED files as a consumer would — assert it
+        receives a DataFrame whose scan reads the staging directory, not
+        the in-memory frame."""
+        from boxoffice_spark.io import write_audit_publish
+        from boxoffice_spark.tables import table
+
+        seen = {}
+
+        def capture(df):
+            seen["files"] = df.inputFiles()
+            return True, "capture"
+
+        o = table(spark, sf_dir, "orders").limit(10)
+        target = str(tmp_path / "wap_table")
+        res = write_audit_publish(o, target, [capture])
+        assert res["published"] is True
+        assert seen["files"] and all("__staging" in f for f in seen["files"])
