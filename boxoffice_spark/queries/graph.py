@@ -409,7 +409,7 @@ def _bfs_round(prev: str, cur: str) -> str:
     """One BFS relaxation round: a node's distance from each source is
     the min of its previous distance and (neighbor distance + 1)."""
     return f"""
-    d{cur} AS (
+    d{cur} AS MATERIALIZED (
         SELECT node, src, min(dist) AS dist FROM (
             SELECT s.dst AS node, l.src, l.dist + 1 AS dist
             FROM sym s JOIN d{prev} l ON l.node = s.src
@@ -423,7 +423,8 @@ _BFS_ORACLE = f"""
     WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v
           FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
-    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
     nodes AS (SELECT DISTINCT src AS node FROM sym),
     srcs AS (SELECT node AS src FROM nodes ORDER BY node LIMIT 3),
     d0 AS (SELECT src AS node, src, 0 AS dist FROM srcs),
@@ -506,7 +507,7 @@ def _kcore_round(prev: str, cur: str, k: int) -> str:
         JOIN a{prev} y ON y.node = sym.dst
         GROUP BY 1
     ),
-    a{cur} AS (SELECT src AS node FROM d{cur} WHERE c >= {k})"""
+    a{cur} AS MATERIALIZED (SELECT src AS node FROM d{cur} WHERE c >= {k})"""
 
 
 _KCORE_K = 2
@@ -516,8 +517,12 @@ _KCORE_ORACLE = f"""
     e AS (SELECT a.p AS u, b.p AS v
           FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
           GROUP BY 1, 2 HAVING count(*) >= 2),
-    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
-    a0 AS (SELECT DISTINCT src AS node FROM sym),
+    -- MATERIALIZED: referenced once per peeling round + the final readout;
+    -- DuckDB would otherwise inline (= re-run) the pair self-join per
+    -- reference — observed as a tens-of-GB spill at sf0.1
+    sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
     {','.join(_kcore_round(str(i), str(i + 1), _KCORE_K) for i in range(_KCORE_ROUNDS))}
     SELECT src AS node, count(*) AS core_deg FROM sym
     JOIN a{_KCORE_ROUNDS} x ON x.node = sym.src
@@ -703,7 +708,8 @@ _HARMONIC_ORACLE = f"""
     WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v
           FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
-    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
     nodes AS (SELECT DISTINCT src AS node FROM sym),
     nn AS (SELECT count(*) AS n_nodes FROM nodes),
     srcs AS (SELECT node AS src FROM nodes ORDER BY node LIMIT 16),
