@@ -355,3 +355,95 @@ def j_scd2_effective_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_attr_value").alias("segment_at_purchase"),
         F.col("r_ts").alias("valid_from"),
     )
+
+
+@register(
+    "j_asof_nearest",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+         l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'error'),
+         pairs AS (
+             SELECT l.event_id,
+                    r.event_id AS error_id, r.ts AS error_ts,
+                    row_number() OVER (
+                        PARTITION BY l.event_id
+                        ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                                 (r.ts <= l.ts) DESC,
+                                 r.event_id DESC
+                    ) AS rn
+             FROM l JOIN r ON l.user_id = r.user_id
+         )
+    SELECT
+        l.event_id, l.user_id, l.ts,
+        s.error_id AS nearest_error_id, s.error_ts AS nearest_error_ts,
+        (epoch_us(s.error_ts) - epoch_us(l.ts)) // 1000000 AS gap_secs
+    FROM l LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) s
+        ON s.event_id = l.event_id
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third member of the as-of contract
+    (backward = j_asof_last_purchase, forward = j_asof_next_error):
+    attach to every view the same user's closest error in EITHER
+    direction, signed gap_secs telling which side it fell on (the
+    'what incident is this page view associated with' attachment when
+    causality could run either way). NOT a pair join: the engine runs
+    the backward and forward single-shuffle as-of scans and combines
+    their two one-row-per-view answers — min |gap| wins, exact ties
+    prefer the backward (already-observed) event, matching the
+    oracle's explicit (abs gap, backward-first, max event_id) pick
+    over the naive pair enumeration. Two union+running-window passes +
+    one event-keyed join of two view-grain frames — never |views| x
+    |errors|."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    back = asof_join(
+        views, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="backward", tie_col="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_event_id").alias("b_id"),
+        F.col("r_ts").alias("b_ts"),
+    )
+    fwd = asof_join(
+        views, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="forward", tie_col="event_id",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("r_event_id").alias("f_id"),
+        F.col("r_ts").alias("f_ts"),
+    )
+    j = back.join(fwd, back.event_id == fwd.f_event_id, "left")
+    gap_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    gap_f = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    take_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (gap_b <= gap_f)
+    )
+    nid = F.when(take_back, F.col("b_id")).otherwise(F.col("f_id"))
+    nts = F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts"))
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nid.alias("nearest_error_id"),
+        nts.alias("nearest_error_ts"),
+        # gap can be NEGATIVE (error before the view); whole seconds
+        # truncate TOWARD ZERO on both sides — DuckDB's integer // is
+        # truncating (verified: -140145.3 -> -140145), and the double
+        # division + long cast here truncates identically
+        (
+            (F.unix_micros(nts) - F.unix_micros(F.col("ts")))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("gap_secs"),
+    )

@@ -2064,3 +2064,59 @@ def w_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p3.select("from_type", "to_type", "p3_prob").orderBy(
         "from_type", "to_type"
     )
+
+
+@register(
+    "w_activity_heatmap",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_US}),
+    cells AS (
+        SELECT dayofweek(ts) AS dow, hour(ts) AS hour_of_day,
+            count(*) AS n_events,
+            count(DISTINCT user_id) AS n_users
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT dow, hour_of_day, n_events, n_users,
+        round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 6)
+            AS share_of_total,
+        round(CAST(n_events AS DOUBLE)
+              / max(n_events) OVER (PARTITION BY dow), 6) AS within_dow_peak
+    FROM cells
+    ORDER BY dow, hour_of_day
+    """,
+    tags=("window", "heatmap", "calendar"),
+)
+def w_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap: event and distinct-
+    user counts per calendar cell, each cell's share of total traffic,
+    and its intensity relative to its weekday's peak hour — the grid
+    behind every 'when are users here' dashboard panel and the load
+    model capacity planning reads (the within-dow normalization is what
+    makes a quiet Sunday's 8pm peak visible next to Monday's). One
+    corpus shuffle to the FIXED 7 x 24 grid; both normalizing windows
+    run over <= 168 rows (bounded by the calendar, not the corpus —
+    the same posture at any scale). DuckDB dayofweek == Spark's
+    dayofweek - 1 (Sunday=0 vs Sunday=1), aligned explicitly.
+    Cell-exact."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wall = W.partitionBy()
+    wdow = W.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        "n_users",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(wall), 6
+        ).alias("share_of_total"),
+        F.round(
+            F.col("n_events").cast("double") / F.max("n_events").over(wdow), 6
+        ).alias("within_dow_peak"),
+    ).orderBy("dow", "hour_of_day")

@@ -179,6 +179,8 @@ _PINNED = [
 # batch 22 (MRL evaluation): v_matryoshka_recall
 # batch 23 (WAP sink + tokenizer induction): io.write_audit_publish
 #   (sink pattern, tested in tests/test_etl_write.py), t_bpe_pair_stats
+# batch 24 (as-of completion + calendar grid): j_asof_nearest,
+#   w_activity_heatmap
 _QUEUED_R07 = [
     "a_mann_whitney_u",
     "a_theil_sen_trend",
@@ -227,6 +229,8 @@ _QUEUED_R07 = [
     "e_surrogate_keys",
     "v_matryoshka_recall",
     "t_bpe_pair_stats",
+    "j_asof_nearest",
+    "w_activity_heatmap",
 ]
 
 

@@ -287,6 +287,7 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
         "t_domain_loss_weights",   # softmax normalizer over |sources| rows
         "a_kpi_decomposition",     # MoM lag over the bounded month spine
         "a_dunn_posthoc",          # pooled rank over the calendar-bounded daily grain
+        "w_activity_heatmap",      # share window over the fixed 7 x 24 grid
     }
     assert set(result["global_windows"]) <= allowed, result["global_windows"]
     # positive control: the detector must actually FIND the known global
