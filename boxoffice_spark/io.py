@@ -211,13 +211,27 @@ def write_audit_publish(
     directories the atomic step is a filesystem rename, which is
     per-directory atomic on HDFS/local (S3 needs the table-format
     route — documented limitation, same contract).
+
+    Atomicity caveat (plain-directory mode only): POSIX offers no
+    atomic two-directory swap, so the promote is two renames
+    (path -> backup, staging -> path). Readers that list ``path``
+    inside that window see it briefly absent — the table-format route
+    above is the fix where that matters. What IS guaranteed: the
+    staging and backup directories carry a per-call unique suffix (so
+    concurrent publishes to the same target never clobber each other's
+    intermediates — last promote wins, either way a complete audited
+    snapshot), a hard crash between the renames leaves the full
+    previous table under the ``__prev_<token>`` sibling and the full
+    new table in staging (nothing is deleted until the new table is in
+    place), and a failed promote restores the previous table before
+    re-raising.
     """
     import os
     import shutil
+    import uuid
 
-    staging = path.rstrip("/") + "__staging"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    token = uuid.uuid4().hex[:12]
+    staging = f"{path.rstrip('/')}__staging_{token}"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -237,11 +251,19 @@ def write_audit_publish(
         }
     backup = None
     if os.path.exists(path):
-        backup = path.rstrip("/") + "__prev"
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
+        backup = f"{path.rstrip('/')}__prev_{token}"
         os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        if backup is not None and not os.path.exists(path):
+            os.rename(backup, path)  # restore the previous table
+        raise
     if backup is not None:
         shutil.rmtree(backup)
-    return {"published": True, "audit_results": results, "staging_path": None}
+    return {
+        "published": True,
+        "audit_results": results,
+        "staging_path": None,
+        "backup_path": None,
+    }

@@ -1651,7 +1651,7 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT o_orderstatus AS status,
-            CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+            CAST(o_orderdate AS DATE) < DATE '1998-01-01' AS first_half,
             {dsum_sql('o_totalprice')} AS rev
         FROM orders
         GROUP BY 1, 2, CAST(o_orderdate AS DATE)
@@ -1699,7 +1699,7 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test on the daily-revenue distribution
-    between the early (< 1995) and late eras, per order status — the
+    between the early (< 1998) and late eras, per order status — the
     nonparametric LOCATION complement to dq_ks_drift's shape test and
     a_welch_ttest's parametric means test: did typical daily revenue
     SHIFT, without assuming normality?
@@ -1720,7 +1720,7 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderstatus").alias("status"),
-        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        (F.to_date("o_orderdate") < F.lit("1998-01-01")).alias("first_half"),
         F.to_date("o_orderdate").alias("_d"),
     ).agg(dsum("o_totalprice").alias("rev"))
     n = daily.groupBy("status").agg(
@@ -1987,7 +1987,7 @@ def _poisson1_ladder():
     "a_permutation_test",
     oracle=f"""
     WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+        SELECT CAST(o_orderdate AS DATE) < DATE '1998-01-01' AS first_half,
             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
                 AS x,
             {dsum_sql('o_totalprice')} AS rev
@@ -2035,7 +2035,7 @@ def _poisson1_ladder():
 )
 def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo permutation test of the difference in mean daily
-    revenue between the early (< 1995) and late eras — the
+    revenue between the early (< 1998) and late eras — the
     assumption-free complement to a_welch_ttest: no normality, no
     variance model, the null distribution IS the data's own relabeling.
     B = 200 fixed-size permutations: per replicate, days are ranked by
@@ -2056,7 +2056,7 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-draw on task re-execution."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
-        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        (F.to_date("o_orderdate") < F.lit("1998-01-01")).alias("first_half"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
     ).agg(dsum("o_totalprice").alias("rev"))
     obs = daily.agg(
@@ -2664,7 +2664,7 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT o_orderstatus AS status,
-            CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS first_half,
+            CAST(o_orderdate AS DATE) < DATE '1998-01-01' AS first_half,
             {dsum_sql('o_totalprice')} AS rev
         FROM orders
         GROUP BY 1, 2, CAST(o_orderdate AS DATE)
@@ -2719,7 +2719,7 @@ def a_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderstatus").alias("status"),
-        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("first_half"),
+        (F.to_date("o_orderdate") < F.lit("1998-01-01")).alias("first_half"),
         F.to_date("o_orderdate").alias("_d"),
     ).agg(dsum("o_totalprice").alias("rev"))
     fh = F.col("first_half")
@@ -2964,8 +2964,8 @@ def a_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             {dsum_sql('l.l_quantity')} AS q0,
             {dsum_sql('l.l_extendedprice')} AS v0
         FROM lineitem l
-        WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1994-01-01'
-            AND DATE '1994-12-31'
+        WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+            AND DATE '1996-12-31'
         GROUP BY 1
     ),
     cur AS (
@@ -2973,8 +2973,8 @@ def a_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             {dsum_sql('l.l_quantity')} AS q1,
             {dsum_sql('l.l_extendedprice')} AS v1
         FROM lineitem l
-        WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
-            AND DATE '1996-12-31'
+        WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1999-01-01'
+            AND DATE '1999-12-31'
         GROUP BY 1
     ),
     j AS (
@@ -3001,8 +3001,8 @@ def a_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "economics", "index"),
 )
 def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Laspeyres / Paasche / Fisher price indices between the 1994 and
-    1996 shipping years over the common part basket — the classic
+    """Laspeyres / Paasche / Fisher price indices between the 1996 and
+    1999 shipping years over the common part basket — the classic
     'did prices move, holding the BASKET fixed' decomposition that a
     raw revenue delta conflates with volume shifts (a_kpi_decomposition
     splits one month's delta; this compares price LEVELS across years
@@ -3027,8 +3027,8 @@ def a_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    base = period("1994-01-01", "1994-12-31", "q0", "v0")
-    cur = period("1996-01-01", "1996-12-31", "q1", "v1")
+    base = period("1996-01-01", "1996-12-31", "q0", "v0")
+    cur = period("1999-01-01", "1999-12-31", "q1", "v1")
     j = (
         base.join(cur, "part")
         .filter((F.col("q0") > 0) & (F.col("q1") > 0))

@@ -943,14 +943,14 @@ def e_scd2_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
             CAST(NULL AS VARCHAR) AS o_orderpriority,
             CAST(NULL AS VARCHAR) AS channel
-        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
     ),
     v2 AS (
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
             o_orderpriority,
             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
                 AS channel
-        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
     ),
     unioned AS (
         SELECT 'v1' AS schema_ver, * FROM v1
@@ -982,7 +982,7 @@ def e_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cell-exact."""
     o = table(spark, sf_dir, "orders")
     v1 = (
-        o.filter(F.to_date("o_orderdate") < F.lit("1995-01-01"))
+        o.filter(F.to_date("o_orderdate") < F.lit("1998-01-01"))
         .select(
             F.lit("v1").alias("schema_ver"),
             "o_orderkey",
@@ -992,7 +992,7 @@ def e_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v2 = (
-        o.filter(F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        o.filter(F.to_date("o_orderdate") >= F.lit("1998-01-01"))
         .select(
             F.lit("v2").alias("schema_ver"),
             "o_orderkey",

@@ -356,21 +356,23 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal,
         round(abs(c.c_acctbal - s.s_acctbal), 2) AS bal_diff
     FROM customer c
-    JOIN supplier s ON abs(c.c_acctbal - s.s_acctbal) <= 1.0
+    JOIN supplier s ON abs(c.c_acctbal - s.s_acctbal) <= 10.0
     ORDER BY c.c_custkey, s.s_suppkey
     """,
     tags=("join", "band", "theta"),
 )
 def j_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric band join — every (customer, supplier) pair whose account
-    balances agree within ±1.00, the reconciliation / entity-matching
+    balances agree within ±10.00, the reconciliation / entity-matching
     shape ("which counterparty records almost-agree") that a naive
     engine plans as a cross product with a theta filter. Here the band
-    is EQUI-JOINED: each supplier explodes to its floor(balance) bucket
-    and both neighbors, customers key to their own bucket, and the
-    exact |diff| <= 1 predicate runs as a residual filter — any
-    qualifying pair lands in exactly one exploded bucket (|floor(a) -
-    floor(b)| <= 1 whenever |a - b| <= 1), so no dedup pass is needed.
+    is EQUI-JOINED: each supplier explodes to its width-10
+    floor(balance/10) bucket and both neighbors, customers key to their
+    own bucket, and the exact |diff| <= 10 predicate runs as a residual
+    filter — any qualifying pair lands in exactly one exploded bucket
+    (|floor(a/10) - floor(b/10)| <= 1 whenever |a - b| <= 10), so no
+    dedup pass is needed. Bucket width = band width keeps the fixture
+    readout non-vacuous at every scale factor (3 pairs at sf0.001).
     The oracle states the declarative theta form; the Spark plan never
     contains a CartesianProduct (plan-gated registry-wide).
 
@@ -380,19 +382,18 @@ def j_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DB2/Blink 'banded join', Spark range-join hints)."""
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
+    sb = F.floor(F.col("s_acctbal") / 10)
     sx = s.select(
         "s_suppkey",
         "s_acctbal",
-        F.explode(
-            F.array(
-                F.floor("s_acctbal") - 1, F.floor("s_acctbal"), F.floor("s_acctbal") + 1
-            )
-        ).alias("bucket"),
+        F.explode(F.array(sb - 1, sb, sb + 1)).alias("bucket"),
     )
-    cx = c.select("c_custkey", "c_acctbal", F.floor("c_acctbal").alias("bucket"))
+    cx = c.select(
+        "c_custkey", "c_acctbal", F.floor(F.col("c_acctbal") / 10).alias("bucket")
+    )
     return (
         cx.join(sx, "bucket")
-        .filter(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) <= 1.0)
+        .filter(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) <= 10.0)
         .select(
             "c_custkey",
             "s_suppkey",

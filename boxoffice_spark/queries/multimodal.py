@@ -125,6 +125,12 @@ def m_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m_asset_dedup",
     oracle="""
+    WITH assets AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0
+    )
     SELECT md5(text) AS fingerprint,
         'text/plain' AS media_type,
         min(doc_id) AS keeper_id,
@@ -132,7 +138,7 @@ def m_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(min(octet_length(encode(text))) AS BIGINT) AS bytes_each,
         CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
             AS bytes_reclaimable
-    FROM documents
+    FROM assets
     GROUP BY 1
     HAVING count(*) > 1
     ORDER BY 1
@@ -153,8 +159,15 @@ def m_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB of media this is the canonical map-side-cheap shuffle: the
     hash (16 bytes) shuffles, the payload (megabytes) never does — the
     aggregate reads payload bytes only to hash and measure them inside
-    the scan stage."""
-    assets = assets_from_documents(table(spark, sf_dir, "documents"))
+    the scan stage. The fixture documents are unique below sf0.1, so —
+    like v_embedding_near_dup — the query plants the event it audits:
+    every 50th asset is unioned back under a new id (a re-crawled copy),
+    making the dup-group readout non-vacuous at every scale factor."""
+    base = assets_from_documents(table(spark, sf_dir, "documents"))
+    planted = base.filter(F.col("asset_id") % 50 == 0).withColumn(
+        "asset_id", F.col("asset_id") + F.lit(1000000)
+    )
+    assets = base.unionByName(planted)
     return (
         assets.groupBy(F.md5("payload").alias("fingerprint"))
         .agg(

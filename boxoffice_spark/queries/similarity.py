@@ -85,8 +85,14 @@ def v_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v_embedding_near_dup",
     oracle="""
-    WITH v AS (
+    WITH base AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, label, e FROM base
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label, e FROM base
+        WHERE vec_id % 50 = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
@@ -102,9 +108,19 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminator bounding the pairwise term exactly like (lang, source)
     blocks bound t_ngram_jaccard_pairs. At corpus scale the block key
     becomes a coarse ANN bucket (ann_lsh_topk's hyperplane hash) and the
-    exact rerank stays identical."""
+    exact rerank stays identical. The fixture embeddings are
+    near-random (max pairwise cosine ~0.51), so — like the LSH sibling —
+    the query plants the event it audits: every 50th vector is unioned
+    back under a new id, making the >= 0.99 tier non-vacuous at every
+    scale factor while the threshold stays a true near-dup bar."""
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    planted = base.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    v = base.unionByName(planted)
     a = v.alias("a")
     b = v.alias("b")
     sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)

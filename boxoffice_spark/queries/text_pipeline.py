@@ -686,8 +686,14 @@ def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered operators' exact semantics. Scale shape: one window on the
     16-byte fingerprint, one hash-key contamination join (no broadcast of
     the train side), one final single-row aggregate — no stage materializes
-    more than (doc_id, flags)."""
+    more than (doc_id, flags). The (doc_id, split, shingle-hash) frame is
+    scope-persisted: BOTH its consumers (eval-hash distinct + the
+    contamination semi-join probe) read one materialization instead of
+    re-running normalize+shingle+hash over the corpus — the sf1 growth
+    probe's α=0.75 was exactly that doubled scan."""
     from pyspark.sql import Window as W
+
+    from boxoffice_spark.functions.caching import scoped_persist
 
     d = table(spark, sf_dir, "documents")
     train = d.filter(F.col("source") != "src0").select(
@@ -713,6 +719,7 @@ def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "_is_eval", D._word_hash(F.col("_g")).alias("h"))
     )
+    shingled = scoped_persist(shingled, "t_curation_funnel.shingled")
     eval_hashes = shingled.filter("_is_eval").select("h").distinct()
     contaminated = (
         shingled.filter(~F.col("_is_eval"))
@@ -3644,10 +3651,14 @@ def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2, m,
         round((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1, 2)
             AS est_total_dup_docs,
-        round(n1 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
-            AS recall_a,
-        round(n2 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
-            AS recall_b
+        -- est = 0 on a duplicate-free corpus: Spark's x/0 is NULL but
+        -- DuckDB's (ieee mode) is NaN, so both sides guard explicitly
+        CASE WHEN (n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1 > 0 THEN
+            round(n1 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
+        END AS recall_a,
+        CASE WHEN (n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1 > 0 THEN
+            round(n2 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
+        END AS recall_b
     FROM agg
     """,
     tags=("dedup", "stats", "capture-recapture"),
@@ -3671,7 +3682,9 @@ def t_capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-over-hash-key aggregate (window over the mark, exactly the
     exact-dedup shuffle shape x2) and the readout is a single row — no
     pair generation anywhere, so the estimate costs two hash shuffles of
-    (id, mark) at any corpus size. Cell-exact."""
+    (id, mark) at any corpus size. A duplicate-free corpus makes the
+    Chapman estimate exactly 0; both engines emit NULL recalls there
+    (guarded — Spark's x/0 is NULL, DuckDB's is NaN). Cell-exact."""
     d = table(spark, sf_dir, "documents")
     norm = D.normalized_text("text")
     marks = d.select(
@@ -3698,8 +3711,8 @@ def t_capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         "m",
         F.round(est, 2).alias("est_total_dup_docs"),
-        F.round(F.col("n1") / est, 6).alias("recall_a"),
-        F.round(F.col("n2") / est, 6).alias("recall_b"),
+        F.when(est > 0, F.round(F.col("n1") / est, 6)).alias("recall_a"),
+        F.when(est > 0, F.round(F.col("n2") / est, 6)).alias("recall_b"),
     )
 
 

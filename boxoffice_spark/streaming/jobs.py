@@ -971,6 +971,12 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not spark.catalog.tableExists(f"global_temp.{name}"):
+        # no matching files -> foreachBatch never fired; empty readout
+        # (same guard as the quantile/reconcile twins)
+        return spark.createDataFrame(
+            [], "term string, term_count bigint, frac double"
+        )
     cands = spark.table(f"global_temp.{name}")
     corpus_toks = (
         spark.read.option("pathGlobFilter", "documents*.parquet")

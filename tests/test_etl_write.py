@@ -340,3 +340,20 @@ class TestWriteAuditPublish:
         res = write_audit_publish(o, target, [capture])
         assert res["published"] is True
         assert seen["files"] and all("__staging" in f for f in seen["files"])
+
+    def test_green_republish_leaves_no_siblings(self, spark, sf_dir, tmp_path):
+        """Staging/backup dirs carry a per-call unique suffix (concurrent
+        publishers can't clobber each other's intermediates) and green
+        publishes clean them all up."""
+        import os
+
+        from boxoffice_spark.io import write_audit_publish
+        from boxoffice_spark.tables import table
+
+        o = table(spark, sf_dir, "orders")
+        target = str(tmp_path / "wap_table")
+        assert write_audit_publish(o.limit(50), target, self._audits())["published"]
+        assert write_audit_publish(o.limit(80), target, self._audits())["published"]
+        assert spark.read.parquet(target).count() == 80
+        siblings = [p for p in os.listdir(tmp_path) if p != "wap_table"]
+        assert siblings == [], siblings

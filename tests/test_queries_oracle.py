@@ -11,6 +11,16 @@ from boxoffice_spark.testing import compare
 
 SPECS = load_all()
 
+# Oracle-backed queries allowed to return ZERO rows on the healthy fixture.
+# A 0==0 oracle match is vacuous — it proves nothing about the value logic
+# (round-6 verdict: six queries "passed" for months without ever executing
+# their statistic on a row of data). Any query added here must carry a
+# comment explaining why empty-on-healthy-data is the semantically correct
+# readout AND a test elsewhere that exercises its value path on planted
+# violations. Currently empty: every registered oracle produces rows at
+# sf0.001, sf0.01, and sf0.1.
+ZERO_ROW_ALLOWLIST: frozenset[str] = frozenset()
+
 
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
@@ -23,3 +33,9 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
         return
     result = compare(name, df, oracle_con, spec.oracle)
     assert result.ok, str(result)
+    if name not in ZERO_ROW_ALLOWLIST:
+        assert result.spark_rows > 0, (
+            f"{name}: oracle match is vacuous (0 == 0 rows). Recalibrate the "
+            "query against the fixture or add it to ZERO_ROW_ALLOWLIST with "
+            "a justification and a planted-violation test."
+        )
