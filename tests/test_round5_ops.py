@@ -388,8 +388,9 @@ class TestBatch6to9Invariants:
         from boxoffice_spark.registry import load_all
 
         rows = load_all()["j_band_join_bucketed"].fn(spark, sf_dir).collect()
+        assert rows  # the zero-row gate's point: the band must fire here
         for r in rows:
-            assert abs(r.c_acctbal - r.s_acctbal) <= 1.0 + 1e-9, r
+            assert abs(r.c_acctbal - r.s_acctbal) <= 10.0 + 1e-9, r
         # no duplicate pairs from the ±1 bucket explode
         pairs = [(r.c_custkey, r.s_suppkey) for r in rows]
         assert len(pairs) == len(set(pairs))
