@@ -2168,11 +2168,18 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     label side shares its oracle-checked semantics.) Rows-only (the fit
     is not SQL-expressible); determinism,
     separation, range, and a Python-free scoring plan are pinned in
-    tests/test_retrieval_er.py."""
+    tests/test_retrieval_er.py. The teacher LM frame is scope-persisted:
+    it feeds two driver-side actions (the median collect and the
+    bounded training-sample collect), and without the persist the
+    corpus-scaling tokenize+join pipeline executed once per action —
+    the sf1 growth probe's 0.69 exponent was that doubled pass."""
+    from boxoffice_spark.functions.caching import scoped_persist
     from boxoffice_spark.operators.quality import quality_classifier_score
 
     d = table(spark, sf_dir, "documents")
-    lm = t_unigram_logprob(spark, sf_dir)
+    lm = scoped_persist(
+        t_unigram_logprob(spark, sf_dir), "t_quality_classifier.lm"
+    )
     median = lm.agg(
         F.expr("percentile(avg_logprob, 0.5)").alias("m")
     ).collect()[0]["m"]
@@ -3860,17 +3867,25 @@ def t_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized work is one band groupBy + two broadcast-joined
     filters, and the only sort is within the straddle band (~1/|bands|
     of the corpus). All token arithmetic is integer-exact; the budget is
-    floor(total * 0.10) computed identically on both engines.
-    Cell-exact."""
+    floor(total * 0.10) computed identically on both engines. The
+    (doc_id, band, tok) frame is scope-persisted: three consumers read
+    it (band stats, full-band join, straddle-band join), and uncached
+    each re-ran the corpus tokenize+score scan — the sf1 probe's 0.62
+    exponent was that tripled pass. Cell-exact."""
     from pyspark.sql import Window
+
+    from boxoffice_spark.functions.caching import scoped_persist
 
     d = table(spark, sf_dir, "documents")
     from boxoffice_spark.operators.textstats import quality_score
 
-    banded = d.select(
-        "doc_id",
-        F.round(quality_score("text"), 2).alias("band"),
-        TS.bpe_ish_token_count("text").alias("tok"),
+    banded = scoped_persist(
+        d.select(
+            "doc_id",
+            F.round(quality_score("text"), 2).alias("band"),
+            TS.bpe_ish_token_count("text").alias("tok"),
+        ),
+        "t_token_budget_select.banded",
     )
     bstat = banded.groupBy("band").agg(
         F.sum("tok").cast("long").alias("band_tokens")

@@ -357,3 +357,33 @@ class TestWriteAuditPublish:
         assert spark.read.parquet(target).count() == 80
         siblings = [p for p in os.listdir(tmp_path) if p != "wap_table"]
         assert siblings == [], siblings
+
+    def test_failed_promote_restores_previous_table(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """If the staging->path rename itself dies, the previous table is
+        put back before the error propagates — readers recover the old
+        snapshot, not a missing directory."""
+        import os
+
+        from boxoffice_spark import io as bio
+        from boxoffice_spark.tables import table
+
+        o = table(spark, sf_dir, "orders")
+        target = str(tmp_path / "wap_table")
+        assert bio.write_audit_publish(o.limit(50), target, self._audits())["published"]
+
+        real_rename = os.rename
+
+        def failing_rename(src, dst):
+            if dst == target and "__staging_" in src:
+                raise OSError("simulated promote failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", failing_rename)
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="simulated promote failure"):
+            bio.write_audit_publish(o.limit(80), target, self._audits())
+        monkeypatch.undo()
+        assert spark.read.parquet(target).count() == 50  # v1 restored

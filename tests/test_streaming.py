@@ -680,6 +680,18 @@ def test_stream_heavy_hitters_multi_batch_any_split(spark, sf_dir, tmp_path):
     assert even.num_rows > 0 and odd.num_rows > 0
 
 
+def test_stream_heavy_hitters_empty_source_returns_empty(spark, tmp_path):
+    """A source dir with no documents*.parquet files means foreachBatch
+    never fires; the drain must return an empty typed frame, not raise on
+    the missing global-temp view (ADVICE r06 — the guard the
+    quantile/reconcile twins already had)."""
+    from boxoffice_spark.streaming.jobs import stream_heavy_hitters
+
+    out = stream_heavy_hitters(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["term", "term_count", "frac"]
+
+
 def _batch_quantile_hist(ev):
     """Batch twin of stream_quantile_histogram_merge: same bins, same
     readout over a single static aggregate."""
