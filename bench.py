@@ -131,11 +131,16 @@ def main() -> None:
         if prev.get("sf") == sf:
             prev_q = prev.get("queries", {})
             deltas = {
-                n: round(t - prev_q[n], 3) for n, t in timings.items() if n in prev_q
+                n: round(t - prev_q[n], 3)
+                for n, t in timings.items()
+                if isinstance(prev_q.get(n), (int, float))
             }
-            prev_total = prev.get("value")
-    except (OSError, ValueError):
-        pass
+            if isinstance(prev.get("value"), (int, float)):
+                prev_total = prev["value"]
+    except Exception:
+        # a corrupt/schema-drifted sidecar must never sink the artifact:
+        # every query already ran by this point
+        deltas, prev_total = {}, None
 
     full = {
         "queries": timings,

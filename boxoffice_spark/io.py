@@ -217,14 +217,20 @@ def write_audit_publish(
     (path -> backup, staging -> path). Readers that list ``path``
     inside that window see it briefly absent — the table-format route
     above is the fix where that matters. What IS guaranteed: the
-    staging and backup directories carry a per-call unique suffix (so
+    staging and backup directories carry a per-call unique suffix, so
     concurrent publishes to the same target never clobber each other's
-    intermediates — last promote wins, either way a complete audited
-    snapshot), a hard crash between the renames leaves the full
+    intermediates — if two race, one promotes and the other raises
+    with the promoted snapshot left in place (its own audited copy
+    stays in its staging dir; no mixed or partial table is ever
+    visible). A hard crash between the renames leaves the full
     previous table under the ``__prev_<token>`` sibling and the full
     new table in staging (nothing is deleted until the new table is in
     place), and a failed promote restores the previous table before
-    re-raising.
+    re-raising when the target is still absent. Debris contract: a
+    non-published call KEEPS its staging dir for forensics and returns
+    it as ``staging_path`` — the caller owns deleting it (a retry loop
+    that never cleans up accumulates one full table copy per failed
+    attempt).
     """
     import os
     import shutil
@@ -252,7 +258,13 @@ def write_audit_publish(
     backup = None
     if os.path.exists(path):
         backup = f"{path.rstrip('/')}__prev_{token}"
-        os.rename(path, backup)
+        try:
+            os.rename(path, backup)
+        except FileNotFoundError:
+            # a concurrent publisher moved the target between the exists()
+            # check and the rename — proceed as if there was no previous
+            # table; the promote below then races them fairly
+            backup = None
     try:
         os.rename(staging, path)
     except BaseException:
@@ -265,5 +277,4 @@ def write_audit_publish(
         "published": True,
         "audit_results": results,
         "staging_path": None,
-        "backup_path": None,
     }

@@ -71,11 +71,11 @@ _QUERY_MODULES = [
 # pins earned their green rows in CORRECTNESS_r04 and rotate out.
 _PINNED = [
     # Round-7 window (VERDICT r06 items 1, 2, 4): exactly 50 names.
-    # First the 10 queries whose plan or oracle changed this round — the
-    # six vacuous zero-row fixes (era splits moved off the fixture's
+    # First the 11 queries whose plan or oracle changed this round — the
+    # seven vacuous zero-row fixes (era splits moved off the fixture's
     # minimum date; audit thresholds recalibrated; planted duplicate
-    # events) plus their co-edited siblings — each needs a FRESH
-    # non-vacuous green row. Then the 46-oracle + 3-rows-only queue that
+    # events; the band join widened) plus their co-edited siblings —
+    # each needs a FRESH non-vacuous green row. Then the 46-oracle + 3-rows-only queue that
     # has never earned a driver row (all judge-verified cell-exact at
     # sf0.01 in round 6). flagship_daily_topk_delta is NOT pinned: it
     # holds green rows from r01 and r06 and the driver's entry() smoke
@@ -85,6 +85,7 @@ _PINNED = [
     "dq_ks_drift",  # era split 1995->1998: first non-vacuous KS rows
     "v_embedding_near_dup",  # planted re-encoded copies (LSH-sibling rule)
     "m_asset_dedup",  # planted re-crawled copies; dup groups at every sf
+    "j_band_join_bucketed",  # band widened to ±10 / width-10 buckets
     # -- the 46 oracle-backed + 3 rows-only queries (round-6 batches
     # 4-24) that have never earned a driver row; order follows the batch
     # ledger in COVERAGE.md. Minus the two batch-24 deferrals noted above.
@@ -134,17 +135,18 @@ _PINNED = [
     "v_int8_quantization_report",
     "e_surrogate_keys",
     "v_matryoshka_recall",
-    "t_bpe_pair_stats",
 ]
 
 # Deferred to the round-8 driver window (the 50 slots above are full):
-# both unchanged since round 6 and judge-verified cell-exact there. A
-# test (tests/test_registry.py) asserts every name in _PINNED and
+# all unchanged since round 6 and judge-verified cell-exact there
+# (t_bpe_pair_stats gave its slot to the changed j_band_join_bucketed).
+# A test (tests/test_registry.py) asserts every name in _PINNED and
 # _DEFERRED_R08 exists in the registry, so the lists cannot drift.
 # The per-batch history lives in COVERAGE.md (single table).
 _DEFERRED_R08 = [
     "j_asof_nearest",
     "w_activity_heatmap",
+    "t_bpe_pair_stats",
 ]
 
 
