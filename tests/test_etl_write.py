@@ -381,9 +381,7 @@ class TestWriteAuditPublish:
             return real_rename(src, dst)
 
         monkeypatch.setattr(os, "rename", failing_rename)
-        import pytest as _pytest
-
-        with _pytest.raises(OSError, match="simulated promote failure"):
+        with pytest.raises(OSError, match="simulated promote failure"):
             bio.write_audit_publish(o.limit(80), target, self._audits())
         monkeypatch.undo()
         assert spark.read.parquet(target).count() == 50  # v1 restored
