@@ -294,6 +294,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     oracle_only = "--oracle-only" in sys.argv
     do_oracle = "--oracle" in sys.argv or oracle_only
+    probe_all = "--all" in sys.argv
     heavy = HEAVY
     for a in sys.argv[1:]:
         # --only a,b,c: probe a subset (incremental refresh after adding
@@ -316,6 +317,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 
     specs = load_all()
+    if probe_all:
+        # --all: registry-wide exponent sweep — every batch query, not just
+        # the curated heavy tier. Streaming twins are excluded: their fn()
+        # stands up a file-stream source and drains it, so the wall measures
+        # micro-batch scheduling (drain cadence), not a scan/shuffle growth
+        # shape; their scale posture is the per-job O(state) notes in
+        # streaming/jobs.py plus the stream==batch equality of their batch
+        # twins, which ARE probed here.
+        heavy = [n for n in specs if not n.startswith(("s_stream", "s_stock"))]
 
     def run(fn, sf_dir: str) -> float:
         # TOTAL per-query wall: fn() construction + noop-sink execution.
@@ -334,11 +344,17 @@ def main() -> None:
         return round(min(runs), 3)
 
     results: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     if not oracle_only:
         for name in heavy:
             fn = specs[name].fn
-            t_small = run(fn, SRC)
-            t_big = run(fn, DST)
+            try:
+                t_small = run(fn, SRC)
+                t_big = run(fn, DST)
+            except Exception as exc:  # keep sweeping — a 250-query --all run
+                errors[name] = f"{type(exc).__name__}: {exc}"  # must survive one bad probe
+                print(f"# ERROR {name}: {errors[name][:160]}", file=sys.stderr)
+                continue
             alpha = math.log(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log(COPIES)
             results[name] = {"sf0.1_s": t_small, "sf1_s": t_big, "alpha": round(alpha, 2)}
             print(f"# timed {name}: {results[name]}", file=sys.stderr)
@@ -364,7 +380,10 @@ def main() -> None:
                 con.close()
             print(f"# oracle {name}: {oracle_out[name][:120]}", file=sys.stderr)
 
-    print(json.dumps({"sf1_probe": results, "oracle": oracle_out, "sf1_dir": DST}))
+    out = {"sf1_probe": results, "oracle": oracle_out, "sf1_dir": DST}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
