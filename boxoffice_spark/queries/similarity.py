@@ -11,6 +11,7 @@ from boxoffice_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_arrow,
     embedding_near_dup_lsh,
+    near_dup_pairs_arrow,
 )
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -112,7 +113,16 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random (max pairwise cosine ~0.51), so — like the LSH sibling —
     the query plants the event it audits: every 50th vector is unioned
     back under a new id, making the >= 0.99 tier non-vacuous at every
-    scale factor while the threshold stays a true near-dup bar."""
+    scale factor while the threshold stays a true near-dup bar.
+
+    Physical strategy is the Arrow per-block gram matmul
+    (operators/similarity.py near_dup_pairs_arrow), not the declarative
+    self-join + zip_with cosine: the interpreted per-pair fold made the
+    O(block²) term cost ~1 ms/pair (minutes at sf0.1, hours at sf1 —
+    caught by the registry-wide sf1 probe). Same pairs, same oracle;
+    surviving pairs are the planted identical copies at cos 1.0, far from
+    the 6-dp rounding boundary, so BLAS vs fold accumulation order cannot
+    flip membership."""
     emb = table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
@@ -121,17 +131,8 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     v = base.unionByName(planted)
-    a = v.alias("a")
-    b = v.alias("b")
-    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.99)
+    return near_dup_pairs_arrow(
+        v, block_col="label", id_col="vec_id", vec_col="e", threshold=0.99
     )
 
 
