@@ -7,7 +7,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from boxoffice_spark.operators.similarity import (
     ann_lsh_topk,
-    cosine,
     cosine_topk,
     cosine_topk_arrow,
     embedding_near_dup_lsh,
@@ -462,17 +461,21 @@ def v_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.4) — clusters actually FORM and the transitive-closure + keeper
     arithmetic is verified non-vacuously against the recursive-CTE oracle
     at every SF. The 0.99-threshold behavior is exercised with planted
-    perturbed copies in tests/test_llm_ops.py."""
+    perturbed copies in tests/test_llm_ops.py.
+
+    Pair generation uses the Arrow per-block gram matmul
+    (near_dup_pairs_arrow) for the same reason as v_embedding_near_dup:
+    the declarative self-join pays ~1 ms/pair of interpreted higher-order
+    cosine, which the registry-wide sf1 probe flagged as the stall shape.
+    Cell-exactness vs the fold-order oracle is re-verified at
+    sf0.001/0.01/0.1 (fixture cosines sit far from the 6-dp rounding
+    boundary at the 0.4 gate)."""
     from boxoffice_spark.operators.graph import connected_components
 
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    a, b = v.alias("a"), v.alias("b")
-    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
-    pairs = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
+    pairs = near_dup_pairs_arrow(
+        v, block_col="label", id_col="vec_id", vec_col="e", threshold=0.4
     )
     clusters = connected_components(pairs, "id_a", "id_b")
     return (
