@@ -469,15 +469,21 @@ def v_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, which the registry-wide sf1 probe flagged as the stall shape.
     Cell-exactness vs the fold-order oracle is re-verified at
     sf0.001/0.01/0.1 (fixture cosines sit far from the 6-dp rounding
-    boundary at the 0.4 gate)."""
-    from boxoffice_spark.operators.graph import connected_components
+    boundary at the 0.4 gate).
+
+    Components use the large-star/small-star contraction, not min-label
+    propagation: at a loose similarity gate the pair graph is sparse
+    enough to form DEEP chains (the sf1 probe hit min-label's 20-round
+    budget — its convergence is O(diameter)), and star contraction is
+    O(log² n) rounds regardless of diameter."""
+    from boxoffice_spark.operators.graph import connected_components_star
 
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
     pairs = near_dup_pairs_arrow(
         v, block_col="label", id_col="vec_id", vec_col="e", threshold=0.4
     )
-    clusters = connected_components(pairs, "id_a", "id_b")
+    clusters = connected_components_star(pairs, "id_a", "id_b")
     return (
         clusters.filter(F.col("node") != F.col("cluster_id"))
         .groupBy(F.col("cluster_id").alias("keeper_id"))
@@ -897,43 +903,39 @@ def v_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores recall on exactly this kind of bounded probe set, never the
     full corpus); cosines rounded 6dp with neighbor-id tie-break,
     per-query recalls are exact tenths decimal-summed, and the macro
-    average is a raw final quotient. Cell-exact."""
-    from boxoffice_spark.operators.similarity import cosine
+    average is a raw final quotient. Cell-exact.
+
+    Physical strategy: the prefix-cumsum Arrow kernel
+    (operators/similarity.prefix_dim_topk_arrow) — one scan pass scoring
+    all 4 prefix dims per Arrow batch instead of 4 separate interpreted
+    sliced-cosine folds per pair (the sf1 probe billed that form 29 s;
+    cumsum keeps the fold's left-to-right accumulation order, so values
+    stay cell-exact vs the same DuckDB oracle)."""
+    from boxoffice_spark.operators.similarity import prefix_dim_topk_arrow
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("vec_id"), F.col("embedding")
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
-    dims = spark.createDataFrame([(64,), (32,), (16,), (8,)], "d int")
-    scored = (
-        q.crossJoin(F.broadcast(dims))
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "d",
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine(
-                    F.slice(F.col("qv"), F.lit(1), F.col("d")),
-                    F.slice(F.col("cv"), F.lit(1), F.col("d")),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
+    scored = prefix_dim_topk_arrow(emb, q, dims=[64, 32, 16, 8], k=10)
     from pyspark.sql import Window
 
     w = Window.partitionBy("d", "query_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
     )
-    topk = scored.select(
-        "d", "query_id", "neighbor_id", F.row_number().over(w).alias("rnk")
-    ).filter(F.col("rnk") <= 10)
+    # ``topk`` (800 rows) feeds BOTH the truth filter and the truncated
+    # side of the recall join; without the persist the full
+    # |queries| x |dims| x |corpus| cosine scan upstream evaluates twice
+    # (the doubled-subtree tax — sf1 probe measured 29 s / alpha 0.89
+    # for what is one bounded brute-force pass)
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    topk = scoped_persist(
+        scored.select(
+            "d", "query_id", "neighbor_id", F.row_number().over(w).alias("rnk")
+        ).filter(F.col("rnk") <= 10),
+        "v_matryoshka_recall.topk",
+    )
     truth = (
         topk.filter(F.col("d") == 64)
         .select(

@@ -3163,10 +3163,17 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. At 100 TB both sides partition on the hash — no broadcast,
     no pair generation; the Bloom prefilter (operators/bloom.py) drops
     corpus shingles map-side exactly as in t_decontamination_bloom when
-    batch << corpus."""
+    batch << corpus.
+
+    The shingle frame feeds BOTH join sides (corpus distinct + batch
+    probe) — scope-persisted so the tokenize/shingle/hash scan runs once,
+    not per consumer (the doubled-subtree tax the sf1 probes measure;
+    unpersisted this was the registry's worst exponent at 0.95)."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
     d = table(spark, sf_dir, "documents")
     words = F.split(D.normalized_text("text"), " ")
-    sh = (
+    sh = scoped_persist(
         d.select(
             "doc_id",
             (F.col("doc_id") % 10 == 0).alias("is_batch"),
@@ -3174,7 +3181,8 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "is_batch", F.explode("_gs").alias("g"))
         .select("doc_id", "is_batch", D._word_hash(F.col("g")).alias("h"))
-        .distinct()
+        .distinct(),
+        "t_ngram_novelty.sh",
     )
     corpus = (
         sh.filter(~F.col("is_batch"))
