@@ -357,10 +357,14 @@ def v_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose neighborhood disagrees with its label is a candidate for
     relabeling or dropping before contrastive training).
 
-    Physical shape: the probe matrix broadcasts (bounded sample), the
-    corpus streams through one BLAS matmul pass (cosine_topk_arrow), and
-    only probes x k candidate rows reach the label joins — the same
-    scan-bound layout at 100 TB with probes capped by the sample rate."""
+    Physical shape: the probe matrix broadcasts, the corpus streams
+    through one BLAS matmul pass (cosine_topk_arrow), and only
+    probes x k candidate rows reach the label joins. Scale contract: a
+    RATE-sampled probe set grows with the corpus (broadcast size and the
+    probes x corpus matmul with it — the registry's worst measured
+    exponent, 0.89), so at corpus scale the audit caps probes at an
+    absolute count, or feeds label-consistency from the ANN candidate
+    tiers (v_ann_*) instead of the exact matmul."""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 10 == 0)
     nn = cosine_topk_arrow(emb, probes, k=10)
