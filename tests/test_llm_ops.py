@@ -809,3 +809,103 @@ def test_minhash_banded_pairs_semantics(spark):
 
     with _pytest.raises(ValueError):
         minhash_banded_pairs(df, "doc_id", "text", num_hashes=10, band_size=3)
+
+
+def test_near_dup_pairs_arrow_equals_declarative(spark, sf_dir):
+    """The Arrow gram-matmul pair kernel must emit exactly the pairs the
+    declarative self-join + fold cosine emits — same blocks, same
+    threshold, same 6-dp rounding (the rewrite that fixed the sf1 stall
+    must never drift from the reference semantics)."""
+    from boxoffice_spark.operators.similarity import cosine, near_dup_pairs_arrow
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    planted = base.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    v = base.unionByName(planted)
+    # loose gate so REAL (non-planted, non-1.0) cosines cross it too
+    # (0.4 is the v_semantic_keepers gate, known to pass real pairs at
+    # every fixture SF)
+    thr = 0.4
+    arrow = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in near_dup_pairs_arrow(
+            v, block_col="label", id_col="vec_id", vec_col="e", threshold=thr
+        ).collect()
+    }
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    declarative = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                sim.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= thr)
+        ).collect()
+    }
+    assert len(arrow) > len(planted.collect()), "gate should pass real pairs too"
+    assert arrow == declarative
+
+
+def test_prefix_dim_topk_arrow_equals_sliced_fold(spark, sf_dir):
+    """The prefix-cumsum Matryoshka kernel must reproduce the sliced-fold
+    top-k at every prefix dim: same neighbors, same 6-dp cosines, same
+    (cos desc, id asc) ranking."""
+    from pyspark.sql import Window
+
+    from boxoffice_spark.operators.similarity import cosine, prefix_dim_topk_arrow
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    arrow = {
+        (r.d, r.query_id, r.rnk): (r.neighbor_id, r.cos_sim)
+        for r in prefix_dim_topk_arrow(emb, q, dims=[64, 16, 8], k=5)
+        .select("d", "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    dims = spark.createDataFrame([(64,), (16,), (8,)], "d int")
+    fold = {
+        (r.d, r.query_id, r.rnk): (r.neighbor_id, r.cos_sim)
+        for r in (
+            qv.crossJoin(F.broadcast(dims))
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "d",
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine(
+                        F.slice(F.col("qv"), F.lit(1), F.col("d")),
+                        F.slice(F.col("cv"), F.lit(1), F.col("d")),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .select("d", "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 5)
+        ).collect()
+    }
+    assert arrow and arrow == fold
