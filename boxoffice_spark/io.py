@@ -219,10 +219,15 @@ def write_audit_publish(
     above is the fix where that matters. What IS guaranteed: the
     staging and backup directories carry a per-call unique suffix, so
     concurrent publishes to the same target never clobber each other's
-    intermediates — if two race, one promotes and the other raises
-    with the promoted snapshot left in place (its own audited copy
-    stays in its staging dir; no mixed or partial table is ever
-    visible). A hard crash between the renames leaves the full
+    intermediates, and the outcome is always equivalent to SOME serial
+    order of the publishes (last promoter wins; an earlier winner's
+    table is superseded exactly as if the publishes had run
+    sequentially). A racer whose promote lands on an already-republished
+    target raises (rename onto a non-empty directory), with its audited
+    copy still in its staging dir and any ``__prev_<token>`` it took
+    still on disk — both paths are embedded in the raised error for
+    cleanup; no mixed or partial table is ever visible in any
+    interleaving. A hard crash between the renames leaves the full
     previous table under the ``__prev_<token>`` sibling and the full
     new table in staging (nothing is deleted until the new table is in
     place), and a failed promote restores the previous table before
@@ -267,10 +272,19 @@ def write_audit_publish(
             backup = None
     try:
         os.rename(staging, path)
-    except BaseException:
+    except BaseException as exc:
         if backup is not None and not os.path.exists(path):
             os.rename(backup, path)  # restore the previous table
-        raise
+            backup = None
+        # surface the survivor directories: a racer that lost the promote
+        # (or any other rename failure) leaves its staged table and any
+        # un-restored backup on disk — the caller owns their cleanup and
+        # can only do that if the paths travel with the error
+        leftovers = [p for p in (staging, backup) if p and os.path.exists(p)]
+        raise RuntimeError(
+            f"publish to {path!r} failed; on-disk leftovers to inspect/clean: "
+            f"{leftovers}"
+        ) from exc
     if backup is not None:
         shutil.rmtree(backup)
     return {

@@ -152,8 +152,11 @@ def prefix_dim_topk_arrow(
     ``np.cumsum`` — cumulative sums accumulate strictly left-to-right,
     the SAME association order as the zip_with/aggregate fold and
     DuckDB's list_cosine_similarity, so values stay comparable across
-    engines at the rounding precision. Each batch emits only its local
-    top-(k+4) per (query, dim); the global window reduces candidates.
+    engines at the rounding precision. Each batch emits only rows at or
+    above its (k+1)-th largest rounded cosine per (query, dim) — the +1
+    covers the self-pair, and the tie-INCLUSIVE cut makes the batch
+    filter provably lossless for the global (cos desc, id asc) top-k:
+    an excluded row has k+1 strictly-greater rows in its own batch.
 
     Returns (d, query_id, neighbor_id, cos_sim) with self-pairs removed;
     ranking is the caller's window (round first, id tie-break).
@@ -177,18 +180,29 @@ def prefix_dim_topk_arrow(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            cn2 = np.cumsum(cmat * cmat, axis=1)[:, di]  # (batch, ndims)
+            # zero-norm guard (sibling-kernel convention): a zero prefix
+            # scores 0, never NaN (NaN orders differently across engines)
+            cn2 = np.maximum(np.cumsum(cmat * cmat, axis=1)[:, di], 1e-60)
             out_d, out_q, out_n, out_s = [], [], [], []
             for qi in range(len(qids_)):
                 dots = np.cumsum(cmat * qm[qi], axis=1)[:, di]  # (batch, ndims)
-                sims = np.round(dots / np.sqrt(cn2 * qn2_[qi, di]), round_to)
-                kk = min(k + 4, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, ndims)
+                sims = np.round(
+                    dots / np.sqrt(cn2 * np.maximum(qn2_[qi, di], 1e-60)), round_to
+                )
+                kk = min(k + 1, sims.shape[0])  # +1: the self-pair's slot
                 for j, d in enumerate(di):
-                    out_d.append(np.full(kk, d + 1, dtype=np.int32))
-                    out_q.append(np.full(kk, qids_[qi], dtype=np.int64))
-                    out_n.append(ids[top[:, j]])
-                    out_s.append(sims[top[:, j], j])
+                    col = sims[:, j]
+                    # tie-INCLUSIVE batch cut: emit every row matching the
+                    # kk-th largest rounded value, so a tie group at the
+                    # boundary can never exclude the neighbor the global
+                    # (cos desc, id asc) ranking would pick — the batch
+                    # filter is then provably lossless for global top-k
+                    kth = -np.partition(-col, kk - 1)[kk - 1]
+                    sel = np.nonzero(col >= kth)[0]
+                    out_d.append(np.full(len(sel), d + 1, dtype=np.int32))
+                    out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
+                    out_n.append(ids[sel])
+                    out_s.append(col[sel])
             yield pd.DataFrame(
                 {
                     "d": np.concatenate(out_d),
@@ -253,7 +267,9 @@ def near_dup_pairs_arrow(
             return empty
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm guard (sibling-kernel convention): a zero vector
+        # scores 0 against everything, never NaN
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         sims = np.round(mat @ mat.T, round_to)
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
         if len(ia) == 0:

@@ -163,11 +163,10 @@ def m_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     like v_embedding_near_dup — the query plants the event it audits:
     every 50th asset is unioned back under a new id (a re-crawled copy),
     making the dup-group readout non-vacuous at every scale factor."""
+    from boxoffice_spark.tables import plant_duplicates
+
     base = assets_from_documents(table(spark, sf_dir, "documents"))
-    planted = base.filter(F.col("asset_id") % 50 == 0).withColumn(
-        "asset_id", F.col("asset_id") + F.lit(1000000)
-    )
-    assets = base.unionByName(planted)
+    assets = plant_duplicates(base, "asset_id")
     return (
         assets.groupBy(F.md5("payload").alias("fingerprint"))
         .agg(

@@ -13,7 +13,7 @@ from boxoffice_spark.operators.similarity import (
     near_dup_pairs_arrow,
 )
 from boxoffice_spark.registry import register
-from boxoffice_spark.tables import table
+from boxoffice_spark.tables import plant_duplicates, table
 
 _COSINE_TOPK_ORACLE = """
     WITH q AS (
@@ -126,10 +126,7 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    planted = base.filter(F.col("vec_id") % 50 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1000000)
-    )
-    v = base.unionByName(planted)
+    v = plant_duplicates(base, "vec_id")
     return near_dup_pairs_arrow(
         v, block_col="label", id_col="vec_id", vec_col="e", threshold=0.99
     )
@@ -170,12 +167,9 @@ def v_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     noisy-perturbation (approximate) regime is covered by the planted
     recall test in tests/test_llm_ops.py."""
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "embedding")
-    planted = v.filter(F.col("vec_id") % 50 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1000000)
-    )
+    v = plant_duplicates(emb.select("vec_id", "embedding"), "vec_id")
     return embedding_near_dup_lsh(
-        v.unionByName(planted), id_col="vec_id", vec_col="embedding", threshold=0.99
+        v, id_col="vec_id", vec_col="embedding", threshold=0.99
     )
 
 

@@ -122,3 +122,22 @@ def describe_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, data_type string, is_nullable boolean"
     )
+
+
+def plant_duplicates(df: DataFrame, id_col: str, every: int = 50, offset: int = 1_000_000) -> DataFrame:
+    """Union every ``every``-th row back under ``id + offset`` — the
+    planted-positive-control pattern the audit queries use so 'find the
+    duplicates' logic is exercised on every run even when healthy fixture
+    data contains none (round-7 lesson: a 0==0 oracle pass verifies
+    nothing). The three audit oracles (v_embedding_near_dup,
+    v_embedding_near_dup_lsh, m_asset_dedup) inline the SAME every/offset
+    constants in their SQL — change them here and there together, and
+    keep ``offset`` above the largest base id at any probed scale factor
+    (fixture ids stay far below 10^6 at every SF, and the sf1 inflater
+    shifts copies by i*10^7, so a planted id can never collide with a
+    base or inflated id).
+    """
+    dup = df.filter(F.col(id_col) % every == 0).withColumn(
+        id_col, F.col(id_col) + F.lit(offset)
+    )
+    return df.unionByName(dup)

@@ -381,7 +381,9 @@ class TestWriteAuditPublish:
             return real_rename(src, dst)
 
         monkeypatch.setattr(os, "rename", failing_rename)
-        with pytest.raises(OSError, match="simulated promote failure"):
+        with pytest.raises(RuntimeError, match="leftovers") as ei:
             bio.write_audit_publish(o.limit(80), target, self._audits())
         monkeypatch.undo()
+        assert isinstance(ei.value.__cause__, OSError)  # original error chained
+        assert "__staging_" in str(ei.value)  # staged copy surfaced for cleanup
         assert spark.read.parquet(target).count() == 50  # v1 restored

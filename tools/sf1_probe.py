@@ -15,8 +15,11 @@ which reports index builds separately as an amortized price — each run
 bills the TOTAL per-query wall (fn() construction + execution), because
 the growth exponent must include work that iterative operators do at
 plan-construction time (component rounds, driver-side fits). Caches:
-run 2 reuses scoped-persist caches where a query has them — identically
-at both scale factors, so the exponent compares like with like.
+scoped-persist caches are RELEASED between timed runs — otherwise run 2
+for a persist-bearing query reads the materialized frame instead of
+computing, and min() would report cache-scan growth rather than compute
+growth (hiding superlinear work upstream of a persist). Run 1 still
+warms JIT/codegen, which is what min-of-2 is for.
 
 Inflation preserves workload character (same rules as tools/scale_probe.py):
 - documents: vowel-rotated text per copy -> distinct shingles, postings grow
@@ -300,6 +303,8 @@ def main() -> None:
         # --only a,b,c: probe a subset (incremental refresh after adding
         # new heavy entries — merge the printed rows into SCALE_sf1.json)
         if a.startswith("--only="):
+            if probe_all:
+                raise SystemExit("--only and --all are mutually exclusive")
             only = set(a.split("=", 1)[1].split(","))
             unknown = only - set(HEAVY)
             if unknown:
@@ -335,8 +340,11 @@ def main() -> None:
         # driver-side quantizer/classifier fits) do their work inside
         # fn(), and an exec-only alpha would miss exactly the part that
         # grows.
+        from boxoffice_spark.functions.caching import release_all
+
         runs = []
         for _ in range(2):  # run 1 pays codegen; run 2 is steady-state
+            release_all()  # bill compute, not a prior run's persisted frame
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
