@@ -274,6 +274,59 @@ def _word_hash(word: Column) -> Column:
 WORD_HASH_SQL = "CAST(('0x' || substring(md5({w}), 1, 15)) AS BIGINT)"
 
 
+def word_ngram_hashes_fast(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-doc DISTINCT word-n-gram 60-bit hashes, map-side — the Arrow
+    twin of ``explode(_word_ngrams_col) -> _word_hash -> distinct``.
+
+    The declarative shingle pipeline builds every n-gram string through an
+    interpreted ``transform``/``array_join``/``slice`` chain (lambda-bearing
+    higher-order functions never enter codegen) and then pays a corpus-wide
+    (doc, hash) distinct shuffle; the honest sf1 probe billed that ~45 s
+    for 2.5M shingles. Here each scan batch normalizes, shingles, hashes
+    (same recipe as :func:`simhash_fast`, which shares an exact DuckDB
+    oracle: ``re.sub(r'\\s+', ' ', text.lower()).strip()`` + first 15 hex
+    chars of md5) and DEDUPS per doc in Python sets — zero shuffle, rows
+    out = per-doc distinct shingles, bit-identical to the fold form.
+    """
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_out, hs_out = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                if len(words) < n:
+                    continue
+                hs = {
+                    int(
+                        hashlib.md5(
+                            " ".join(words[j : j + n]).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for j in range(len(words) - n + 1)
+                }
+                ids_out.append(np.full(len(hs), i, dtype=np.int64))
+                hs_out.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))
+            if ids_out:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids_out), "h": np.concatenate(hs_out)}
+                )
+
+    from boxoffice_spark.tables import spread
+
+    return spread(df).select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, h long"
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """Tier 3: SimHash fingerprint (Charikar) over word hashes.
 

@@ -3165,34 +3165,29 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shingles map-side exactly as in t_decontamination_bloom when
     batch << corpus.
 
-    The shingle frame feeds BOTH join sides (corpus distinct + batch
-    probe) — scope-persisted so the tokenize/shingle/hash scan runs once,
-    not per consumer (the doubled-subtree tax the sf1 probes measure;
-    unpersisted this was the registry's worst exponent at 0.95)."""
-    from boxoffice_spark.functions.caching import scoped_persist
+    Physical strategy: the map-side Arrow shingle kernel
+    (operators/dedup.word_ngram_hashes_fast — the simhash_fast pattern;
+    same normalization + 60-bit md5 recipe as the oracle, per-doc dedup
+    in Python sets instead of a corpus-wide distinct shuffle). The
+    honest — cache-released — sf1 probe billed the declarative
+    explode+transform shingle chain ~45 s for 2.5M shingles; the
+    interpreted n-gram builder, not the join, was the whole cost."""
+    from boxoffice_spark.operators.dedup import word_ngram_hashes_fast
 
     d = table(spark, sf_dir, "documents")
-    words = F.split(D.normalized_text("text"), " ")
-    sh = scoped_persist(
-        d.select(
-            "doc_id",
-            (F.col("doc_id") % 10 == 0).alias("is_batch"),
-            F.explode(F.array(D._word_ngrams_col(words, 5))).alias("_gs"),
-        )
-        .select("doc_id", "is_batch", F.explode("_gs").alias("g"))
-        .select("doc_id", "is_batch", D._word_hash(F.col("g")).alias("h"))
-        .distinct(),
-        "t_ngram_novelty.sh",
-    )
     corpus = (
-        sh.filter(~F.col("is_batch"))
+        word_ngram_hashes_fast(
+            d.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", 5
+        )
         .select("h")
         .distinct()
         .withColumn("_seen", F.lit(True))
     )
+    batch = word_ngram_hashes_fast(
+        d.filter(F.col("doc_id") % 10 == 0), "doc_id", "text", 5
+    )
     return (
-        sh.filter(F.col("is_batch"))
-        .join(corpus, "h", "left")
+        batch.join(corpus, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
