@@ -909,3 +909,33 @@ def test_prefix_dim_topk_arrow_equals_sliced_fold(spark, sf_dir):
         ).collect()
     }
     assert arrow and arrow == fold
+
+
+def test_word_ngram_hashes_fast_equals_declarative(spark, sf_dir):
+    """The map-side Arrow shingle kernel must emit exactly the per-doc
+    distinct (doc_id, h) set of the declarative explode + _word_hash +
+    distinct chain — Python md5/normalization parity with the JVM recipe
+    is the whole contract (t_ngram_novelty's oracle rides on it)."""
+    from boxoffice_spark.operators.dedup import (
+        _word_hash,
+        _word_ngrams_col,
+        normalized_text,
+        word_ngram_hashes_fast,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    fast = {
+        (r.doc_id, r.h)
+        for r in word_ngram_hashes_fast(docs, "doc_id", "text", 5).collect()
+    }
+    words = F.split(normalized_text("text"), " ")
+    slow = {
+        (r.doc_id, r.h)
+        for r in (
+            docs.select("doc_id", F.explode(F.array(_word_ngrams_col(words, 5))).alias("_gs"))
+            .select("doc_id", F.explode("_gs").alias("g"))
+            .select("doc_id", _word_hash(F.col("g")).alias("h"))
+            .distinct()
+        ).collect()
+    }
+    assert fast and fast == slow
