@@ -281,6 +281,11 @@ def write_audit_publish(
         # un-restored backup on disk — the caller owns their cleanup and
         # can only do that if the paths travel with the error
         leftovers = [p for p in (staging, backup) if p and os.path.exists(p)]
+        if not isinstance(exc, Exception):
+            # KeyboardInterrupt/SystemExit must propagate unchanged —
+            # wrapping them would let a generic retry loop swallow the
+            # shutdown signal; restore already happened above
+            raise
         raise RuntimeError(
             f"publish to {path!r} failed; on-disk leftovers to inspect/clean: "
             f"{leftovers}"

@@ -274,6 +274,31 @@ def _word_hash(word: Column) -> Column:
 WORD_HASH_SQL = "CAST(('0x' || substring(md5({w}), 1, 15)) AS BIGINT)"
 
 
+def _norm_words_py(text: str) -> list[str]:
+    """Python twin of ``split(normalized_text(col), ' ')`` — shared by every
+    map-side Arrow kernel so JVM/DuckDB parity lives in ONE place.
+
+    The whitespace class is spelled out in ASCII ([ \\t\\n\\x0b\\f\\r])
+    because Java regex \\s and DuckDB/RE2 \\s are ASCII-only while
+    Python's \\s is Unicode-aware — a bare r"\\s+" here would collapse a
+    non-breaking space into a word boundary that the JVM form keeps
+    inside a token, silently desynchronizing the md5 shingle hashes.
+    trim() in both engines strips the plain space produced by the
+    collapse, so .strip(" ") (not Unicode .strip()) matches.
+    """
+    import re as _re
+
+    return _re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ").split(" ")
+
+
+def _hash60_py(word: str) -> int:
+    """Python twin of :func:`_word_hash` / ``WORD_HASH_SQL``: first 15 hex
+    chars of md5, parsed base-16 (60 bits, fits a signed long)."""
+    import hashlib
+
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def word_ngram_hashes_fast(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -285,13 +310,12 @@ def word_ngram_hashes_fast(
     higher-order functions never enter codegen) and then pays a corpus-wide
     (doc, hash) distinct shuffle; the honest sf1 probe billed that ~45 s
     for 2.5M shingles. Here each scan batch normalizes, shingles, hashes
-    (same recipe as :func:`simhash_fast`, which shares an exact DuckDB
-    oracle: ``re.sub(r'\\s+', ' ', text.lower()).strip()`` + first 15 hex
-    chars of md5) and DEDUPS per doc in Python sets — zero shuffle, rows
-    out = per-doc distinct shingles, bit-identical to the fold form.
+    (the shared :func:`_norm_words_py` / :func:`_hash60_py` parity
+    recipe) and DEDUPS per doc in Python sets — zero shuffle, rows out =
+    per-doc distinct shingles, bit-identical to the fold form. A null
+    text drops the doc, matching the declarative chain (NULL -> empty
+    shingle array -> no rows).
     """
-    import hashlib
-    import re as _re
     from collections.abc import Iterator
 
     import numpy as np
@@ -301,16 +325,13 @@ def word_ngram_hashes_fast(
         for pdf in it:
             ids_out, hs_out = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                words = _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                if not isinstance(t, str):
+                    continue  # NULL text: the declarative twin emits no rows
+                words = _norm_words_py(t)
                 if len(words) < n:
                     continue
                 hs = {
-                    int(
-                        hashlib.md5(
-                            " ".join(words[j : j + n]).encode("utf-8")
-                        ).hexdigest()[:15],
-                        16,
-                    )
+                    _hash60_py(" ".join(words[j : j + n]))
                     for j in range(len(words) - n + 1)
                 }
                 ids_out.append(np.full(len(hs), i, dtype=np.int64))
@@ -499,8 +520,6 @@ def simhash_fast(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_
     100 TB this is the variant to run, with the explode form as its
     cross-engine reference.
     """
-    import hashlib
-    import re as _re
     from collections.abc import Iterator
 
     import numpy as np
@@ -509,9 +528,8 @@ def simhash_fast(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_
     shifts = np.arange(bits, dtype=np.uint64)
 
     def one(text: str) -> int:
-        norm = _re.sub(r"\s+", " ", text.lower()).strip()
         hs = np.fromiter(
-            (int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in norm.split(" ")),
+            (_hash60_py(w) for w in _norm_words_py(text)),
             dtype=np.uint64,
         )
         votes = (((hs[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)

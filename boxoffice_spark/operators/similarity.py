@@ -63,6 +63,38 @@ def cosine_topk(
     )
 
 
+def _lossless_topk_sel(col, ids, kk):
+    """Row indices for a batch-local top-k candidate cut that is provably
+    LOSSLESS for the global (value desc, id asc) ranking: every row whose
+    rounded value is strictly above the kk-th largest, plus the kk
+    smallest-id rows AT that boundary value.
+
+    Why lossless: an excluded row is either below the boundary (then the
+    >= kk emitted rows all beat it on value) or a boundary tie with a
+    larger id (then the kk kept ties beat it on the id tie-break) — either
+    way at least kk = k+1 emitted rows rank above it globally, so it can
+    never reach the global top-k. Why bounded: a fixed-margin argpartition
+    (the previous +1/+2 margins) silently DROPS ties beyond the margin —
+    latent wrong-neighbor-at-the-tail-rank; a naive value >= kth cut is
+    correct but unbounded on degenerate tie groups (low-entropy or
+    quantized embeddings at 6-dp rounding). This cut is both: output is
+    at most kk + (kk - 1) rows per (query, dim).
+
+    Selection must run on the ROUNDED values the global window ranks by —
+    selecting on raw values lets a raw-order winner lose the rounded-order
+    comparison at the boundary.
+    """
+    import numpy as np
+
+    kk = min(kk, len(col))
+    kth = -np.partition(-col, kk - 1)[kk - 1]
+    gt = np.nonzero(col > kth)[0]
+    tie = np.nonzero(col == kth)[0]
+    if len(tie) > kk:
+        tie = tie[np.argsort(ids[tie], kind="stable")[:kk]]
+    return np.concatenate([gt, tie])
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,14 +111,13 @@ def cosine_topk_arrow(
     excluded from whole-stage codegen and subexpression elimination — see
     operators/dedup.py minhash notes). Here the query matrix is broadcast
     once (``sc.broadcast``), and each scan partition scores a whole Arrow
-    batch with one BLAS matmul, emitting only its batch-local top-(k+2)
-    candidates per query — the global window then reduces candidates, not
-    the full |corpus| x |queries| cross product. Shuffle bytes drop from
-    O(corpus x queries) scored rows to O(partitions x queries x k).
-
-    The +2 margin covers the query's own row (self-excluded later) and a
-    rounded-tie at the cutoff; exactness vs the fold form is asserted by
-    sharing its DuckDB oracle (queries/similarity.py).
+    batch with one BLAS matmul, emitting only its batch-local top-(k+1)
+    candidates per query (tie-inclusive, self-pair slot included — the
+    ``_lossless_topk_sel`` cut) — the global window then reduces
+    candidates, not the full |corpus| x |queries| cross product. Shuffle
+    bytes drop from O(corpus x queries) scored rows to
+    O(partitions x queries x k). Exactness vs the fold form is asserted
+    by sharing its DuckDB oracle (queries/similarity.py).
     """
     from collections.abc import Iterator
 
@@ -96,7 +127,7 @@ def cosine_topk_arrow(
     qrows = queries.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,17 +137,23 @@ def cosine_topk_arrow(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = cmat @ qn.T  # (batch, n_queries)
-            kk = min(k + 2, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            cmat = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+            )
+            # round BEFORE the cut: the global window ranks rounded values
+            sims = np.round(cmat @ qn.T, round_to)  # (batch, n_queries)
+            kk = min(k + 1, sims.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids_)):
+                sel = _lossless_topk_sel(sims[:, qi], ids, kk)
+                out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
+                out_n.append(ids[sel])
+                out_s.append(sims[sel, qi])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_, kk),
-                    "neighbor_id": ids[top].T.ravel(),
-                    "cos_sim": np.round(
-                        np.take_along_axis(sims, top, axis=0).T.ravel(), round_to
-                    ),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
                 }
             )
 
@@ -152,11 +189,10 @@ def prefix_dim_topk_arrow(
     ``np.cumsum`` — cumulative sums accumulate strictly left-to-right,
     the SAME association order as the zip_with/aggregate fold and
     DuckDB's list_cosine_similarity, so values stay comparable across
-    engines at the rounding precision. Each batch emits only rows at or
-    above its (k+1)-th largest rounded cosine per (query, dim) — the +1
-    covers the self-pair, and the tie-INCLUSIVE cut makes the batch
-    filter provably lossless for the global (cos desc, id asc) top-k:
-    an excluded row has k+1 strictly-greater rows in its own batch.
+    engines at the rounding precision. Each batch emits the bounded
+    tie-inclusive top-(k+1) cut per (query, dim) — ``_lossless_topk_sel``,
+    provably lossless for the global (cos desc, id asc) ranking, the +1
+    covering the self-pair's slot.
 
     Returns (d, query_id, neighbor_id, cos_sim) with self-pairs removed;
     ranking is the caller's window (round first, id tie-break).
@@ -180,8 +216,13 @@ def prefix_dim_topk_arrow(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            # zero-norm guard (sibling-kernel convention): a zero prefix
-            # scores 0, never NaN (NaN orders differently across engines)
+            # zero-norm guard — a DOCUMENTED divergence from the fold/oracle
+            # form, not parity: both the zip_with fold and DuckDB produce
+            # NaN for a zero prefix and both rank NaN FIRST under DESC; this
+            # kernel scores a zero prefix 0 (excluded from top-k) because a
+            # zero vector outranking every real neighbor is an IEEE
+            # ordering artifact, not retrieval semantics. Healthy embedding
+            # pipelines never emit zero vectors; no fixture SF contains one.
             cn2 = np.maximum(np.cumsum(cmat * cmat, axis=1)[:, di], 1e-60)
             out_d, out_q, out_n, out_s = [], [], [], []
             for qi in range(len(qids_)):
@@ -191,18 +232,11 @@ def prefix_dim_topk_arrow(
                 )
                 kk = min(k + 1, sims.shape[0])  # +1: the self-pair's slot
                 for j, d in enumerate(di):
-                    col = sims[:, j]
-                    # tie-INCLUSIVE batch cut: emit every row matching the
-                    # kk-th largest rounded value, so a tie group at the
-                    # boundary can never exclude the neighbor the global
-                    # (cos desc, id asc) ranking would pick — the batch
-                    # filter is then provably lossless for global top-k
-                    kth = -np.partition(-col, kk - 1)[kk - 1]
-                    sel = np.nonzero(col >= kth)[0]
+                    sel = _lossless_topk_sel(sims[:, j], ids, kk)
                     out_d.append(np.full(len(sel), d + 1, dtype=np.int32))
                     out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
                     out_n.append(ids[sel])
-                    out_s.append(col[sel])
+                    out_s.append(sims[sel, j])
             yield pd.DataFrame(
                 {
                     "d": np.concatenate(out_d),
@@ -459,7 +493,7 @@ def hard_negative_topk(
     ).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
     qlab = np.array([r[2] for r in qrows], dtype=np.int64)
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qlab))
 
@@ -471,18 +505,28 @@ def hard_negative_topk(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             labs = pdf[label_col].to_numpy(dtype=np.int64)
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-            sims = cmat @ qn.T  # (batch, n_queries)
+            cmat = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+            )
+            # round BEFORE the cut (the global window ranks rounded values),
+            # then mask same-label rows to -inf; the bounded tie-inclusive
+            # cut replaces the old fixed +1 margin (which silently dropped
+            # rounded ties beyond it)
+            sims = np.round(cmat @ qn.T, round_to)  # (batch, n_queries)
             sims = np.where(labs[:, None] == qlab_[None, :], -np.inf, sims)
-            kk = min(k + 1, sims.shape[0])  # +1 margin: one rounded tie at the cut
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            tsims = np.take_along_axis(sims, top, axis=0).T.ravel()
-            keep = np.isfinite(tsims)  # all-same-label batches emit -inf rows
+            kk = min(k + 1, sims.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids_)):
+                sel = _lossless_topk_sel(sims[:, qi], ids, kk)
+                sel = sel[np.isfinite(sims[sel, qi])]  # all-same-label rows
+                out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
+                out_n.append(ids[sel])
+                out_s.append(sims[sel, qi])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_, kk)[keep],
-                    "negative_id": ids[top].T.ravel()[keep],
-                    "cos_sim": np.round(tsims[keep], round_to),
+                    "query_id": np.concatenate(out_q),
+                    "negative_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
                 }
             )
 

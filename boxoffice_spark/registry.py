@@ -90,9 +90,12 @@ _PINNED = [
     # star-contraction components + Arrow pairs; persisted shingle frame
     "v_semantic_keepers",
     "t_ngram_novelty",
-    # -- the 46 oracle-backed + 3 rows-only queries (round-6 batches
-    # 4-24) that have never earned a driver row; order follows the batch
-    # ledger in COVERAGE.md. Minus the two batch-24 deferrals noted above.
+    # -- the 41 oracle-backed + 3 rows-only never-driver-green queue
+    # (round-6 batches 4-24; order follows COVERAGE.md's batch ledger).
+    # 6 + 44 = 50 slots: the six entries above are changed queries whose
+    # earlier green rows went stale (each displaced one unchanged,
+    # judge-verified queue member into _DEFERRED_R08); the 44 below are
+    # the original 46+3 queue minus those five deferrals.
     "a_mann_whitney_u",  # era split moved 1995->1998 (was vacuous 0-row)
     "a_theil_sen_trend",
     "w_acf_daily",
