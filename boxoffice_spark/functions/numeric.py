@@ -37,3 +37,52 @@ def davg(col: Column | str, scale: int = 6) -> Column:
 
 def davg_sql(expr: str, scale: int = 6) -> str:
     return f"({dsum_sql(expr, scale)} / count({expr}))"
+
+
+# ---------------------------------------------------------------------------
+# Engine-build-proof final projections (COVERAGE.md parity rule 4).
+#
+# ``round(double, k)`` is NOT a single IEEE-754 operation: engines implement
+# it as scaled-multiply, string formatting, or BigDecimal arithmetic, and the
+# implementations disagree by one ulp across builds of the SAME engine — the
+# round-7 driver reds were exactly this class. Two rule-based replacements,
+# both pinned to constructs whose cross-build semantics never vary:
+
+
+def dec6(col: Column) -> Column:
+    """Final-cell rounding for IRRATIONAL double chains (sqrt / z-score):
+    one cast to DECIMAL(27,6). Both Spark (BigDecimal HALF_UP) and DuckDB
+    (half away from zero) round a double to the NEAREST scale-6 decimal, and
+    ties need an exact dyadic 6dp midpoint (j/2^7-shaped values) that a
+    full-mantissa sqrt output hits with probability ~2^-45. The hash then
+    compares exact decimals, immune to one-ulp build drift in round()."""
+    return col.cast("decimal(27,6)")
+
+
+def dec6_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dec6`."""
+    return f"CAST(({expr}) AS DECIMAL(27,6))"
+
+
+def ratio6(num: str, den: str) -> Column:
+    """Final-cell rounding for INTEGER-RATIO cells (rates, p-values), where
+    exact 6dp grid midpoints ARE reachable (denominator 2^7*5^m) and a
+    nearest-cast's tie rule would decide the cell. HALF_UP entirely in
+    BIGINT: micro = (2*num*1e6 + den) div (2*den), then ONE correctly-rounded
+    IEEE division back to double — bit-identical on every engine build.
+    ``num``/``den`` are COLUMN NAMES already in scope (num >= 0, den > 0;
+    exact while 2e6*num fits BIGINT, i.e. num < 4.6e12 — per-group counts,
+    not corpus rows)."""
+    return F.expr(
+        f"CAST(((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})))"
+        f" AS DOUBLE) / 1000000.0"
+    )
+
+
+def ratio6_sql(num: str, den: str) -> str:
+    """DuckDB twin of :func:`ratio6` (``//`` == Spark's ``div`` for
+    nonnegative integers)."""
+    return (
+        f"(CAST(((2 * ({num}) * 1000000 + ({den})) // (2 * ({den})))"
+        f" AS DOUBLE) / 1000000.0)"
+    )

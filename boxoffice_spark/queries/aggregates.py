@@ -10,7 +10,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from boxoffice_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dec6,
+    dec6_sql,
+    dsum,
+    dsum_sql,
+    ratio6,
+    ratio6_sql,
+)
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -1688,8 +1697,10 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (n_first + n_second - 1.0)))) AS sigma
         FROM agg
     )
-    SELECT status, n_first, n_second, round(u1, 1) AS u1,
-        CASE WHEN sigma > 0 THEN round((u1 - mu) / sigma, 6) END AS z_mwu,
+    SELECT status, n_first, n_second,
+        CAST(u1 AS DECIMAL(20, 1)) AS u1,
+        CASE WHEN sigma > 0
+            THEN CAST((u1 - mu) / sigma AS DECIMAL(27, 6)) END AS z_mwu,
         CASE WHEN sigma > 0 THEN abs((u1 - mu) / sigma) > 1.96 END
             AS significant
     FROM stat
@@ -1759,12 +1770,16 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"), mu.alias("mu"), sigma.alias("sigma"),
     )
     z = (F.col("u1") - F.col("mu")) / F.col("sigma")
+    # Final cells per parity rule 4: u1 is an exact half-integer (midrank
+    # sums), so the DECIMAL(20,1) cast is exact on both engines; z is a
+    # sqrt chain, so dec6's nearest-decimal cast replaces the engine-build-
+    # sensitive round(double, 6) that went driver-red in round 7.
     return stat.select(
         "status",
         "n_first",
         "n_second",
-        F.round("u1", 1).alias("u1"),
-        F.when(F.col("sigma") > 0, F.round(z, 6)).alias("z_mwu"),
+        F.col("u1").cast("decimal(20,1)").alias("u1"),
+        F.when(F.col("sigma") > 0, dec6(z)).alias("z_mwu"),
         F.when(F.col("sigma") > 0, F.abs(z) > 1.96).alias("significant"),
     ).orderBy("status")
 
@@ -1997,10 +2012,10 @@ def _poisson1_ladder():
         SELECT
             sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n_first,
             sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n_second,
-            round({dsum_sql('CASE WHEN first_half THEN rev END')}
+            {dec6_sql(f'''{dsum_sql('CASE WHEN first_half THEN rev END')}
                 / sum(CASE WHEN first_half THEN 1 ELSE 0 END)
                 - {dsum_sql('CASE WHEN NOT first_half THEN rev END')}
-                / sum(CASE WHEN first_half THEN 0 ELSE 1 END), 6) AS obs_diff
+                / sum(CASE WHEN first_half THEN 0 ELSE 1 END)''')} AS obs_diff
         FROM daily
     ),
     reps AS (SELECT CAST(range AS INT) AS rep FROM range(0, 200)),
@@ -2015,21 +2030,23 @@ def _poisson1_ladder():
     ),
     perm AS (
         SELECT rep,
-            round({dsum_sql('CASE WHEN rn <= n_first THEN rev END')}
+            {dec6_sql(f'''{dsum_sql('CASE WHEN rn <= n_first THEN rev END')}
                 / max(n_first)
                 - {dsum_sql('CASE WHEN rn > n_first THEN rev END')}
-                / (count(*) - max(n_first)), 6) AS diff_r
+                / (count(*) - max(n_first))''')} AS diff_r
         FROM shuffled GROUP BY rep
+    ),
+    counted AS (
+        SELECT n_first AS n_days_first, n_second AS n_days_second, obs_diff,
+            count(*) AS b_reps,
+            sum(CASE WHEN abs(diff_r) >= abs(obs_diff) THEN 1 ELSE 0 END)
+                AS n_extreme
+        FROM perm CROSS JOIN obs
+        GROUP BY 1, 2, 3
     )
-    SELECT n_first AS n_days_first, n_second AS n_days_second, obs_diff,
-        count(*) AS b_reps,
-        sum(CASE WHEN abs(diff_r) >= abs(obs_diff) THEN 1 ELSE 0 END)
-            AS n_extreme,
-        round((1.0 + sum(CASE WHEN abs(diff_r) >= abs(obs_diff)
-                         THEN 1 ELSE 0 END)) / (count(*) + 1.0), 6)
-            AS p_value
-    FROM perm CROSS JOIN obs
-    GROUP BY 1, 2, 3
+    SELECT n_days_first, n_days_second, obs_diff, b_reps, n_extreme,
+        {ratio6_sql('1 + n_extreme', 'b_reps + 1')} AS p_value
+    FROM counted
     """,
     tags=("agg", "stats", "resampling"),
 )
@@ -2044,9 +2061,10 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     take the first-era label, so every replicate preserves the observed
     group sizes exactly (a true permutation, not Bernoulli relabeling).
     The add-one p-value (1 + #extreme)/(B + 1) is the standard
-    Monte-Carlo form; replicate and observed diffs are 6dp-rounded
-    before the >= comparison so both engines count the identical
-    extreme set.
+    Monte-Carlo form, emitted via ratio6's exact BIGINT HALF_UP;
+    replicate and observed diffs are cast to DECIMAL(27,6) (dec6,
+    parity rule 4) before the >= comparison so both engines count the
+    identical extreme set on exact decimals.
 
     At 100 TB: the corpus is touched ONCE (the groupBy to the daily
     grain); the 200-replicate spine multiplies only the calendar-
@@ -2062,12 +2080,14 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = daily.agg(
         F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_first"),
         F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("n_second"),
-        F.round(
+        # dec6 (parity rule 4): the replicate/observed diffs must land on
+        # the identical 6dp decimal on both engines BEFORE the >= extreme
+        # test — round(double, 6) here went driver-red in round 7.
+        dec6(
             dsum(F.when(F.col("first_half"), F.col("rev")))
             / F.sum(F.when(F.col("first_half"), 1).otherwise(0))
             - dsum(F.when(~F.col("first_half"), F.col("rev")))
-            / F.sum(F.when(F.col("first_half"), 0).otherwise(1)),
-            6,
+            / F.sum(F.when(F.col("first_half"), 0).otherwise(1))
         ).alias("obs_diff"),
     )
     reps = spark.range(0, 200).select(F.col("id").cast("int").alias("rep"))
@@ -2092,18 +2112,17 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     perm = shuffled.groupBy("rep").agg(
-        F.round(
+        dec6(
             dsum(F.when(F.col("rn") <= F.col("n_first"), F.col("rev")))
             / F.max("n_first")
             - dsum(F.when(F.col("rn") > F.col("n_first"), F.col("rev")))
-            / (F.count("*") - F.max("n_first")),
-            6,
+            / (F.count("*") - F.max("n_first"))
         ).alias("diff_r")
     )
     extreme = F.sum(
         F.when(F.abs(F.col("diff_r")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
     )
-    return (
+    counted = (
         perm.crossJoin(F.broadcast(obs))
         .groupBy(
             F.col("n_first").alias("n_days_first"),
@@ -2113,8 +2132,17 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("b_reps"),
             extreme.alias("n_extreme"),
-            F.round((1.0 + extreme) / (F.count("*") + 1.0), 6).alias("p_value"),
         )
+    )
+    # p-value is an exact integer ratio (1+k)/(B+1): ratio6's BIGINT
+    # HALF_UP, never round(double, 6).
+    return counted.select(
+        "n_days_first",
+        "n_days_second",
+        "obs_diff",
+        "b_reps",
+        "n_extreme",
+        ratio6("1 + n_extreme", "b_reps + 1").alias("p_value"),
     )
 
 
@@ -2329,9 +2357,10 @@ def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.status, nd.n_days, a.n_pairs, a.concordant, a.discordant,
         a.ties_rev, a.ties_cnt,
         CASE WHEN (a.n_pairs - a.ties_rev) > 0 AND (a.n_pairs - a.ties_cnt) > 0
-            THEN round((a.concordant - a.discordant)
+            THEN CAST((a.concordant - a.discordant)
                 / sqrt(CAST(a.n_pairs - a.ties_rev AS DOUBLE)
-                       * CAST(a.n_pairs - a.ties_cnt AS DOUBLE)), 6)
+                       * CAST(a.n_pairs - a.ties_cnt AS DOUBLE))
+                AS DECIMAL(27, 6))
         END AS tau_b
     FROM agg a JOIN nd ON nd.status = a.status
     ORDER BY a.status
@@ -2391,11 +2420,11 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = daily.groupBy("status").agg(F.count("*").alias("n_days"))
     n0r = (F.col("n_pairs") - F.col("ties_rev")).cast("double")
     n0c = (F.col("n_pairs") - F.col("ties_cnt")).cast("double")
+    # dec6 (parity rule 4): tau's sqrt denominator makes the final cell an
+    # irrational chain — nearest-decimal cast, not round(double, 6).
     tau = F.when(
         (n0r > 0) & (n0c > 0),
-        F.round(
-            (F.col("concordant") - F.col("discordant")) / F.sqrt(n0r * n0c), 6
-        ),
+        dec6((F.col("concordant") - F.col("discordant")) / F.sqrt(n0r * n0c)),
     )
     return (
         agg.join(F.broadcast(nd), "status")
@@ -2576,21 +2605,22 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
     ),
     tot AS (
-        SELECT cast(sum(cast(round((n_obs - expected) * (n_obs - expected)
-                                   / expected, 6) AS DECIMAL(27, 6)))
+        SELECT cast(sum(CAST((n_obs - expected) * (n_obs - expected)
+                             / expected AS DECIMAL(27, 6)))
                     AS DOUBLE) AS chi2,
             count(DISTINCT lang) AS r, count(DISTINCT source) AS c,
             sum(n_obs) AS n
         FROM grid
     )
-    SELECT n, r, c, round(chi2, 6) AS chi2,
-        round(sqrt(chi2 / n / least(r - 1, c - 1)), 6) AS cramers_v,
-        round(sqrt(
+    SELECT n, r, c, CAST(chi2 AS DECIMAL(27, 6)) AS chi2,
+        CAST(sqrt(chi2 / n / least(r - 1, c - 1)) AS DECIMAL(27, 6))
+            AS cramers_v,
+        CAST(sqrt(
             greatest(chi2 / n - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1),
                      0.0)
             / least(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) - 1,
                     c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1) - 1)
-        ), 6) AS cramers_v_corrected
+        ) AS DECIMAL(27, 6)) AS cramers_v_corrected
     FROM tot
     """,
     tags=("agg", "stats", "effect-size"),
@@ -2606,8 +2636,9 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks the positive bias plain V carries on sparse grids. Same
     zero-cell-restoring marginal machinery as a_chi2_independence (an
     absent (lang, source) cell still contributes its expected mass);
-    per-cell contributions rounded 6dp + decimal-summed. One shuffle to
-    the R x C grain, constant-size after. Cell-exact."""
+    per-cell contributions grid-snapped by the DECIMAL(27,6) cast and
+    decimal-summed (parity rule 4). One shuffle to the R x C grain,
+    constant-size after. Cell-exact."""
     d = table(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
     rt = obs.groupBy("lang").agg(F.sum("n_obs").alias("row_n"))
@@ -2626,11 +2657,13 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected"),
         )
     )
-    contrib = F.round(
+    # Per-cell contributions land on the 6dp grid via the DECIMAL cast
+    # itself (nearest-decimal, parity rule 4) — the earlier round(double, 6)
+    # pre-step was the engine-build-sensitive construct that went driver-red.
+    contrib = (
         (F.col("n_obs") - F.col("expected"))
         * (F.col("n_obs") - F.col("expected"))
-        / F.col("expected"),
-        6,
+        / F.col("expected")
     )
     tot = grid.agg(
         F.sum(contrib.cast("decimal(27,6)")).cast("double").alias("chi2"),
@@ -2645,17 +2678,18 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_corr = r_ - ((r_ - 1) * (r_ - 1)).cast("double") / (n_ - 1) - 1
     c_corr = c_ - ((c_ - 1) * (c_ - 1)).cast("double") / (n_ - 1) - 1
+    # chi2 is already on the 6dp grid (a decimal-summed double), so dec6
+    # recovers the exact decimal; the two V's are sqrt chains — all three
+    # final cells use the nearest-decimal cast, never round(double, 6).
     return tot.select(
         "n",
         "r",
         "c",
-        F.round("chi2", 6).alias("chi2"),
-        F.round(
-            F.sqrt(phi2 / F.least(r_ - 1, c_ - 1)), 6
-        ).alias("cramers_v"),
-        F.round(
-            F.sqrt(phi2_corr / F.least(r_corr, c_corr)), 6
-        ).alias("cramers_v_corrected"),
+        dec6(F.col("chi2")).alias("chi2"),
+        dec6(F.sqrt(phi2 / F.least(r_ - 1, c_ - 1))).alias("cramers_v"),
+        dec6(F.sqrt(phi2_corr / F.least(r_corr, c_corr))).alias(
+            "cramers_v_corrected"
+        ),
     )
 
 

@@ -408,7 +408,9 @@ def _unescape_sql(expr: str) -> str:
     SELECT p_partkey,
            {_unescape_sql('raw_title')} AS title,
            coalesce(m.norm, s.p_brand) AS brand_norm,
-           format('{{:,}}', CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS price_display
+           format('{{:,}}',
+                  CAST(CAST(p_retailprice AS DECIMAL(18, 2)) * 100 AS BIGINT))
+               AS price_display
     FROM src s LEFT JOIN alias_map m ON s.p_brand = m.raw
     """,
     tags=("etl", "display"),
@@ -441,9 +443,15 @@ def e_display_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             title.alias("title"),
             F.coalesce("norm", "p_brand").alias("brand_norm"),
-            F.format_number(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"), 0).alias(
-                "price_display"
-            ),
+            # cents via exact DECIMAL arithmetic (parity rule 4): the 2dp
+            # money double recovers its decimal exactly, *100 is exact, and
+            # the BIGINT cast never sees a tie — round(double, 0) does
+            F.format_number(
+                (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                ),
+                0,
+            ).alias("price_display"),
         )
     )
 
@@ -1018,14 +1026,32 @@ def e_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_u60_sql(hexcol: str) -> str:
+    """Build-stable DuckDB SQL for the first-15-hex-digits-of-md5 as a
+    60-bit BIGINT, mirroring Spark's ``conv(substring(md5(..),1,15),16,10)``
+    with explicit digit arithmetic (strpos + BIGINT place-value constants,
+    max term 15*16^14 < 2^63) instead of the '0x'-prefixed string->BIGINT
+    cast, whose parse semantics vary across DuckDB builds (the
+    t_span_corruption round-7 driver red; VERDICT r07 task 2 class b)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({hexcol}, {d}, 1)) - 1)"
+        f" * {16 ** (15 - d)}"
+        for d in range(1, 16)
+    )
+    return f"({terms})"
+
+
 @register(
     "e_surrogate_keys",
-    oracle="""
-    WITH mapped AS (
-        SELECT c_custkey, c_name,
-            CAST(('0x' || substring(md5('sk1:' || c_name), 1, 15))
-                 AS BIGINT) AS surrogate_key
+    oracle=f"""
+    WITH hashed AS (
+        SELECT c_custkey, c_name, md5('sk1:' || c_name) AS h
         FROM customer
+    ),
+    mapped AS (
+        SELECT c_custkey, c_name,
+            {_md5_u60_sql('h')} AS surrogate_key
+        FROM hashed
     )
     SELECT c_custkey, c_name, surrogate_key,
         count(*) OVER (PARTITION BY surrogate_key) AS collision_group

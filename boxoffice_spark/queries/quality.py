@@ -5,7 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import dsum_sql
+from boxoffice_spark.functions.numeric import (
+    dec6,
+    dec6_sql,
+    dsum_sql,
+    ratio6,
+    ratio6_sql,
+)
 from boxoffice_spark.operators.quality import check_constraints, check_unique
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
@@ -786,19 +792,23 @@ def dq_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily JOIN n2 ON n2.status = daily.status
         WINDOW w AS (PARTITION BY daily.status ORDER BY rev
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+        SELECT status, n_first, n_second,
+            max(abs(c1 * n_second - c2 * n_first)) AS gap_num,
+            n_first * n_second AS gap_den
+        FROM ecdf
+        GROUP BY status, n_first, n_second
     )
     SELECT status, n_first, n_second,
-        round(max(abs(CAST(c1 AS DOUBLE) / n_first
-                      - CAST(c2 AS DOUBLE) / n_second)), 6) AS ks_stat,
-        round(1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
-                           / (n_first * CAST(n_second AS DOUBLE))), 6)
+        {ratio6_sql('gap_num', 'gap_den')} AS ks_stat,
+        {dec6_sql('''1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
+                           / (n_first * CAST(n_second AS DOUBLE)))''')}
             AS ks_crit,
-        max(abs(CAST(c1 AS DOUBLE) / n_first
-                - CAST(c2 AS DOUBLE) / n_second))
+        CAST(gap_num AS DOUBLE) / gap_den
             > 1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
                            / (n_first * CAST(n_second AS DOUBLE))) AS drifted
-    FROM ecdf
-    GROUP BY status, n_first, n_second
+    FROM stat
     ORDER BY status
     """,
     tags=("quality", "drift", "stats"),
@@ -849,23 +859,32 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_first",
         "n_second",
     )
-    gap = F.abs(
-        F.col("c1").cast("double") / F.col("n_first")
-        - F.col("c2").cast("double") / F.col("n_second")
+    # D is max |c1/n1 - c2/n2| = max |c1*n2 - c2*n1| / (n1*n2): keep the
+    # numerator in exact BIGINT through the max so the final cell is the
+    # rule-based ratio6 (parity rule 4 — an integer ratio CAN sit on a 6dp
+    # grid tie, so round(double, 6) is engine-build-sensitive here).
+    gap_num = F.abs(
+        F.col("c1") * F.col("n_second") - F.col("c2") * F.col("n_first")
     )
-    crit = 1.358 * F.sqrt(
+    stat = (
+        ecdf.groupBy("status", "n_first", "n_second")
+        .agg(F.max(gap_num).alias("gap_num"))
+        .withColumn("gap_den", F.col("n_first") * F.col("n_second"))
+    )
+    crit_s = 1.358 * F.sqrt(
         (F.col("n_first") + F.col("n_second")).cast("double")
         / (F.col("n_first") * F.col("n_second").cast("double"))
     )
-    return (
-        ecdf.groupBy("status", "n_first", "n_second")
-        .agg(
-            F.round(F.max(gap), 6).alias("ks_stat"),
-            F.round(F.max(crit), 6).alias("ks_crit"),
-            (F.max(gap) > F.max(crit)).alias("drifted"),
-        )
-        .orderBy("status")
-    )
+    return stat.select(
+        "status",
+        "n_first",
+        "n_second",
+        ratio6("gap_num", "gap_den").alias("ks_stat"),
+        dec6(crit_s).alias("ks_crit"),
+        (F.col("gap_num").cast("double") / F.col("gap_den") > crit_s).alias(
+            "drifted"
+        ),
+    ).orderBy("status")
 
 
 @register(

@@ -781,9 +781,9 @@ def v_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex JOIN rng ON rng.dim = ex.dim
     )
     SELECT label, count(*) AS n_values,
-        cast(sum(cast(round((val - deq) * (val - deq), 12)
+        cast(sum(cast((val - deq) * (val - deq)
                       as decimal(27,12))) as double) / count(*) AS mse,
-        round(max(abs(val - deq)), 8) AS max_abs_err
+        CAST(max(abs(val - deq)) AS DECIMAL(27, 8)) AS max_abs_err
     FROM q
     GROUP BY 1
     ORDER BY 1
@@ -802,9 +802,10 @@ def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rule of thumb: max_abs_err under half the typical inter-vector
     gap). Degenerate dims (hi == lo) pass through exactly. One explode
     scan to (dim) ranges, a broadcast-joined codec projection, one
-    label-grain aggregate: squared errors round at 12dp (binary-fuzz
-    values, no grid ties) and decimal-sum; MSE is a raw final quotient.
-    Cell-exact."""
+    label-grain aggregate: squared errors grid-snap via the
+    DECIMAL(27,12) cast (parity rule 4 — the cast rounds nearest on
+    both engines, no round(double, k) anywhere) and decimal-sum; MSE is
+    a raw final quotient. Cell-exact."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
@@ -831,13 +832,13 @@ def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy("label")
         .agg(
             F.count("*").alias("n_values"),
+            # grid-snap by the DECIMAL cast itself (parity rule 4), never
+            # round(double, k): the cast is nearest-decimal on both engines
             (
-                F.sum(F.round(err * err, 12).cast("decimal(27,12)")).cast(
-                    "double"
-                )
+                F.sum((err * err).cast("decimal(27,12)")).cast("double")
                 / F.count("*")
             ).alias("mse"),
-            F.round(F.max(F.abs(err)), 8).alias("max_abs_err"),
+            F.max(F.abs(err)).cast("decimal(27,8)").alias("max_abs_err"),
         )
         .orderBy("label")
     )

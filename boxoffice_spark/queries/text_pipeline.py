@@ -6,7 +6,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from boxoffice_spark.functions import cleaning as CL
-from boxoffice_spark.functions.numeric import davg_sql, dsum_sql
+from boxoffice_spark.functions.numeric import (
+    davg_sql,
+    dec6,
+    dec6_sql,
+    dsum_sql,
+    ratio6,
+    ratio6_sql,
+)
 from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
 from boxoffice_spark.operators import textstats as TS
@@ -3216,24 +3223,29 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY 1, 2
     ),
     tot AS (
-        SELECT sum(n) AS n_docs,
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
             CAST(sum(CASE WHEN declared = guess THEN n ELSE 0 END)
-                 AS DOUBLE) / sum(n) AS p_o
+                 AS BIGINT) AS n_match
         FROM conf
     ),
     rt AS (SELECT declared AS cls, sum(n) AS rn FROM conf GROUP BY 1),
     ct AS (SELECT guess AS cls, sum(n) AS cn FROM conf GROUP BY 1),
     pe AS (
-        SELECT CAST(sum(CAST(round(
-                CAST(rn AS DOUBLE) * cn / (n_docs * CAST(n_docs AS DOUBLE)),
-                8) AS DECIMAL(18, 8))) AS DOUBLE) AS p_e
-        FROM rt JOIN ct ON ct.cls = rt.cls CROSS JOIN tot
+        SELECT CAST(sum(rn * cn) AS BIGINT) AS s_prod
+        FROM rt JOIN ct ON ct.cls = rt.cls
     ),
     k AS (
-        SELECT n_docs, round(p_o, 6) AS observed_agreement,
-            round(p_e, 6) AS expected_agreement,
-            CASE WHEN p_e < 1 THEN round((p_o - p_e) / (1 - p_e), 6) END
-                AS kappa
+        SELECT n_docs,
+            {ratio6_sql('n_match', 'n_docs')} AS observed_agreement,
+            {ratio6_sql('s_prod', 'n_docs * n_docs')} AS expected_agreement,
+            CASE WHEN s_prod < n_docs * n_docs THEN
+                CASE WHEN n_match * n_docs >= s_prod
+                    THEN {ratio6_sql('n_match * n_docs - s_prod',
+                                     'n_docs * n_docs - s_prod')}
+                    ELSE -{ratio6_sql('s_prod - n_match * n_docs',
+                                      'n_docs * n_docs - s_prod')}
+                END
+            END AS kappa
         FROM tot CROSS JOIN pe
     )
     SELECT *,
@@ -3258,10 +3270,15 @@ def t_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p_o and the marginals come from ONE confusion-matrix aggregate;
     p_e is the marginal-product sum over classes present on BOTH sides
-    (a class missing on either side contributes zero product), each
-    term 8dp-rounded then decimal-summed so the class-order of the sum
-    cannot flip a bit. Banding (Landis-Koch) applies to the 6dp-rounded
-    kappa so both engines bucket the identical double.
+    (a class missing on either side contributes zero product). Every
+    output cell is an EXACT integer ratio — p_o = m/n, p_e = S/n^2 with
+    S = sum(rn*cn), and kappa = (p_o-p_e)/(1-p_e) = (m*n-S)/(n^2-S) —
+    so all three go through ratio6's BIGINT HALF_UP (parity rule 4; the
+    former round(double, 6) went driver-red in round 7, and integer
+    ratios CAN sit on 6dp grid ties). Exact while 2e6*S fits BIGINT,
+    i.e. n_docs < ~2.1e6 per run; beyond that, shard the audit.
+    Banding (Landis-Koch) buckets the ratio6 double, identical on both
+    engines by construction.
 
     At 100 TB: one scan to the |langs|^2 confusion grain (map-side
     partials do the work); everything after is constant-size."""
@@ -3271,34 +3288,34 @@ def t_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     tot = conf.agg(
         F.sum("n").alias("n_docs"),
-        (
-            F.sum(F.when(F.col("declared") == F.col("guess"), F.col("n")).otherwise(0)).cast("double")
-            / F.sum("n")
-        ).alias("p_o"),
+        F.sum(
+            F.when(F.col("declared") == F.col("guess"), F.col("n")).otherwise(0)
+        ).alias("n_match"),
     )
     rt = conf.groupBy(F.col("declared").alias("cls")).agg(F.sum("n").alias("rn"))
     ct = conf.groupBy(F.col("guess").alias("cls")).agg(F.sum("n").alias("cn"))
-    pe = (
-        rt.join(ct, "cls")
-        .crossJoin(F.broadcast(tot.select("n_docs")))
-        .select(
-            F.round(
-                F.col("rn").cast("double")
-                * F.col("cn")
-                / (F.col("n_docs") * F.col("n_docs").cast("double")),
-                8,
-            )
-            .cast("decimal(18,8)")
-            .alias("term")
-        )
-        .agg(F.sum("term").cast("double").alias("p_e"))
+    pe = rt.join(ct, "cls").agg(
+        F.sum(F.col("rn") * F.col("cn")).alias("s_prod")
     )
-    kappa_raw = (F.col("p_o") - F.col("p_e")) / (1 - F.col("p_e"))
+    nsq = F.col("n_docs") * F.col("n_docs")
+    knum = F.col("n_match") * F.col("n_docs") - F.col("s_prod")
     k = tot.crossJoin(F.broadcast(pe)).select(
         "n_docs",
-        F.round("p_o", 6).alias("observed_agreement"),
-        F.round("p_e", 6).alias("expected_agreement"),
-        F.when(F.col("p_e") < 1, F.round(kappa_raw, 6)).alias("kappa"),
+        ratio6("n_match", "n_docs").alias("observed_agreement"),
+        ratio6("s_prod", "n_docs * n_docs").alias("expected_agreement"),
+        F.when(
+            F.col("s_prod") < nsq,
+            F.when(
+                knum >= 0,
+                ratio6(
+                    "n_match * n_docs - s_prod", "n_docs * n_docs - s_prod"
+                ),
+            ).otherwise(
+                -ratio6(
+                    "s_prod - n_match * n_docs", "n_docs * n_docs - s_prod"
+                )
+            ),
+        ).alias("kappa"),
     )
     kc = F.col("kappa")
     return k.select(
@@ -3563,18 +3580,22 @@ def t_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
         SELECT tt.source, tt.term, head.term IS NOT NULL AS in_vocab
         FROM tt LEFT JOIN head ON head.term = tt.term
+    ),
+    counted AS (
+        SELECT source,
+            count(*) AS n_tokens,
+            CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+                AS oov_tokens,
+            count(DISTINCT term) AS n_terms,
+            count(DISTINCT CASE WHEN NOT in_vocab THEN term END) AS oov_terms
+        FROM marked
+        GROUP BY 1
     )
-    SELECT source,
-        count(*) AS n_tokens,
-        sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS oov_tokens,
-        round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
-              / count(*), 6) AS oov_token_rate,
-        count(DISTINCT term) AS n_terms,
-        count(DISTINCT CASE WHEN NOT in_vocab THEN term END) AS oov_terms,
-        round(CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN term END)
-                   AS DOUBLE) / count(DISTINCT term), 6) AS oov_term_rate
-    FROM marked
-    GROUP BY 1
+    SELECT source, n_tokens, oov_tokens,
+        {ratio6_sql('oov_tokens', 'n_tokens')} AS oov_token_rate,
+        n_terms, oov_terms,
+        {ratio6_sql('oov_terms', 'n_terms')} AS oov_term_rate
+    FROM counted
     ORDER BY 1
     """,
     tags=("text", "vocab", "quality"),
@@ -3623,18 +3644,24 @@ def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oov_n = F.sum(F.when(F.col("in_vocab"), 0).otherwise(F.col("n")))
     oov_t = F.sum(F.when(F.col("in_vocab"), 0).otherwise(1))
-    return (
-        marked.groupBy("source")
-        .agg(
-            F.sum("n").alias("n_tokens"),
-            oov_n.alias("oov_tokens"),
-            F.round(oov_n.cast("double") / F.sum("n"), 6).alias("oov_token_rate"),
-            F.count("*").alias("n_terms"),
-            oov_t.alias("oov_terms"),
-            F.round(oov_t.cast("double") / F.count("*"), 6).alias("oov_term_rate"),
-        )
-        .orderBy("source")
+    counted = marked.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        oov_n.alias("oov_tokens"),
+        F.count("*").alias("n_terms"),
+        oov_t.cast("long").alias("oov_terms"),
     )
+    # Both rates are exact integer ratios -> ratio6's BIGINT HALF_UP
+    # (parity rule 4): integer ratios CAN sit on 6dp grid ties, which is
+    # exactly why the former round(double, 6) went driver-red in round 7.
+    return counted.select(
+        "source",
+        "n_tokens",
+        "oov_tokens",
+        ratio6("oov_tokens", "n_tokens").alias("oov_token_rate"),
+        "n_terms",
+        "oov_terms",
+        ratio6("oov_terms", "n_terms").alias("oov_term_rate"),
+    ).orderBy("source")
 
 
 @register(
@@ -4067,26 +4094,45 @@ def t_domain_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _md5_mod100_sql(hexcol: str) -> str:
+    """Build-stable DuckDB SQL for (first-15-hex-digits-of-md5 as uint60)
+    % 100, mirroring Spark's ``conv(substring(md5(..),1,15),16,10) % 100``
+    with explicit digit arithmetic: value%100 = sum(digit_d * (16^(15-d)
+    % 100)) % 100 over the 15 hex positions. Every term is a tiny exact
+    integer (strpos + multiply), so the expression is pinned on every
+    engine build — unlike the '0x'-prefixed string->BIGINT cast it
+    replaces, whose parse semantics vary across DuckDB versions (the
+    round-7 driver red on t_span_corruption)."""
+    coefs = [pow(16, 15 - d, 100) for d in range(1, 16)]
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({hexcol}, {d}, 1)) - 1)"
+        f" * {c}"
+        for d, c in zip(range(1, 16), coefs)
+    )
+    return f"(({terms}) % 100)"
+
+
 @register(
     "t_span_corruption",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, u.tok AS token, u.pos AS pos
+        SELECT doc_id, tok AS token, i - 1 AS pos
         FROM (
-            SELECT doc_id,
-                unnest(list_transform(
-                    string_split({_NORM}, ' '),
-                    (x, i) -> {{'tok': x, 'pos': i - 1}})) AS u
-            FROM documents
+            SELECT doc_id, unnest(lst) AS tok,
+                generate_subscripts(lst, 1) AS i
+            FROM (SELECT doc_id, string_split({_NORM}, ' ') AS lst
+                  FROM documents)
         )
-        WHERE u.tok <> ''
+        WHERE tok <> ''
+    ),
+    hashed AS (
+        SELECT doc_id, token, pos,
+            md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)) AS h
+        FROM toks
     ),
     marked AS (
-        SELECT doc_id, token, pos,
-            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
-                                          || CAST(pos AS VARCHAR)), 1, 15))
-                 AS BIGINT) % 100 < 15 AS masked
-        FROM toks
+        SELECT doc_id, token, pos, {_md5_mod100_sql('h')} < 15 AS masked
+        FROM hashed
     ),
     spans0 AS (
         SELECT doc_id, token, pos, masked,
@@ -4173,7 +4219,9 @@ def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spans.groupBy("doc_id", "span_id")
         .agg(
-            F.min("pos").alias("start_pos"),
+            # long, not posexplode's int32: both engines emit BIGINT so a
+            # width-sensitive value hash cannot split an all-integer result
+            F.min("pos").cast("long").alias("start_pos"),
             F.count("*").alias("span_len"),
             F.array_join(
                 F.transform(

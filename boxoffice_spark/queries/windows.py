@@ -14,7 +14,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from boxoffice_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    ratio6,
+    ratio6_sql,
+)
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
 
@@ -2075,13 +2082,18 @@ def w_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             count(*) AS n_events,
             count(DISTINCT user_id) AS n_users
         FROM ev GROUP BY 1, 2
+    ),
+    spread AS (
+        SELECT dow, hour_of_day, n_events, n_users,
+            CAST(sum(n_events) OVER () AS BIGINT) AS tot_events,
+            CAST(max(n_events) OVER (PARTITION BY dow) AS BIGINT)
+                AS peak_events
+        FROM cells
     )
     SELECT dow, hour_of_day, n_events, n_users,
-        round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 6)
-            AS share_of_total,
-        round(CAST(n_events AS DOUBLE)
-              / max(n_events) OVER (PARTITION BY dow), 6) AS within_dow_peak
-    FROM cells
+        {ratio6_sql('n_events', 'tot_events')} AS share_of_total,
+        {ratio6_sql('n_events', 'peak_events')} AS within_dow_peak
+    FROM spread
     ORDER BY dow, hour_of_day
     """,
     tags=("window", "heatmap", "calendar"),
@@ -2108,15 +2120,21 @@ def w_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wall = W.partitionBy()
     wdow = W.partitionBy("dow")
-    return cells.select(
+    # Both shares are exact integer ratios -> ratio6's BIGINT HALF_UP
+    # (parity rule 4), never round(double, 6).
+    spread = cells.select(
         "dow",
         "hour_of_day",
         "n_events",
         "n_users",
-        F.round(
-            F.col("n_events").cast("double") / F.sum("n_events").over(wall), 6
-        ).alias("share_of_total"),
-        F.round(
-            F.col("n_events").cast("double") / F.max("n_events").over(wdow), 6
-        ).alias("within_dow_peak"),
+        F.sum("n_events").over(wall).alias("tot_events"),
+        F.max("n_events").over(wdow).alias("peak_events"),
+    )
+    return spread.select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        "n_users",
+        ratio6("n_events", "tot_events").alias("share_of_total"),
+        ratio6("n_events", "peak_events").alias("within_dow_peak"),
     ).orderBy("dow", "hour_of_day")

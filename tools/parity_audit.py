@@ -1,0 +1,300 @@
+"""Engine-build-parity audit over every registered oracle (VERDICT r07
+task 2).
+
+The round-7 driver reds were not arithmetic bugs: all eight queries were
+bit-exact against the sandbox's duckdb build and hash-red under the
+driver's.  The defect class is ORACLE CONSTRUCTS WHOSE SEMANTICS VARY
+ACROSS ENGINE BUILDS, which the local gate (boxoffice_spark/testing.py)
+cannot detect by construction — its duckdb happens to agree with itself.
+This tool is the static defense: it scans all oracle SQL strings for the
+three fragile classes the verdict names and classifies every ``round(``
+call site by the type of its argument.
+
+Classes
+-------
+FRAGILE round      ``round(<double chain>, k)``: not one IEEE op — engines
+                   implement it as scaled-multiply / BigDecimal / string
+                   formatting and disagree by one ulp across builds.
+SAFE round         the argument is DECIMAL-typed at its top level (a
+                   ``cast(... as decimal(p,s))`` or a ``sum`` of one), so
+                   the round is exact fixed-point arithmetic — rule-based
+                   on every build (COVERAGE.md parity rule 4's recipe).
+GRID round         the argument is a decimal(p,s) expression cast back to
+                   double with s <= k: the value already sits on the
+                   k-grid, so any nearest-rounding implementation returns
+                   it unchanged.
+HEX cast           ``'0x' || <hex>`` string-to-integer casts: parse
+                   semantics vary across DuckDB versions (the
+                   t_span_corruption red). Use explicit digit arithmetic
+                   (queries/text_pipeline._md5_mod100_sql).
+INDEXED lambda     ``(x, i) ->`` list_transform lambdas: the arrow-lambda
+                   surface is deprecated/versioned DuckDB sugar. Use
+                   ``unnest`` + ``generate_subscripts`` zipping.
+
+Fragile hits must either be converted (dec6/ratio6 in
+functions/numeric.py) or appear in LEGACY_GREEN below: queries whose
+fragile construct already holds a driver-green row on an UNCHANGED oracle
+— the driver's own engine build demonstrably agrees on those exact cells,
+and editing the oracle would void that evidence while the 50-slot
+correctness window cannot re-pin the whole registry in one round. The
+gate (tests/test_parity_audit.py) fails on any fragile hit OUTSIDE this
+ledger, so the class cannot grow.
+
+Run: ``python tools/parity_audit.py [--json]``
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+# Queries with driver-green rows (r01-r07) whose oracles retain a fragile
+# construct on purpose: their green row is evidence the driver build agrees
+# on the exact cells these fixtures produce, and an oracle edit voids it.
+# Shrink this list by converting entries whenever re-pin budget exists;
+# NEVER add a new query here (new queries must use dec6/ratio6/digit
+# arithmetic from the start).
+LEGACY_GREEN: set[str] = {
+    'a_ab_test_zstat',
+    'a_abc_classification',
+    'a_bootstrap_ci_poisson',
+    'a_chi2_independence',
+    'a_cohens_d',
+    'a_dunn_posthoc',
+    'a_exact_median',
+    'a_gini_concentration',
+    'a_kmv_overlap',
+    'a_kpi_decomposition',
+    'a_kruskal_wallis',
+    'a_market_basket_lift',
+    'a_mode_per_group',
+    'a_moments_profile',
+    'a_price_index',
+    'a_regression_by_group',
+    'a_sample_estimate_ci',
+    'a_spearman_rank_corr',
+    'a_theil_sen_trend',
+    'a_welch_ttest',
+    'dq_benford_totalprice',
+    'dq_completeness_by_day',
+    'dq_distribution_drift',
+    'dq_dp_noisy_release',
+    'dq_duplicate_payments',
+    'dq_freshness_sla',
+    'dq_numeric_drift',
+    'dq_pii_prevalence',
+    'dq_price_outliers',
+    'dq_schema_drift',
+    'dq_seasonal_anomaly',
+    'dq_volume_anomaly_mad',
+    'g_degree_assortativity',
+    'g_degree_distribution',
+    'g_harmonic_centrality',
+    'g_link_prediction',
+    'g_pagerank_authority',
+    'g_triangle_census',
+    'j_band_join_bucketed',
+    'k_skew_report',
+    'm_training_pairs',
+    'p_skyline_pareto',
+    't_bigram_backoff_logprob',
+    't_blocklist_gate',
+    't_bm25_search',
+    't_capture_recapture_dups',
+    't_chi2_keywords',
+    't_cluster_safe_split',
+    't_code_detection',
+    't_cooccurrence_pmi',
+    't_corpus_datacard',
+    't_cross_source_dup_matrix',
+    't_curation_funnel',
+    't_curriculum_phases',
+    't_decontamination',
+    't_decontamination_bloom',
+    't_dedup_apply',
+    't_dedup_clusters',
+    't_dedup_clusters_star',
+    't_dedup_keep_best',
+    't_domain_loss_weights',
+    't_dsir_weights',
+    't_heaps_law_fit',
+    't_heavy_hitters',
+    't_hybrid_rrf_search',
+    't_incremental_dedup_clusters',
+    't_js_divergence_matrix',
+    't_keyphrase_rake',
+    't_lang_diversity',
+    't_lang_token_mix',
+    't_license_detection',
+    't_minhash_banded_pairs',
+    't_mixture_rebalance',
+    't_ngram_novelty',
+    't_perplexity_buckets',
+    't_readability_scores',
+    't_repetition_stats',
+    't_sequence_packing',
+    't_simhash',
+    't_simhash_fast',
+    't_simhash_hamming_pairs',
+    't_source_overlap_matrix',
+    't_source_quality_report',
+    't_temperature_mixture',
+    't_text_stats',
+    't_token_budget_select',
+    't_tokenizer_fertility',
+    't_unigram_logprob',
+    't_weighted_sample',
+    't_winnow_dup_pairs',
+    't_winnow_fingerprints',
+    't_zipf_fit',
+    'v_centroid_similarity_matrix',
+    'v_cosine_topk',
+    'v_cosine_topk_arrow',
+    'v_embedding_drift',
+    'v_embedding_near_dup',
+    'v_embedding_near_dup_lsh',
+    'v_embedding_stats',
+    'v_hard_negatives',
+    'v_knn_label_consistency',
+    'v_matryoshka_recall',
+    'v_semantic_keepers',
+    'w_acf_daily',
+    'w_anomaly_zscore',
+    'w_bollinger_breakout',
+    'w_cohort_ltv',
+    'w_cohort_retention',
+    'w_cusum_changepoint',
+    'w_event_funnel',
+    'w_event_transitions',
+    'w_ewma_daily_revenue',
+    'w_funnel_latency',
+    'w_markov_3step',
+    'w_ntile_quartiles',
+    'w_purchase_gaps_survival',
+    'w_rfm_segments',
+    'w_seasonality_indices',
+    'w_yoy_growth',
+}
+
+
+def _split_args(inner: str) -> list[str]:
+    """Split a function-call argument list at top-level commas."""
+    args, depth, cur, quote = [], 0, [], None
+    for ch in inner:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _round_sites(sql: str):
+    """Yield (argument, scale_text) for every round( call in ``sql``."""
+    low = sql.lower()
+    for m in re.finditer(r"\bround\s*\(", low):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(low) and depth:
+            if low[i] == "(":
+                depth += 1
+            elif low[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[start : i - 1]
+        args = _split_args(inner)
+        if len(args) >= 1:
+            yield args[0], (args[1] if len(args) > 1 else "0")
+
+
+_DEC_TOP = re.compile(
+    r"^(?:sum\s*\(\s*)?cast\s*\(.*as\s+decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)\s*\)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GRID = re.compile(
+    r"^cast\s*\(.*decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\).*as\s+double\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def classify_round(arg: str, scale_text: str) -> str:
+    arg = arg.strip()
+    m = _DEC_TOP.match(arg)
+    if m:
+        return "SAFE"
+    m = _GRID.match(arg)
+    if m:
+        try:
+            s, k = int(m.group(1)), int(scale_text.strip())
+            if s <= k:
+                return "GRID"
+        except ValueError:
+            pass
+        return "FRAGILE"
+    return "FRAGILE"
+
+
+def audit() -> dict:
+    sys.path.insert(0, ".")
+    from boxoffice_spark.registry import load_all
+
+    findings: dict[str, list[str]] = {}
+    counts = {"SAFE": 0, "GRID": 0, "FRAGILE": 0, "HEX": 0, "LAMBDA": 0}
+    for name, spec in load_all().items():
+        sql = spec.oracle
+        if not sql:
+            continue
+        probs: list[str] = []
+        for arg, scale in _round_sites(sql):
+            cls = classify_round(arg, scale)
+            counts[cls] += 1
+            if cls == "FRAGILE":
+                head = " ".join(arg.split())[:80]
+                probs.append(f"FRAGILE round({head}..., {scale.strip()})")
+        if re.search(r"'0x'\s*\|\|", sql):
+            counts["HEX"] += 1
+            probs.append("HEX '0x'||… string cast")
+        if re.search(r"\(\s*\w+\s*,\s*\w+\s*\)\s*->", sql):
+            counts["LAMBDA"] += 1
+            probs.append("INDEXED (x, i) -> lambda")
+        if probs:
+            findings[name] = probs
+    untracked = {n: p for n, p in findings.items() if n not in LEGACY_GREEN}
+    return {
+        "counts": counts,
+        "flagged": findings,
+        "legacy_green": sorted(n for n in findings if n in LEGACY_GREEN),
+        "untracked": untracked,
+        "ok": not untracked,
+    }
+
+
+if __name__ == "__main__":
+    out = audit()
+    if "--json" in sys.argv:
+        print(json.dumps(out, indent=2, sort_keys=True))
+    else:
+        print("round sites:", out["counts"])
+        for n, probs in sorted(out["flagged"].items()):
+            tag = "legacy-green" if n in LEGACY_GREEN else "UNTRACKED"
+            for p in probs:
+                print(f"  [{tag}] {n}: {p}")
+        print("untracked fragile queries:", len(out["untracked"]))
+    sys.exit(0 if out["ok"] else 1)
