@@ -142,7 +142,17 @@ def main() -> None:
         # every query already ran by this point
         deltas, prev_total = {}, None
 
+    # Engine fingerprints (VERDICT r07 task 3): the round-7 local-vs-driver
+    # hash divergence was only diagnosable forensically because no artifact
+    # recorded which engine builds produced it.
+    import duckdb as _duckdb
+    import pyspark as _pyspark
+
     full = {
+        "engines": {
+            "pyspark": _pyspark.__version__,
+            "duckdb": _duckdb.__version__,
+        },
         "queries": timings,
         "build": builds,
         "cold": colds,

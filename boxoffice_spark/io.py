@@ -13,6 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class PublishError(OSError):
+    """A WAP promote failed (typically a lost publish race: rename onto a
+    freshly republished target). Subclasses OSError so callers that catch
+    OSError/FileExistsError to detect the race — the contract before the
+    round-7 unique-token rewrite briefly wrapped everything in
+    RuntimeError (ADVICE r07) — keep working; the survivor directories
+    travel on ``leftovers`` (and the original error on ``__cause__``)."""
+
+    def __init__(self, msg: str, leftovers: list[str]):
+        super().__init__(msg)
+        self.leftovers = leftovers
+
+
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """S8: append sink (reference sqlite_connector.py:73-74 to_sql append)."""
     w = df.write.mode("append")
@@ -223,11 +236,11 @@ def write_audit_publish(
     order of the publishes (last promoter wins; an earlier winner's
     table is superseded exactly as if the publishes had run
     sequentially). A racer whose promote lands on an already-republished
-    target raises (rename onto a non-empty directory), with its audited
-    copy still in its staging dir and any ``__prev_<token>`` it took
-    still on disk — both paths are embedded in the raised error for
-    cleanup; no mixed or partial table is ever visible in any
-    interleaving. A hard crash between the renames leaves the full
+    target raises :class:`PublishError` (an OSError: rename onto a
+    non-empty directory), with its audited copy still in its staging dir
+    and any ``__prev_<token>`` it took still on disk — both paths travel
+    on ``PublishError.leftovers`` (and in the message) for cleanup; no
+    mixed or partial table is ever visible in any interleaving. A hard crash between the renames leaves the full
     previous table under the ``__prev_<token>`` sibling and the full
     new table in staging (nothing is deleted until the new table is in
     place), and a failed promote restores the previous table before
@@ -286,9 +299,10 @@ def write_audit_publish(
             # wrapping them would let a generic retry loop swallow the
             # shutdown signal; restore already happened above
             raise
-        raise RuntimeError(
+        raise PublishError(
             f"publish to {path!r} failed; on-disk leftovers to inspect/clean: "
-            f"{leftovers}"
+            f"{leftovers}",
+            leftovers,
         ) from exc
     if backup is not None:
         shutil.rmtree(backup)

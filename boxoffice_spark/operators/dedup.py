@@ -285,6 +285,15 @@ def _norm_words_py(text: str) -> list[str]:
     inside a token, silently desynchronizing the md5 shingle hashes.
     trim() in both engines strips the plain space produced by the
     collapse, so .strip(" ") (not Unicode .strip()) matches.
+
+    Locale contract (ADVICE r07): ``text.lower()`` here is Python's
+    locale-INDEPENDENT Unicode lowercasing, while Spark's ``lower()``
+    lowers non-ASCII strings through the JVM default locale — a JVM
+    running a Turkish-style locale maps 'I' -> 'ı' and silently desyncs
+    the hashes. The engine therefore assumes a ROOT-ish JVM locale
+    (``-Duser.language=`` unset or en/C, the Spark default image); ASCII
+    fixtures cannot catch a violation, so deployments with locale-bearing
+    JVMs must pin ``user.language`` explicitly.
     """
     import re as _re
 

@@ -19,6 +19,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
+def _round_half_up(a, k: int):
+    """HALF_UP (away-from-zero) rounding for the Arrow kernels, matching
+    Spark's F.round and DuckDB's round() instead of numpy's half-even:
+    on an exactly-representable dyadic midpoint (e.g. a cosine of exactly
+    1/128 = 0.0078125) np.round gives 0.007812 where both engines give
+    0.007813, and rounding drives candidate selection in these kernels —
+    a midpoint flip could change top-k membership vs the oracle
+    (ADVICE r07). Scaled floor(abs(x)*10^k + 0.5) with the sign restored;
+    identical to np.round everywhere except exact midpoints."""
+    import numpy as np
+
+    s = 10.0**k
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side.
 
@@ -141,7 +156,7 @@ def cosine_topk_arrow(
                 np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
             )
             # round BEFORE the cut: the global window ranks rounded values
-            sims = np.round(cmat @ qn.T, round_to)  # (batch, n_queries)
+            sims = _round_half_up(cmat @ qn.T, round_to)  # (batch, n_queries)
             kk = min(k + 1, sims.shape[0])
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids_)):
@@ -227,7 +242,7 @@ def prefix_dim_topk_arrow(
             out_d, out_q, out_n, out_s = [], [], [], []
             for qi in range(len(qids_)):
                 dots = np.cumsum(cmat * qm[qi], axis=1)[:, di]  # (batch, ndims)
-                sims = np.round(
+                sims = _round_half_up(
                     dots / np.sqrt(cn2 * np.maximum(qn2_[qi, di], 1e-60)), round_to
                 )
                 kk = min(k + 1, sims.shape[0])  # +1: the self-pair's slot
@@ -304,7 +319,7 @@ def near_dup_pairs_arrow(
         # zero-norm guard (sibling-kernel convention): a zero vector
         # scores 0 against everything, never NaN
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sims = np.round(mat @ mat.T, round_to)
+        sims = _round_half_up(mat @ mat.T, round_to)
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
         if len(ia) == 0:
             return empty
@@ -313,8 +328,13 @@ def near_dup_pairs_arrow(
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib]})
 
+    # Pin the declarative twin's NULL semantics independently of fixture
+    # content (ADVICE r07): an equality self-join drops NULL block keys
+    # (groupBy would form a real NULL group) and null-propagates a NULL
+    # vector into a filtered-out cosine (np.stack would crash the task).
     return (
         df.select(F.col(id_col), F.col(vec_col), F.col(block_col).alias("_blk"))
+        .filter(F.col("_blk").isNotNull() & F.col(vec_col).isNotNull())
         .groupBy("_blk")
         .applyInPandas(pairs, schema="id_a long, id_b long, cos_sim double")
     )
@@ -512,7 +532,7 @@ def hard_negative_topk(
             # then mask same-label rows to -inf; the bounded tie-inclusive
             # cut replaces the old fixed +1 margin (which silently dropped
             # rounded ties beyond it)
-            sims = np.round(cmat @ qn.T, round_to)  # (batch, n_queries)
+            sims = _round_half_up(cmat @ qn.T, round_to)  # (batch, n_queries)
             sims = np.where(labs[:, None] == qlab_[None, :], -np.inf, sims)
             kk = min(k + 1, sims.shape[0])
             out_q, out_n, out_s = [], [], []
@@ -811,7 +831,7 @@ def _assign_cells(
             data["cell"] = cell.astype(np.int32)
             if with_cos:
                 sims = x @ cunit.T
-                data["_cs"] = np.round(sims[np.arange(len(cell)), cell], 6)
+                data["_cs"] = _round_half_up(sims[np.arange(len(cell)), cell], 6)
             yield pd.DataFrame(data)
 
     return spread(df).mapInPandas(batches, schema=schema)
@@ -1171,7 +1191,7 @@ def mmr_rerank(
         rel = pdf["cos_sim"].to_numpy(dtype=np.float64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        pair = np.round(mat @ mat.T, round_to)
+        pair = _round_half_up(mat @ mat.T, round_to)
         n = len(ids)
         kk = min(k, n)
         picked: list[int] = []
@@ -1182,7 +1202,7 @@ def mmr_rerank(
                 redundancy = pair[:, picked].max(axis=1)
             else:
                 redundancy = np.zeros(n)
-            score = np.round(lam * rel - (1.0 - lam) * redundancy, round_to)
+            score = _round_half_up(lam * rel - (1.0 - lam) * redundancy, round_to)
             score[~remaining] = -np.inf
             # argmax with ties broken by smaller neighbor_id
             best = np.lexsort((ids, -score))[0]
@@ -1391,7 +1411,7 @@ def pca_whiten(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            out = np.round((mat - mu) @ proj, round_to)
+            out = _round_half_up((mat - mu) @ proj, round_to)
             yield pd.DataFrame({id_col: ids, "whitened": list(out)})
 
     from boxoffice_spark.tables import spread

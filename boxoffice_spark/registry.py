@@ -70,6 +70,76 @@ _QUERY_MODULES = [
 # property/equality tests remain the stronger correctness evidence. Round-4
 # pins earned their green rows in CORRECTNESS_r04 and rotate out.
 _PINNED = [
+    # Round-8 window (VERDICT r07 tasks 1 and 4): exactly 50 names.
+    # First the 8 round-7 driver reds, re-fixed with engine-build-proof
+    # final projections (dec6 decimal casts / ratio6 exact integer
+    # HALF_UP / digit-arithmetic hex — tools/parity_audit.py documents
+    # the classes); each needs a fresh green row under the driver's own
+    # engine build, which is the only gate that can certify the fix.
+    "dq_ks_drift",
+    "a_mann_whitney_u",
+    "a_permutation_test",
+    "a_kendall_tau",
+    "a_cramers_v",
+    "t_lang_id_agreement",
+    "t_oov_rate",
+    "t_span_corruption",
+    # The 5 queries deferred from the r07 window (judge-verified
+    # cell-exact in round 6, never driver-green). Three were converted
+    # off fragile constructs this round ahead of their first driver
+    # appearance (e_surrogate_keys hex cast, w_activity_heatmap and
+    # v_int8_quantization_report final rounds).
+    "j_asof_nearest",
+    "w_activity_heatmap",
+    "t_bpe_pair_stats",
+    "v_int8_quantization_report",
+    "e_surrogate_keys",
+    # Freshness rotation (task 4): the 37 oracle-backed queries whose
+    # only driver green predates round 4 — all are round-1 greens.
+    # e_display_normalize leads because its oracle was converted this
+    # round (decimal-space cents), which voids its r01 green row.
+    "e_display_normalize",
+    "e_array_ops",
+    "e_backfill_overwrite",
+    "e_case_bucketing",
+    "e_coercive_cast",
+    "e_date_functions",
+    "e_date_sequence_explode",
+    "e_regex_extract_brackets",
+    "e_snake_case_rename",
+    "e_upsert_merge",
+    "i_hierarchical_rollup",
+    "i_latest_state_view",
+    "i_sessionize",
+    "i_sliding_window",
+    "i_tumbling_window",
+    "i_watermark_resume",
+    "j_broadcast_left_join",
+    "j_dispatch_join",
+    "j_fuzzy_containment",
+    "j_semi_join",
+    "j_star_join",
+    "j_two_key_priority",
+    "p_anti_join_new_keys",
+    "p_conjunctive_filter",
+    "p_distinct_subset",
+    "p_membership_filter",
+    "p_multikey_sort_limit",
+    "p_null_and_empty_filter",
+    "p_projection_daterange",
+    "p_rolling_window_filter",
+    "p_union_all_concat",
+    "p_union_dedup",
+    "w_cumulative_sum",
+    "w_datediff_derived",
+    "w_lag_delta",
+    "w_latest_per_key",
+    "w_rank_derive",
+]
+
+# Round-7 window, retired: every name below earned its driver row in
+# CORRECTNESS_r07 (45 green/rows-only; the 8 reds are re-pinned above).
+_PINNED_R07_RETIRED = [
     # Round-7 window (VERDICT r06 items 1, 2, 4): exactly 50 names.
     # First the 11 queries whose plan or oracle changed this round — the
     # seven vacuous zero-row fixes (era splits moved off the fixture's
@@ -142,22 +212,13 @@ _PINNED = [
     "v_matryoshka_recall",  # prefix-cumsum Arrow kernel rewrite
 ]
 
-# Deferred to the round-8 driver window (the 50 slots above are full):
-# all unchanged and judge-verified cell-exact in round 6
-# (t_bpe_pair_stats gave its slot to the changed j_band_join_bucketed;
-# v_int8_quantization_report and e_surrogate_keys gave theirs to
-# v_semantic_keepers and t_ngram_novelty, whose plans changed in the
-# round-7 sf1-sweep fixes and therefore need fresh green rows first).
-# A test (tests/test_registry.py) asserts every name in _PINNED and
-# _DEFERRED_R08 exists in the registry, so the lists cannot drift.
-# The per-batch history lives in COVERAGE.md (single table).
-_DEFERRED_R08 = [
-    "j_asof_nearest",
-    "w_activity_heatmap",
-    "t_bpe_pair_stats",
-    "v_int8_quantization_report",
-    "e_surrogate_keys",
-]
+# The round-7 deferrals (j_asof_nearest, w_activity_heatmap,
+# t_bpe_pair_stats, v_int8_quantization_report, e_surrogate_keys) are all
+# pinned in the round-8 window above — the deferral queue is empty.
+# A test (tests/test_registry.py) asserts every name in _PINNED exists in
+# the registry, so the list cannot drift. The per-batch history lives in
+# COVERAGE.md (single table).
+_DEFERRED: list[str] = []
 
 
 def register(

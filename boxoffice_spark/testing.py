@@ -32,6 +32,16 @@ class CompareResult:
         return f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}{extra}"
 
 
+def engine_fingerprint() -> dict[str, str]:
+    """Engine build versions (VERDICT r07 task 3). Every comparison
+    artifact should carry these: the round-7 hash reds were a
+    local-vs-driver ENGINE BUILD divergence, undiagnosable because no
+    artifact recorded which builds produced it."""
+    import pyspark
+
+    return {"pyspark": pyspark.__version__, "duckdb": duckdb.__version__}
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with every fixture table registered as a view (the driver
     pre-registers the same names)."""

@@ -381,9 +381,13 @@ class TestWriteAuditPublish:
             return real_rename(src, dst)
 
         monkeypatch.setattr(os, "rename", failing_rename)
-        with pytest.raises(RuntimeError, match="leftovers") as ei:
+        # PublishError subclasses OSError, preserving the pre-round-7
+        # except-OSError race-detection contract (ADVICE r07)
+        with pytest.raises(OSError, match="leftovers") as ei:
             bio.write_audit_publish(o.limit(80), target, self._audits())
         monkeypatch.undo()
+        assert isinstance(ei.value, bio.PublishError)
         assert isinstance(ei.value.__cause__, OSError)  # original error chained
         assert "__staging_" in str(ei.value)  # staged copy surfaced for cleanup
+        assert any("__staging_" in p for p in ei.value.leftovers)
         assert spark.read.parquet(target).count() == 50  # v1 restored

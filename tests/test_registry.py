@@ -6,7 +6,7 @@ must honor pin order."""
 
 from __future__ import annotations
 
-from boxoffice_spark.registry import _DEFERRED_R08, _PINNED, load_all
+from boxoffice_spark.registry import _DEFERRED, _PINNED, load_all
 
 SPECS = load_all()
 
@@ -17,8 +17,8 @@ def test_pinned_names_exist():
 
 
 def test_deferred_names_exist():
-    missing = [n for n in _DEFERRED_R08 if n not in SPECS]
-    assert not missing, f"_DEFERRED_R08 names not in registry: {missing}"
+    missing = [n for n in _DEFERRED if n not in SPECS]
+    assert not missing, f"_DEFERRED names not in registry: {missing}"
 
 
 def test_pinned_fills_driver_window_exactly():
@@ -32,4 +32,4 @@ def test_pins_lead_load_order():
 
 
 def test_no_name_both_pinned_and_deferred():
-    assert not set(_PINNED) & set(_DEFERRED_R08)
+    assert not set(_PINNED) & set(_DEFERRED)

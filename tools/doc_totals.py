@@ -41,10 +41,48 @@ def counts() -> tuple[int, int]:
     return len(specs), sum(1 for s in specs.values() if s.oracle is not None)
 
 
+def check_alphas() -> list[str]:
+    """Cross-check every exponent COVERAGE.md quotes for a probed query
+    against SCALE_sf1.json (VERDICT r07 task 5: the ledger and the
+    artifact must agree or the ledger gets trusted over the data).
+
+    Matches ``\\`name\\` ... -> A`` / ``alpha A`` / ``(A ...)`` windows.
+    Historical 'Round-N verification' sections record what an OLDER probe
+    artifact measured, so only the current-state region (before the first
+    'Round-6 verification:' heading) is enforced."""
+    import json
+
+    probe_path = os.path.join(REPO, "SCALE_sf1.json")
+    if not os.path.exists(probe_path):
+        return []
+    probe = json.load(open(probe_path)).get("sf1_probe", {})
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    cut = text.find("Round-6 verification:")
+    current = text if cut < 0 else text[:cut]
+    errors = []
+    pat = re.compile(
+        r"`([a-z0-9_]+)`[^`|]{0,160}?(?:->|alpha |α |\()\s*(\d\.\d\d)\b"
+    )
+    for m in pat.finditer(current):
+        name, quoted = m.group(1), float(m.group(2))
+        row = probe.get(name)
+        if row is None:
+            continue
+        if abs(row["alpha"] - quoted) > 0.055:
+            errors.append(
+                f"COVERAGE.md quotes {name} alpha {quoted} but "
+                f"SCALE_sf1.json records {row['alpha']}"
+            )
+    return errors
+
+
 def main() -> int:
     check = "--check" in sys.argv
     total, oracle = counts()
     rc = 0
+    for err in check_alphas():
+        print(err, file=sys.stderr)
+        rc = 1
     for fname, pat, tmpl in _REWRITES:
         path = os.path.join(REPO, fname)
         text = open(path).read()

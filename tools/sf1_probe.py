@@ -306,10 +306,20 @@ def main() -> None:
             if probe_all:
                 raise SystemExit("--only and --all are mutually exclusive")
             only = set(a.split("=", 1)[1].split(","))
-            unknown = only - set(HEAVY)
+            from boxoffice_spark.registry import load_all as _la
+
+            known = set(_la())
+            unknown = only - known
             if unknown:
-                raise SystemExit(f"--only names not in HEAVY: {sorted(unknown)}")
-            heavy = [n for n in HEAVY if n in only]
+                raise SystemExit(
+                    f"--only names not in registry: {sorted(unknown)}"
+                )
+            # preserve HEAVY order for its members, then the extras —
+            # any registry name is probeable (post-fix re-probes of
+            # converted queries, VERDICT r07 task 7)
+            heavy = [n for n in HEAVY if n in only] + sorted(
+                only - set(HEAVY)
+            )
     generate(regen="--regen" in sys.argv)
 
     import math
