@@ -74,7 +74,9 @@ def ratio6(num: str, den: str) -> Column:
     exact while 2e6*num fits BIGINT, i.e. num < 4.6e12 — per-group counts,
     not corpus rows)."""
     return F.expr(
-        f"CAST(((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})))"
+        f"CAST(((2 * CAST(({num}) AS BIGINT) * 1000000"
+        f" + CAST(({den}) AS BIGINT))"
+        f" div (2 * CAST(({den}) AS BIGINT)))"
         f" AS DOUBLE) / 1000000.0"
     )
 
@@ -83,6 +85,8 @@ def ratio6_sql(num: str, den: str) -> str:
     """DuckDB twin of :func:`ratio6` (``//`` == Spark's ``div`` for
     nonnegative integers)."""
     return (
-        f"(CAST(((2 * ({num}) * 1000000 + ({den})) // (2 * ({den})))"
+        f"(CAST(((2 * CAST(({num}) AS BIGINT) * 1000000"
+        f" + CAST(({den}) AS BIGINT))"
+        f" // (2 * CAST(({den}) AS BIGINT)))"
         f" AS DOUBLE) / 1000000.0)"
     )

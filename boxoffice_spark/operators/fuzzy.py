@@ -60,7 +60,10 @@ def fuzzy_containment_join(
     cand = candidates.select(F.col(cand_col)).distinct().withColumn("_c_norm", cand_norm)
 
     joined = cand.join(F.broadcast(inp), F.col("_c_norm").contains(q))
-    scored = joined.withColumn(out_score, F.length("_c_norm") - F.length(q))
+    # long, not length()'s int32: both engines emit BIGINT (width parity)
+    scored = joined.withColumn(
+        out_score, (F.length("_c_norm") - F.length(q)).cast("long")
+    )
     w = W.partitionBy(input_id).orderBy(F.asc(out_score), F.asc(cand_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -202,7 +202,8 @@ def e_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        # long, not size()'s int32: both engines emit BIGINT (width parity)
+        F.size(words).cast("long").alias("n_words"),
         F.array_join(F.slice(words, 1, 3), " ").alias("first3"),
         F.array_contains(words, "spark").alias("has_spark"),
         truncate_ellipsis(F.col("text")).alias("text_short"),

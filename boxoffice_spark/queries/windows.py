@@ -2111,9 +2111,10 @@ def w_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dayofweek - 1 (Sunday=0 vs Sunday=1), aligned explicitly.
     Cell-exact."""
     ev = table(spark, sf_dir, "events")
+    # long, not dayofweek/hour's int32: both engines emit BIGINT
     cells = ev.groupBy(
-        (F.dayofweek("ts") - 1).alias("dow"),
-        F.hour("ts").alias("hour_of_day"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
