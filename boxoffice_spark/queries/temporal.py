@@ -377,7 +377,14 @@ def j_scd2_effective_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l.event_id, l.user_id, l.ts,
         s.error_id AS nearest_error_id, s.error_ts AS nearest_error_ts,
-        (epoch_us(s.error_ts) - epoch_us(l.ts)) // 1000000 AS gap_secs
+        -- toward-zero truncation spelled via NONNEGATIVE // only: the
+        -- sign of negative-operand integer division is build-surface
+        -- (floor vs truncate) — parity rule 6 keeps it out of oracles
+        CASE WHEN s.error_ts IS NULL THEN NULL
+             WHEN epoch_us(s.error_ts) >= epoch_us(l.ts)
+             THEN (epoch_us(s.error_ts) - epoch_us(l.ts)) // 1000000
+             ELSE -((epoch_us(l.ts) - epoch_us(s.error_ts)) // 1000000)
+        END AS gap_secs
     FROM l LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) s
         ON s.event_id = l.event_id
     """,

@@ -398,7 +398,14 @@ def main() -> None:
                 con.close()
             print(f"# oracle {name}: {oracle_out[name][:120]}", file=sys.stderr)
 
-    out = {"sf1_probe": results, "oracle": oracle_out, "sf1_dir": DST}
+    from boxoffice_spark.testing import engine_fingerprint
+
+    out = {
+        "engines": engine_fingerprint(),
+        "sf1_probe": results,
+        "oracle": oracle_out,
+        "sf1_dir": DST,
+    }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
