@@ -51,6 +51,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 COPIES = 10
+# Key-shift multiplier for chained decades (sf1 -> sf10): sf1 ids already
+# occupy [0, 10) shift slots, so a second inflation must stride 10x wider
+# or copy keys would collide with first-decade copies.
+SHIFT = int(os.environ.get("SPARK_GRAFT_SHIFT_MULT", "1"))
 VOWELS = "aeiou"
 
 # the heavy tier named by the round-3 verdict; the oracle sweep runs for
@@ -208,7 +212,7 @@ def generate(regen: bool = False) -> None:
             return f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"
         rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
         return (
-            f"SELECT doc_id + {i * 10_000_000} AS doc_id,"
+            f"SELECT doc_id + {i * 10_000_000 * SHIFT} AS doc_id,"
             f" translate(text, '{VOWELS}', '{rot}') AS text,"
             f" lang, source, n_chars"
             f" FROM read_parquet('{SRC}/documents.parquet')"
@@ -219,7 +223,7 @@ def generate(regen: bool = False) -> None:
             return f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet')"
         # cyclic rotation by i: distinct, ~orthogonal copies
         return (
-            f"SELECT vec_id + {i * 10_000_000} AS vec_id,"
+            f"SELECT vec_id + {i * 10_000_000 * SHIFT} AS vec_id,"
             f" CAST(list_slice(embedding, {i + 1}, len(embedding))"
             f"  || list_slice(embedding, 1, {i}) AS FLOAT[]) AS embedding,"
             f" label"
@@ -230,7 +234,7 @@ def generate(regen: bool = False) -> None:
         if i == 0:
             return f"SELECT * FROM read_parquet('{SRC}/lineitem.parquet')"
         return (
-            f"SELECT l_orderkey + {i * 100_000_000} AS l_orderkey,"
+            f"SELECT l_orderkey + {i * 100_000_000 * SHIFT} AS l_orderkey,"
             f" l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
             f" l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
             f" FROM read_parquet('{SRC}/lineitem.parquet')"
@@ -242,7 +246,7 @@ def generate(regen: bool = False) -> None:
         if i == 0:
             return f"SELECT * FROM read_parquet('{SRC}/orders.parquet')"
         return (
-            f"SELECT o_orderkey + {i * 100_000_000} AS o_orderkey,"
+            f"SELECT o_orderkey + {i * 100_000_000 * SHIFT} AS o_orderkey,"
             f" o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
             f" o_orderpriority"
             f" FROM read_parquet('{SRC}/orders.parquet')"
@@ -259,7 +263,7 @@ def generate(regen: bool = False) -> None:
             return f"SELECT * FROM read_parquet('{SRC}/part.parquet')"
         rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
         return (
-            f"SELECT p_partkey + {i * 10_000_000} AS p_partkey,"
+            f"SELECT p_partkey + {i * 10_000_000 * SHIFT} AS p_partkey,"
             f" translate(p_name, '{VOWELS}', '{rot}') AS p_name,"
             f" p_brand, p_type, p_size, p_retailprice"
             f" FROM read_parquet('{SRC}/part.parquet')"
@@ -276,8 +280,8 @@ def generate(regen: bool = False) -> None:
         if i == 0:
             return f"SELECT * FROM read_parquet('{SRC}/events.parquet')"
         return (
-            f"SELECT event_id + {i * 100_000_000} AS event_id, ts,"
-            f" user_id + {i * 10_000_000} AS user_id,"
+            f"SELECT event_id + {i * 100_000_000 * SHIFT} AS event_id, ts,"
+            f" user_id + {i * 10_000_000 * SHIFT} AS user_id,"
             f" event_type, value, props"
             f" FROM read_parquet('{SRC}/events.parquet')"
         )
