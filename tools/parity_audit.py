@@ -286,8 +286,48 @@ def audit() -> dict:
     }
 
 
+def conversion_plan(out: dict) -> list[tuple[str, str, str]]:
+    """Rank the legacy-green ledger for future-round conversion (round-9
+    window budget): (priority, query, reason), highest risk first.
+
+    P1 integer-ratio-shaped rounds — the class that actually went
+       driver-red (grid ties reachable); convert to ratio6.
+    P2 other double-chain rounds (z/sqrt/log chains; irrational-ish but
+       the round() call itself is still build surface); convert to dec6.
+    P3 quantile/percentile interpolation rounds — add engine-identical
+       interpolation risk on top of the round; convert to dec-cast and
+       keep the interpolation contract note.
+    P4 hex casts / indexed lambdas ONLY — both construct classes passed
+       cell-exact under the driver's CURRENT build in round 7
+       (t_ngram_novelty, t_keyphrase_rake), so they are proven-safe
+       today and convert last.
+    """
+    plan = []
+    for name in sorted(out["flagged"]):
+        if name not in LEGACY_GREEN:
+            continue
+        probs = out["flagged"][name]
+        rounds = [p for p in probs if p.startswith("FRAGILE round")]
+        only_hexlam = not rounds
+        if only_hexlam:
+            plan.append(("P4", name, "hex/lambda only (driver-build-proven in r07)"))
+        elif any("quantile" in p or "percentile" in p for p in rounds):
+            plan.append(("P3", name, "quantile interpolation round"))
+        elif any(("sqrt" in p or "ln(" in p or "log" in p or "exp(" in p) for p in rounds):
+            plan.append(("P2", name, "irrational-chain round -> dec6"))
+        else:
+            plan.append(("P1", name, "ratio-shaped round -> ratio6/dec6"))
+    order = {"P1": 0, "P2": 1, "P3": 2, "P4": 3}
+    plan.sort(key=lambda t: (order[t[0]], t[1]))
+    return plan
+
+
 if __name__ == "__main__":
     out = audit()
+    if "--plan" in sys.argv:
+        for pri, name, why in conversion_plan(out):
+            print(f"{pri} {name}: {why}")
+        sys.exit(0)
     if "--json" in sys.argv:
         print(json.dumps(out, indent=2, sort_keys=True))
     else:
