@@ -211,9 +211,27 @@ def generate(regen: bool = False) -> None:
         if i == 0:
             return f"SELECT * FROM read_parquet('{SRC}/documents.parquet')"
         rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        # Chained decades (SHIFT > 1): 5 vowel rotations over 10 copies
+        # already alias (copy j == copy j+5), and a second decade would
+        # compound that into ~SHIFT*2-sized exact/near-dup groups — pair
+        # OUTPUT then grows quadratically as an inflater artifact, not an
+        # operator property. A per-copy marker INTERLEAVED every 5 words
+        # (an end-suffix is not enough: same-rotation copies would still
+        # share every internal shingle, and the near-dup tiers measure
+        # shingles, not exact text) drives cross-copy shingle overlap to
+        # ~zero, so every decade-2 copy is a NON-duplicate of every other
+        # while carrying the source decade's true dup structure intact —
+        # duplicate volume grows linearly, the realistic shape.
+        # First-decade output (SHIFT == 1) is byte-identical to before.
+        base = f"translate(text, '{VOWELS}', '{rot}')"
+        if SHIFT > 1:
+            base = (
+                f"regexp_replace({base},"
+                f" '(\\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1 qx{i}m ', 'g')"
+            )
         return (
             f"SELECT doc_id + {i * 10_000_000 * SHIFT} AS doc_id,"
-            f" translate(text, '{VOWELS}', '{rot}') AS text,"
+            f" {base} AS text,"
             f" lang, source, n_chars"
             f" FROM read_parquet('{SRC}/documents.parquet')"
         )
@@ -262,9 +280,13 @@ def generate(regen: bool = False) -> None:
         if i == 0:
             return f"SELECT * FROM read_parquet('{SRC}/part.parquet')"
         rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        # same decade-2 de-aliasing as doc_select: a marker token keeps
+        # copy names distinct (and rotates the trailing-token blocking
+        # key), so ER blocks keep growing in COUNT, not in size
+        suffix = f" || ' qx{i}pt'" if SHIFT > 1 else ""
         return (
             f"SELECT p_partkey + {i * 10_000_000 * SHIFT} AS p_partkey,"
-            f" translate(p_name, '{VOWELS}', '{rot}') AS p_name,"
+            f" translate(p_name, '{VOWELS}', '{rot}'){suffix} AS p_name,"
             f" p_brand, p_type, p_size, p_retailprice"
             f" FROM read_parquet('{SRC}/part.parquet')"
         )
