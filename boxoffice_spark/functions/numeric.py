@@ -40,27 +40,45 @@ def davg_sql(expr: str, scale: int = 6) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Engine-build-proof final projections (COVERAGE.md parity rule 4).
+# Final-cell projections for cross-engine-build parity (COVERAGE.md rule 4).
 #
 # ``round(double, k)`` is NOT a single IEEE-754 operation: engines implement
 # it as scaled-multiply, string formatting, or BigDecimal arithmetic, and the
 # implementations disagree by one ulp across builds of the SAME engine — the
-# round-7 driver reds were exactly this class. Two rule-based replacements,
-# both pinned to constructs whose cross-build semantics never vary:
+# round-7 driver reds were exactly this class.
+#
+# Driver evidence (CORRECTNESS_r08) on the replacements:
+#   ratio6  — 2-for-2 green (t_oov_rate, t_lang_id_agreement). PROVEN.
+#   dec6    — 0-for-6 red (dq_ks_drift, a_mann_whitney_u, a_permutation_test,
+#             a_kendall_tau, a_cramers_v, v_int8_quantization_report).
+#             REFUTED: double->decimal-grid rounding of a full-mantissa
+#             double is itself build surface (DuckDB's decimal rescale path
+#             rounds half-even for literals, half-away for casts, and the
+#             driver's build disagrees with local 1.0.0 somewhere in there).
+# The working recipes are therefore:
+#   - RAW DOUBLES for irrational chains: sqrt / mul / div / add over exact
+#     integer or decimal-sum inputs are each one correctly-rounded IEEE-754
+#     hardware op, so the full-mantissa result is bit-identical on every
+#     conformant build — emit it untouched and let the (float-tolerant)
+#     driver hash compare doubles.
+#   - ratio6 / units_div for integer-ratio cells, where an exact 6dp grid
+#     midpoint IS reachable and a nearest-cast's tie rule would decide the
+#     cell: do the HALF_UP rounding ourselves in exact integer arithmetic.
+#   - NO decimal cast anywhere over a full-mantissa double. Decimal casts
+#     are only safe on value-preserving inputs (money already at scale).
 
 
 def dec6(col: Column) -> Column:
-    """Final-cell rounding for IRRATIONAL double chains (sqrt / z-score):
-    one cast to DECIMAL(27,6). Both Spark (BigDecimal HALF_UP) and DuckDB
-    (half away from zero) round a double to the NEAREST scale-6 decimal, and
-    ties need an exact dyadic 6dp midpoint (j/2^7-shaped values) that a
-    full-mantissa sqrt output hits with probability ~2^-45. The hash then
-    compares exact decimals, immune to one-ulp build drift in round()."""
+    """DEPRECATED (driver-refuted, 0-for-6 in CORRECTNESS_r08): casting a
+    full-mantissa double to DECIMAL(27,6) is double->decimal-grid rounding,
+    which varies across engine builds. Kept only for the round-9 canary
+    queries that measure exactly this construct; never use in new cells —
+    emit the raw double or use :func:`ratio6` / :func:`units_div`."""
     return col.cast("decimal(27,6)")
 
 
 def dec6_sql(expr: str) -> str:
-    """DuckDB twin of :func:`dec6`."""
+    """DuckDB twin of :func:`dec6` (same deprecation applies)."""
     return f"CAST(({expr}) AS DECIMAL(27,6))"
 
 
@@ -90,3 +108,79 @@ def ratio6_sql(num: str, den: str) -> str:
         f" // (2 * CAST(({den}) AS BIGINT)))"
         f" AS DOUBLE) / 1000000.0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide (128-bit) exact integer division: the ratio6 recipe for numerators
+# that overflow BIGINT. Spark evaluates the intermediates in DECIMAL(38,0)
+# (exact integer arithmetic up to 38 digits; ``div`` on decimals is
+# BigDecimal divideToIntegral, returned as BIGINT), DuckDB in HUGEINT
+# (128-bit; ``//`` truncates toward zero == floor for the nonnegative
+# operands required here). Verified bit-identical on both engines for
+# intermediates past 2^63 (tests/test_numeric.py).
+#
+# Contract: num >= 0, den > 0, both exact integers; 2 * num * 10^scale must
+# fit 38 digits (num < 5e30 at scale 6) and the QUOTIENT num*10^scale/den
+# must fit BIGINT — Spark's div returns long and silently wraps past 2^63.
+
+
+def units_div(num: str, den: str, scale: int) -> Column:
+    """HALF_UP integer units: round(num/den * 10^scale) as BIGINT, computed
+    entirely in exact DECIMAL(38,0) arithmetic — (2*num*10^s + den) div
+    (2*den). ``num``/``den`` are SQL snippets yielding NONNEGATIVE exact
+    integers (any integer/decimal width)."""
+    p = 10**scale
+    return F.expr(
+        f"(2 * CAST(({num}) AS DECIMAL(38,0)) * {p}"
+        f" + CAST(({den}) AS DECIMAL(38,0)))"
+        f" div (2 * CAST(({den}) AS DECIMAL(38,0)))"
+    )
+
+
+def units_div_sql(num: str, den: str, scale: int) -> str:
+    """DuckDB twin of :func:`units_div` (HUGEINT path), cast to BIGINT."""
+    p = 10**scale
+    return (
+        f"CAST((2 * CAST(({num}) AS HUGEINT) * {p}"
+        f" + CAST(({den}) AS HUGEINT))"
+        f" // (2 * CAST(({den}) AS HUGEINT)) AS BIGINT)"
+    )
+
+
+def ratio6w(num: str, den: str) -> Column:
+    """Wide :func:`ratio6`: exact HALF_UP 6dp of num/den with 128-bit
+    intermediates, emitted as DOUBLE via one correctly-rounded IEEE
+    division. Use when 2e6*num can exceed BIGINT (corpus-squared
+    numerators); same nonnegativity contract as units_div."""
+    return units_div(num, den, 6).cast("double") / 1000000.0
+
+
+def ratio6w_sql(num: str, den: str) -> str:
+    """DuckDB twin of :func:`ratio6w`."""
+    return f"(CAST({units_div_sql(num, den, 6)} AS DOUBLE) / 1000000.0)"
+
+
+# ---------------------------------------------------------------------------
+# Floor-implemented HALF_UP rounding for DOUBLE chains that must land on a
+# decimal grid (ranking/tie-break contracts where the grid IS the
+# semantics, e.g. cosine top-k cuts). Unlike round(double, k) — a library
+# function whose implementation (scaled-multiply vs BigDecimal vs string
+# format) differs by one ulp across engine builds — this pins the
+# implementation to three IEEE-754 hardware ops (abs, multiply, add) plus
+# an exact floor and sign restore, evaluated identically everywhere:
+#     sign(x) * floor(abs(x) * 10^k + 0.5) / 10^k
+# It equals HALF_UP (away from zero) everywhere, and is the exact formula
+# of the Arrow kernels' _round_half_up (operators/similarity.py), so
+# Spark, DuckDB, and numpy all collapse to the same grid point.
+
+
+def fround(col: Column, k: int) -> Column:
+    """Floor-implemented HALF_UP round of a double to k decimals."""
+    s = float(10**k)
+    return F.signum(col) * F.floor(F.abs(col) * F.lit(s) + F.lit(0.5)) / s
+
+
+def fround_sql(expr: str, k: int) -> str:
+    """DuckDB twin of :func:`fround` (same op order)."""
+    s = float(10**k)
+    return f"(sign({expr}) * floor(abs({expr}) * {s!r} + 0.5) / {s!r})"

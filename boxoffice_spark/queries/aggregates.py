@@ -13,12 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from boxoffice_spark.functions.numeric import (
     davg,
     davg_sql,
-    dec6,
-    dec6_sql,
     dsum,
     dsum_sql,
     ratio6,
     ratio6_sql,
+    units_div_sql,
 )
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -1699,8 +1698,7 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT status, n_first, n_second,
         CAST(u1 AS DECIMAL(20, 1)) AS u1,
-        CASE WHEN sigma > 0
-            THEN CAST((u1 - mu) / sigma AS DECIMAL(27, 6)) END AS z_mwu,
+        CASE WHEN sigma > 0 THEN (u1 - mu) / sigma END AS z_mwu,
         CASE WHEN sigma > 0 THEN abs((u1 - mu) / sigma) > 1.96 END
             AS significant
     FROM stat
@@ -1770,16 +1768,19 @@ def a_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"), mu.alias("mu"), sigma.alias("sigma"),
     )
     z = (F.col("u1") - F.col("mu")) / F.col("sigma")
-    # Final cells per parity rule 4: u1 is an exact half-integer (midrank
-    # sums), so the DECIMAL(20,1) cast is exact on both engines; z is a
-    # sqrt chain, so dec6's nearest-decimal cast replaces the engine-build-
-    # sensitive round(double, 6) that went driver-red in round 7.
+    # Final cells per parity rule 4 (r08 revision): u1 is an exact
+    # half-integer (midrank sums), so the DECIMAL(20,1) cast is VALUE-
+    # PRESERVING — the only safe decimal-cast class. z is emitted as the
+    # RAW double: its chain (integer sums -> mul/div/sqrt/sub) is all
+    # correctly-rounded IEEE ops over exact inputs, bit-identical on every
+    # conformant build. The dec6 decimal cast this replaces was driver-red
+    # two rounds running (double->decimal-grid rounding is build surface).
     return stat.select(
         "status",
         "n_first",
         "n_second",
         F.col("u1").cast("decimal(20,1)").alias("u1"),
-        F.when(F.col("sigma") > 0, dec6(z)).alias("z_mwu"),
+        F.when(F.col("sigma") > 0, z).alias("z_mwu"),
         F.when(F.col("sigma") > 0, F.abs(z) > 1.96).alias("significant"),
     ).orderBy("status")
 
@@ -2005,22 +2006,23 @@ def _poisson1_ladder():
         SELECT CAST(o_orderdate AS DATE) < DATE '1998-01-01' AS first_half,
             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
                 AS x,
-            {dsum_sql('o_totalprice')} AS rev
+            CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+                AS rev_c
         FROM orders GROUP BY 1, 2
     ),
     obs AS (
         SELECT
             sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n_first,
             sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n_second,
-            {dec6_sql(f'''{dsum_sql('CASE WHEN first_half THEN rev END')}
-                / sum(CASE WHEN first_half THEN 1 ELSE 0 END)
-                - {dsum_sql('CASE WHEN NOT first_half THEN rev END')}
-                / sum(CASE WHEN first_half THEN 0 ELSE 1 END)''')} AS obs_diff
+            CAST(sum(CASE WHEN first_half THEN rev_c END) AS BIGINT)
+                * sum(CASE WHEN first_half THEN 0 ELSE 1 END)
+            - CAST(sum(CASE WHEN NOT first_half THEN rev_c END) AS BIGINT)
+                * sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS obs_num
         FROM daily
     ),
     reps AS (SELECT CAST(range AS INT) AS rep FROM range(0, 200)),
     shuffled AS (
-        SELECT rep, rev, n_first,
+        SELECT rep, rev_c, n_first, n_second,
             row_number() OVER (
                 PARTITION BY rep
                 ORDER BY md5('perm:' || CAST(rep AS VARCHAR) || ':'
@@ -2030,21 +2032,24 @@ def _poisson1_ladder():
     ),
     perm AS (
         SELECT rep,
-            {dec6_sql(f'''{dsum_sql('CASE WHEN rn <= n_first THEN rev END')}
-                / max(n_first)
-                - {dsum_sql('CASE WHEN rn > n_first THEN rev END')}
-                / (count(*) - max(n_first))''')} AS diff_r
+            CAST(sum(CASE WHEN rn <= n_first THEN rev_c END) AS BIGINT)
+                * max(n_second)
+            - CAST(sum(CASE WHEN rn > n_first THEN rev_c END) AS BIGINT)
+                * max(n_first) AS num_r
         FROM shuffled GROUP BY rep
     ),
     counted AS (
-        SELECT n_first AS n_days_first, n_second AS n_days_second, obs_diff,
+        SELECT n_first AS n_days_first, n_second AS n_days_second, obs_num,
             count(*) AS b_reps,
-            sum(CASE WHEN abs(diff_r) >= abs(obs_diff) THEN 1 ELSE 0 END)
+            sum(CASE WHEN abs(num_r) >= abs(obs_num) THEN 1 ELSE 0 END)
                 AS n_extreme
         FROM perm CROSS JOIN obs
         GROUP BY 1, 2, 3
     )
-    SELECT n_days_first, n_days_second, obs_diff, b_reps, n_extreme,
+    SELECT n_days_first, n_days_second,
+        CAST(obs_num AS DOUBLE)
+            / (100.0 * n_days_first * n_days_second) AS obs_diff,
+        b_reps, n_extreme,
         {ratio6_sql('1 + n_extreme', 'b_reps + 1')} AS p_value
     FROM counted
     """,
@@ -2061,10 +2066,20 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     take the first-era label, so every replicate preserves the observed
     group sizes exactly (a true permutation, not Bernoulli relabeling).
     The add-one p-value (1 + #extreme)/(B + 1) is the standard
-    Monte-Carlo form, emitted via ratio6's exact BIGINT HALF_UP;
-    replicate and observed diffs are cast to DECIMAL(27,6) (dec6,
-    parity rule 4) before the >= comparison so both engines count the
-    identical extreme set on exact decimals.
+    Monte-Carlo form, emitted via ratio6's exact BIGINT HALF_UP.
+
+    The extreme test is EXACT INTEGER arithmetic end-to-end (parity
+    rule 4, r08 revision — the earlier 6dp decimal casts of the double
+    means were driver-red two rounds running): daily revenue is summed
+    as BIGINT cents, both group sizes are fixed at (n_first, n_second)
+    in every replicate, so |mean1 - mean2| comparisons share the
+    denominator 100*n1*n2 and reduce to |s1c*n2 - s2c*n1| >=
+    |t1c*n2 - t2c*n1| in BIGINT — no rounding anywhere can decide the
+    count. obs_diff is emitted as the raw double of that exact integer
+    numerator over its exact denominator (two correctly-rounded IEEE
+    ops). Exact while total-cents * |days| < 2^63, i.e. total revenue
+    below ~3.7e13 dollars per era — ten-million-fold above the fixture
+    and still comfortable at sf1000.
 
     At 100 TB: the corpus is touched ONCE (the groupBy to the daily
     grain); the 200-replicate spine multiplies only the calendar-
@@ -2076,19 +2091,20 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         (F.to_date("o_orderdate") < F.lit("1998-01-01")).alias("first_half"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("x"),
-    ).agg(dsum("o_totalprice").alias("rev"))
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(27,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    n1 = F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("first_half"), 0).otherwise(1))
     obs = daily.agg(
-        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_first"),
-        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("n_second"),
-        # dec6 (parity rule 4): the replicate/observed diffs must land on
-        # the identical 6dp decimal on both engines BEFORE the >= extreme
-        # test — round(double, 6) here went driver-red in round 7.
-        dec6(
-            dsum(F.when(F.col("first_half"), F.col("rev")))
-            / F.sum(F.when(F.col("first_half"), 1).otherwise(0))
-            - dsum(F.when(~F.col("first_half"), F.col("rev")))
-            / F.sum(F.when(F.col("first_half"), 0).otherwise(1))
-        ).alias("obs_diff"),
+        n1.alias("n_first"),
+        n2.alias("n_second"),
+        (
+            F.sum(F.when(F.col("first_half"), F.col("rev_c"))) * n2
+            - F.sum(F.when(~F.col("first_half"), F.col("rev_c"))) * n1
+        ).alias("obs_num"),
     )
     reps = spark.range(0, 200).select(F.col("id").cast("int").alias("rep"))
     coin = F.md5(
@@ -2104,30 +2120,31 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(obs))
         .select(
             "rep",
-            "rev",
+            "rev_c",
             "n_first",
+            "n_second",
             F.row_number()
             .over(W.partitionBy("rep").orderBy(coin, F.col("x")))
             .alias("rn"),
         )
     )
     perm = shuffled.groupBy("rep").agg(
-        dec6(
-            dsum(F.when(F.col("rn") <= F.col("n_first"), F.col("rev")))
-            / F.max("n_first")
-            - dsum(F.when(F.col("rn") > F.col("n_first"), F.col("rev")))
-            / (F.count("*") - F.max("n_first"))
-        ).alias("diff_r")
+        (
+            F.sum(F.when(F.col("rn") <= F.col("n_first"), F.col("rev_c")))
+            * F.max("n_second")
+            - F.sum(F.when(F.col("rn") > F.col("n_first"), F.col("rev_c")))
+            * F.max("n_first")
+        ).alias("num_r")
     )
     extreme = F.sum(
-        F.when(F.abs(F.col("diff_r")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+        F.when(F.abs(F.col("num_r")) >= F.abs(F.col("obs_num")), 1).otherwise(0)
     )
     counted = (
         perm.crossJoin(F.broadcast(obs))
         .groupBy(
             F.col("n_first").alias("n_days_first"),
             F.col("n_second").alias("n_days_second"),
-            "obs_diff",
+            "obs_num",
         )
         .agg(
             F.count("*").alias("b_reps"),
@@ -2135,11 +2152,14 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # p-value is an exact integer ratio (1+k)/(B+1): ratio6's BIGINT
-    # HALF_UP, never round(double, 6).
+    # HALF_UP; obs_diff is the raw double of the exact integer ratio.
     return counted.select(
         "n_days_first",
         "n_days_second",
-        "obs_diff",
+        (
+            F.col("obs_num").cast("double")
+            / (F.lit(100.0) * F.col("n_days_first") * F.col("n_days_second"))
+        ).alias("obs_diff"),
         "b_reps",
         "n_extreme",
         ratio6("1 + n_extreme", "b_reps + 1").alias("p_value"),
@@ -2357,10 +2377,9 @@ def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.status, nd.n_days, a.n_pairs, a.concordant, a.discordant,
         a.ties_rev, a.ties_cnt,
         CASE WHEN (a.n_pairs - a.ties_rev) > 0 AND (a.n_pairs - a.ties_cnt) > 0
-            THEN CAST((a.concordant - a.discordant)
+            THEN (a.concordant - a.discordant)
                 / sqrt(CAST(a.n_pairs - a.ties_rev AS DOUBLE)
                        * CAST(a.n_pairs - a.ties_cnt AS DOUBLE))
-                AS DECIMAL(27, 6))
         END AS tau_b
     FROM agg a JOIN nd ON nd.status = a.status
     ORDER BY a.status
@@ -2420,11 +2439,13 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = daily.groupBy("status").agg(F.count("*").alias("n_days"))
     n0r = (F.col("n_pairs") - F.col("ties_rev")).cast("double")
     n0c = (F.col("n_pairs") - F.col("ties_cnt")).cast("double")
-    # dec6 (parity rule 4): tau's sqrt denominator makes the final cell an
-    # irrational chain — nearest-decimal cast, not round(double, 6).
+    # tau_b is emitted as the RAW double (parity rule 4, r08 revision):
+    # (C - D)/sqrt(n0r*n0c) over exact integer counts is a chain of
+    # correctly-rounded IEEE ops, bit-identical across conformant builds;
+    # the dec6 decimal cast it replaces was driver-red two rounds running.
     tau = F.when(
         (n0r > 0) & (n0c > 0),
-        dec6((F.col("concordant") - F.col("discordant")) / F.sqrt(n0r * n0c)),
+        (F.col("concordant") - F.col("discordant")) / F.sqrt(n0r * n0c),
     )
     return (
         agg.join(F.broadcast(nd), "status")
@@ -2590,7 +2611,7 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_cramers_v",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
         SELECT lang, source, count(*) AS n_obs
         FROM documents GROUP BY 1, 2
@@ -2600,28 +2621,40 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT sum(n_obs) AS grand FROM obs),
     grid AS (
         SELECT rt.lang, ct.source, coalesce(obs.n_obs, 0) AS n_obs,
-            CAST(rt.row_n AS DOUBLE) * ct.col_n / g.grand AS expected
+            CAST(rt.row_n AS BIGINT) AS row_n,
+            CAST(ct.col_n AS BIGINT) AS col_n,
+            CAST(g.grand AS BIGINT) AS grand
         FROM rt CROSS JOIN ct CROSS JOIN g
         LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
     ),
+    cells AS (
+        SELECT lang, source, n_obs, grand,
+            n_obs * grand - row_n * col_n AS dv,
+            row_n * col_n AS rc
+        FROM grid
+    ),
     tot AS (
-        SELECT cast(sum(CAST((n_obs - expected) * (n_obs - expected)
-                             / expected AS DECIMAL(27, 6)))
-                    AS DOUBLE) AS chi2,
+        SELECT CAST(sum({units_div_sql('CAST(dv AS HUGEINT) * dv',
+                                       'CAST(grand AS HUGEINT) * rc', 9)})
+                    AS BIGINT) AS chi2_u9,
             count(DISTINCT lang) AS r, count(DISTINCT source) AS c,
             sum(n_obs) AS n
-        FROM grid
+        FROM cells
+    ),
+    stat AS (
+        SELECT n, r, c,
+            CAST(chi2_u9 AS DOUBLE) / 1000000000.0 AS chi2
+        FROM tot
     )
-    SELECT n, r, c, CAST(chi2 AS DECIMAL(27, 6)) AS chi2,
-        CAST(sqrt(chi2 / n / least(r - 1, c - 1)) AS DECIMAL(27, 6))
-            AS cramers_v,
-        CAST(sqrt(
+    SELECT n, r, c, chi2,
+        sqrt(chi2 / n / least(r - 1, c - 1)) AS cramers_v,
+        sqrt(
             greatest(chi2 / n - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1),
                      0.0)
             / least(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) - 1,
                     c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1) - 1)
-        ) AS DECIMAL(27, 6)) AS cramers_v_corrected
-    FROM tot
+        ) AS cramers_v_corrected
+    FROM stat
     """,
     tags=("agg", "stats", "effect-size"),
 )
@@ -2635,10 +2668,23 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     entanglement). Alongside: the Bergsma bias-corrected V, which
     shrinks the positive bias plain V carries on sparse grids. Same
     zero-cell-restoring marginal machinery as a_chi2_independence (an
-    absent (lang, source) cell still contributes its expected mass);
-    per-cell contributions grid-snapped by the DECIMAL(27,6) cast and
-    decimal-summed (parity rule 4). One shuffle to the R x C grain,
-    constant-size after. Cell-exact."""
+    absent (lang, source) cell still contributes its expected mass).
+
+    Parity (rule 4, r08 revision — the per-cell DECIMAL(27,6) casts of
+    double contributions were driver-red two rounds running): chi2 is
+    EXACT INTEGER arithmetic end-to-end. Each cell's contribution
+    (O - E)^2/E with E = r*c/n is the rational (O*n - r*c)^2/(n*r*c);
+    it is HALF_UP-quantized to 1e-9 units in 128-bit integer math
+    (units_div — (2*dv^2*1e9 + n*rc) div (2*n*rc)), the units sum
+    exactly (order-free), and chi2 plus both V cells are emitted as
+    raw doubles derived from that one integer by correctly-rounded
+    IEEE ops only — nothing is ever rounded on a decimal grid. Exact
+    while dv^2*2e9 fits 38 digits (n below ~3e7 documents; the grid
+    statistic is for datacard-scale grids — past that, drop the units
+    scale). One shuffle to the R x C grain, constant-size after.
+    Cell-exact."""
+    from boxoffice_spark.functions.numeric import units_div
+
     d = table(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
     rt = obs.groupBy("lang").agg(F.sum("n_obs").alias("row_n"))
@@ -2652,24 +2698,39 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
-            (
-                F.col("row_n").cast("double") * F.col("col_n") / F.col("grand")
-            ).alias("expected"),
+            "row_n",
+            "col_n",
+            "grand",
         )
     )
-    # Per-cell contributions land on the 6dp grid via the DECIMAL cast
-    # itself (nearest-decimal, parity rule 4) — the earlier round(double, 6)
-    # pre-step was the engine-build-sensitive construct that went driver-red.
-    contrib = (
-        (F.col("n_obs") - F.col("expected"))
-        * (F.col("n_obs") - F.col("expected"))
-        / F.col("expected")
+    cells = grid.select(
+        "n_obs",
+        "lang",
+        "source",
+        "grand",
+        (F.col("n_obs") * F.col("grand") - F.col("row_n") * F.col("col_n"))
+        .alias("dv"),
+        (F.col("row_n") * F.col("col_n")).alias("rc"),
     )
-    tot = grid.agg(
-        F.sum(contrib.cast("decimal(27,6)")).cast("double").alias("chi2"),
+    tot = cells.agg(
+        F.sum(
+            units_div(
+                "CAST(dv AS DECIMAL(38,0)) * dv",
+                "CAST(grand AS DECIMAL(38,0)) * rc",
+                9,
+            )
+        )
+        .cast("long")
+        .alias("chi2_u9"),
         F.countDistinct("lang").alias("r"),
         F.countDistinct("source").alias("c"),
         F.sum("n_obs").alias("n"),
+    )
+    stat = tot.select(
+        "n",
+        "r",
+        "c",
+        (F.col("chi2_u9").cast("double") / 1000000000.0).alias("chi2"),
     )
     r_, c_, n_ = F.col("r"), F.col("c"), F.col("n")
     phi2 = F.col("chi2") / n_
@@ -2678,16 +2739,13 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_corr = r_ - ((r_ - 1) * (r_ - 1)).cast("double") / (n_ - 1) - 1
     c_corr = c_ - ((c_ - 1) * (c_ - 1)).cast("double") / (n_ - 1) - 1
-    # chi2 is already on the 6dp grid (a decimal-summed double), so dec6
-    # recovers the exact decimal; the two V's are sqrt chains — all three
-    # final cells use the nearest-decimal cast, never round(double, 6).
-    return tot.select(
+    return stat.select(
         "n",
         "r",
         "c",
-        dec6(F.col("chi2")).alias("chi2"),
-        dec6(F.sqrt(phi2 / F.least(r_ - 1, c_ - 1))).alias("cramers_v"),
-        dec6(F.sqrt(phi2_corr / F.least(r_corr, c_corr))).alias(
+        "chi2",
+        F.sqrt(phi2 / F.least(r_ - 1, c_ - 1)).alias("cramers_v"),
+        F.sqrt(phi2_corr / F.least(r_corr, c_corr)).alias(
             "cramers_v_corrected"
         ),
     )

@@ -6,8 +6,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from boxoffice_spark.functions.numeric import (
-    dec6,
-    dec6_sql,
     dsum_sql,
     ratio6,
     ratio6_sql,
@@ -802,9 +800,8 @@ def dq_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT status, n_first, n_second,
         {ratio6_sql('gap_num', 'gap_den')} AS ks_stat,
-        {dec6_sql('''1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
-                           / (n_first * CAST(n_second AS DOUBLE)))''')}
-            AS ks_crit,
+        1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
+                     / (n_first * CAST(n_second AS DOUBLE))) AS ks_crit,
         CAST(gap_num AS DOUBLE) / gap_den
             > 1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
                            / (n_first * CAST(n_second AS DOUBLE))) AS drifted
@@ -875,12 +872,17 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_first") + F.col("n_second")).cast("double")
         / (F.col("n_first") * F.col("n_second").cast("double"))
     )
+    # ks_crit is emitted as the RAW double: 1.358*sqrt((n1+n2)/(n1*n2)) is a
+    # chain of correctly-rounded IEEE ops over exact integers, so the full-
+    # mantissa double is bit-identical on every conformant build — unlike the
+    # dec6 decimal cast it replaces, which went driver-red in r07 AND r08
+    # (double->decimal-grid rounding is itself build surface).
     return stat.select(
         "status",
         "n_first",
         "n_second",
         ratio6("gap_num", "gap_den").alias("ks_stat"),
-        dec6(crit_s).alias("ks_crit"),
+        crit_s.alias("ks_crit"),
         (F.col("gap_num").cast("double") / F.col("gap_den") > crit_s).alias(
             "drifted"
         ),

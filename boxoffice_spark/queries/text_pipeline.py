@@ -8,8 +8,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from boxoffice_spark.functions import cleaning as CL
 from boxoffice_spark.functions.numeric import (
     davg_sql,
-    dec6,
-    dec6_sql,
     dsum_sql,
     ratio6,
     ratio6_sql,

@@ -58,6 +58,8 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.incremental",
     "boxoffice_spark.queries.relational",
     "boxoffice_spark.queries.streaming_checks",
+    # round-9 single-construct canaries (VERDICT r08 task 2) — REMOVE in r10
+    "boxoffice_spark.queries.canaries",
 ]
 
 # Queries pulled to the very front of load_all() order regardless of module,

@@ -64,6 +64,87 @@ def test_ratio6_is_half_up_exact():
         )
 
 
+WIDE_RATIOS = [
+    # (num, den) with intermediates past 2^63: 2*num*1e6 overflows BIGINT,
+    # so the ratio6 formula would wrap — units_div must stay exact via
+    # DECIMAL(38,0)/HUGEINT. Quotients all fit BIGINT (the contract).
+    (9876543210987654321098765432, 3000000007000000000),
+    (2**70, 3 * 10**14),
+    (10**28 + 7, 10**16 + 1),
+    (1, 128),  # small midpoint: must agree with plain ratio6
+    (0, 5),
+    ((10**14) ** 2, 10**16),  # chi2-shaped: diff^2 / (r*c)
+]
+
+
+def test_units_div_matches_duckdb_past_bigint(spark):
+    from boxoffice_spark.functions.numeric import units_div, units_div_sql
+
+    exprs = [
+        units_div(str(num), str(den), 6).alias(f"u{i}")
+        for i, (num, den) in enumerate(WIDE_RATIOS)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    con = duckdb.connect()
+    for i, (num, den) in enumerate(WIDE_RATIOS):
+        (want,) = con.sql(
+            f"SELECT {units_div_sql(str(num), str(den), 6)}"
+        ).fetchone()
+        assert row[f"u{i}"] == want, (num, den, row[f"u{i}"], want)
+
+
+def test_units_div_is_half_up_exact():
+    from fractions import Fraction
+
+    for num, den in WIDE_RATIOS:
+        units = (2 * num * 10**6 + den) // (2 * den)
+        exact = Fraction(num, den) * 10**6
+        assert units == (exact + Fraction(1, 2)).__floor__()
+
+
+def test_ratio6w_agrees_with_ratio6_in_range(spark):
+    """Where both fit BIGINT, the wide path must be value-identical."""
+    from boxoffice_spark.functions.numeric import ratio6w, ratio6w_sql
+
+    rows = spark.createDataFrame(RATIOS, "num long, den long").select(
+        ratio6("num", "den").alias("narrow"),
+        ratio6w("num", "den").alias("wide"),
+    )
+    for r in rows.collect():
+        assert r["narrow"] == r["wide"]
+    con = duckdb.connect()
+    for num, den in RATIOS:
+        a, b = con.sql(
+            f"SELECT {ratio6_sql(str(num), str(den))},"
+            f" {ratio6w_sql(str(num), str(den))}"
+        ).fetchone()
+        assert a == b
+
+
+def test_fround_matches_duckdb_and_numpy_kernel(spark):
+    """fround (floor-implemented HALF_UP) must agree with DuckDB's twin
+    AND the Arrow kernels' _round_half_up on the dyadic midpoints where
+    round(double, k) implementations disagree across builds."""
+    import numpy as np
+
+    from boxoffice_spark.functions.numeric import fround, fround_sql
+    from boxoffice_spark.operators.similarity import _round_half_up
+
+    vals = [0.0078125, -0.0078125, 0.015625, 1.0 / 3, -2.0 / 3, 0.0,
+            0.9999995, -0.9999995, 0.1234564999]
+    rows = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x", fround(F.col("x"), 6).alias("r")
+    )
+    got = {r["x"]: r["r"] for r in rows.collect()}
+    con = duckdb.connect()
+    for v in vals:
+        (want,) = con.sql(
+            f"SELECT {fround_sql(f'CAST({v!r} AS DOUBLE)', 6)}"
+        ).fetchone()
+        assert got[v] == want, (v, got[v], want)
+        assert got[v] == float(_round_half_up(np.float64(v), 6)), v
+
+
 def test_dec6_matches_duckdb(spark):
     vals = [0.0078125, -0.0078125, 0.015625, 1.0 / 3, -2.0 / 3, 123.4567891]
     rows = spark.createDataFrame(
