@@ -15,11 +15,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 class PublishError(OSError):
     """A WAP promote failed (typically a lost publish race: rename onto a
-    freshly republished target). Subclasses OSError so callers that catch
-    OSError/FileExistsError to detect the race — the contract before the
-    round-7 unique-token rewrite briefly wrapped everything in
-    RuntimeError (ADVICE r07) — keep working; the survivor directories
-    travel on ``leftovers`` (and the original error on ``__cause__``)."""
+    freshly republished target). Subclasses OSError (only — NOT
+    FileExistsError) so callers that catch OSError to detect the race —
+    the contract before the round-7 unique-token rewrite briefly wrapped
+    everything in RuntimeError (ADVICE r07) — keep working; an
+    ``except FileExistsError`` handler will NOT match (ADVICE r08). The
+    survivor directories travel on ``leftovers`` (and the original error
+    on ``__cause__``)."""
 
     def __init__(self, msg: str, leftovers: list[str]):
         super().__init__(msg)

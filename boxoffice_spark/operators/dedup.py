@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from boxoffice_spark.functions.numeric import ratio6_sql as _ratio6_sql
 from boxoffice_spark.tables import spread
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed int64 in both engines
@@ -80,6 +81,7 @@ def capped_pair_rows(
     id_col: str,
     payload_cols: tuple[str, ...] = (),
     max_postings: int | None = 1000,
+    max_successors: int | None = None,
 ) -> DataFrame:
     """Ordered candidate pairs (``id_a < id_b``) from an inverted-index
     postings table, evaluating the postings subtree ONCE.
@@ -103,6 +105,18 @@ def capped_pair_rows(
     Returns columns ``id_a``, ``id_b`` plus ``<c>_a`` / ``<c>_b`` for each
     payload column (per-doc attributes riding the postings, e.g. set
     sizes for Jaccard or full signatures for Hamming rerank).
+
+    ``max_successors`` bounds the PAIR output per key: each posting pairs
+    with at most its next ``max_successors`` id-ordered neighbors instead
+    of its whole tail, so a key shared by k docs emits O(k * cap) pairs
+    instead of O(k²) — the term that turns superlinear when duplicate
+    GROUP SIZES grow with the corpus (a bucket of k verbatim copies is
+    C(k,2) pairs under the cap-less form even when k is far below
+    max_postings; measured alpha 1.18 on the sf1->sf10 decade probe).
+    The id-ordered successor chain keeps every group CONNECTED, so
+    downstream connected-components dedup clusters identically; what is
+    traded away is only the redundant intra-group pair mass beyond the
+    chain width. None = emit the full tail (exact-pairs contract).
     """
     if max_postings is not None:
         wk = W.partitionBy(*key_cols)
@@ -117,8 +131,11 @@ def capped_pair_rows(
     # buffer: posexplode streams each element, slice takes its strict tail
     # (ids are unique per key, so struct sort order == id order and every
     # emitted pair satisfies id_a < id_b exactly once per key).
+    tail_len = (
+        "size(_ps)" if max_successors is None else str(int(max_successors))
+    )
     pairs = grouped.select("_ps", F.posexplode("_ps").alias("_i", "_pa")).select(
-        "_pa", F.explode(F.expr("slice(_ps, _i + 2, size(_ps))")).alias("_pb")
+        "_pa", F.explode(F.expr(f"slice(_ps, _i + 2, {tail_len})")).alias("_pb")
     )
     cols = [F.col("_pa._id").alias("id_a"), F.col("_pb._id").alias("id_b")]
     for c in payload_cols:
@@ -411,6 +428,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_postings: int = 1000,
+    max_successors: int | None = 16,
 ) -> DataFrame:
     """Tier 4: MinHash + banded LSH candidate pairs, all-Catalyst.
 
@@ -426,6 +444,19 @@ def minhash_lsh_pairs(
     by the exact rerank, so precision is exact and only recall is
     probabilistic. Rows-only check; the exact tiers are its small-scale
     oracle (tests/test_llm_ops.py asserts recall).
+
+    PAIR-OUTPUT BOUND (scale contract, r09 — the sf1->sf10 decade probe
+    measured alpha 1.18 before it): ``max_successors=16`` caps each
+    posting to its next 16 id-ordered bucket neighbors, so a bucket of k
+    near-identical docs emits O(16k) candidate pairs instead of C(k,2) —
+    the term that grows QUADRATICALLY in duplicate-group size even under
+    the max_postings bucket cap (a corpus where copy-groups grow with
+    volume, e.g. boilerplate at 100 TB, is exactly where that bites).
+    Groups of <= 17 copies still emit every pair; larger groups stay
+    CONNECTED through the id-ordered successor chain, so downstream
+    connected-components clustering (t_dedup_clusters*) is unchanged,
+    and only redundant intra-group pair mass is dropped. Pass
+    ``max_successors=None`` for the exhaustive-pairs form.
     """
     r = num_hashes // bands
     shingles = F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n))
@@ -487,8 +518,10 @@ def minhash_lsh_pairs(
     from boxoffice_spark.functions.caching import scoped_persist
 
     cand = scoped_persist(
-        capped_pair_rows(postings, ["_band", "_bucket"], id_col, (), max_postings)
-        .dropDuplicates(["id_a", "id_b"]),
+        capped_pair_rows(
+            postings, ["_band", "_bucket"], id_col, (), max_postings,
+            max_successors=max_successors,
+        ).dropDuplicates(["id_a", "id_b"]),
         "minhash_lsh_pairs.cand",
     )
     # Rerank shingles are recomputed ONLY for candidate docs: the semi-join
@@ -849,15 +882,24 @@ def contamination_report(
         F.count("*").alias("n_hit")
     )
     totals = ev.select("doc_id", F.size("_sh").cast("long").alias("n_shingles"))
+    # contamination_frac is an exact integer ratio: ratio6's BIGINT HALF_UP
+    # replaces the build-sensitive round(double, 6) (r09 legacy conversion)
+    from boxoffice_spark.functions.numeric import ratio6
+
     return (
         totals.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)) / F.greatest("n_shingles", F.lit(1)), 6
-            ).alias("contamination_frac"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            ratio6("n_hit", "greatest(n_shingles, 1)").alias(
+                "contamination_frac"
+            ),
         )
     )
 
@@ -881,8 +923,9 @@ WITH base AS (
 )
 SELECT t.doc_id, t.n_shingles,
        CAST(coalesce(hi.n_hit, 0) AS BIGINT) AS n_hit,
-       round(CAST(coalesce(hi.n_hit, 0) AS DOUBLE) / greatest(t.n_shingles, 1), 6)
-           AS contamination_frac
+""" + _ratio6_sql(
+    "coalesce(hi.n_hit, 0)", "greatest(t.n_shingles, 1)"
+) + """ AS contamination_frac
 FROM totals t LEFT JOIN hits hi USING (doc_id)
 """
 

@@ -18,16 +18,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from boxoffice_spark.functions.numeric import fround
+
 
 def _round_half_up(a, k: int):
-    """HALF_UP (away-from-zero) rounding for the Arrow kernels, matching
-    Spark's F.round and DuckDB's round() instead of numpy's half-even:
+    """HALF_UP (away-from-zero) rounding for the Arrow kernels — the
+    numpy instance of the SAME sign(x)*floor(abs(x)*10^k + 0.5)/10^k
+    formula functions/numeric.fround pins on Spark and DuckDB (r09: the
+    engine sides moved off library round(), whose implementation is
+    build surface, onto this three-IEEE-op form — all three runtimes now
+    share one rounding definition). numpy's own np.round is half-even:
     on an exactly-representable dyadic midpoint (e.g. a cosine of exactly
-    1/128 = 0.0078125) np.round gives 0.007812 where both engines give
-    0.007813, and rounding drives candidate selection in these kernels —
-    a midpoint flip could change top-k membership vs the oracle
-    (ADVICE r07). Scaled floor(abs(x)*10^k + 0.5) with the sign restored;
-    identical to np.round everywhere except exact midpoints."""
+    1/128 = 0.0078125) it gives 0.007812 where this gives 0.007813, and
+    rounding drives candidate selection in these kernels — a midpoint
+    flip could change top-k membership vs the oracle (ADVICE r07)."""
     import numpy as np
 
     s = 10.0**k
@@ -68,7 +72,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .withColumn("cos_sim", fround(cosine(F.col("_qv"), F.col("_cv")), round_to))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -476,7 +480,7 @@ def embedding_near_dup_lsh(
     scored = (
         cand.join(vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_v", "_va"), "id_a")
         .join(vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_v", "_vb"), "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+        .withColumn("cos_sim", fround(cosine(F.col("_va"), F.col("_vb")), round_to))
     )
     return scored.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
 
@@ -704,7 +708,7 @@ def ann_pq_topk(
     return (
         shortlist.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .withColumn("cos_sim", fround(cosine(F.col("_qv"), F.col("_cv")), round_to))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -894,7 +898,7 @@ def ann_ivf_topk(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        scored.withColumn("cos_sim", fround(cosine(F.col("_qv"), F.col("_cv")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -1075,7 +1079,7 @@ def ann_ivfpq_topk(
     return (
         shortlist.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), round_to))
+        .withColumn("cos_sim", fround(cosine(F.col("_qv"), F.col("_cv")), round_to))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -1326,7 +1330,7 @@ def ivf_probe_read(
         scan.join(F.broadcast(probe_pairs), "cell")
         .join(F.broadcast(qdf), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cos_sim", fround(cosine(F.col("_qv"), F.col("_cv")), 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")

@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from boxoffice_spark.functions.numeric import (
+    ratio6 as _ratio6,
+    ratio6_sql as _ratio6_sql,
+)
 from boxoffice_spark.operators.dedup import NORMALIZED_SQL, normalized_text
 
 # Marker stopwords per language for the n-gram-heuristic language ID.
@@ -101,14 +105,57 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     return hits.cast("double") / F.greatest(F.size(w), F.lit(1))
 
 
-def quality_score(col: Column | str) -> Column:
-    """Composite [0,1] quality score: length signal x (1 - punct ratio),
-    rounded for cross-engine float stability. The shape of every
-    'heuristic filter' stage in LLM-data pipelines: cheap, monotone,
-    threshold-able."""
-    c = F.col(col) if isinstance(col, str) else col
-    len_signal = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
-    return F.round(len_signal * (1.0 - punct_ratio(c)), 6)
+def _quality_ratio(col: str, sql: bool) -> tuple[str, str]:
+    """(num, den) of the exact integer quality ratio, as Spark or DuckDB
+    SQL text."""
+    if sql:
+        n_punct = rf"len(regexp_extract_all({col}, '[^A-Za-z가-힣0-9\s]'))"
+    else:
+        n_punct = rf"regexp_count({col}, '[^A-Za-z가-힣0-9\\s]')"
+    num = f"least(length({col}), 500) * (greatest(length({col}), 1) - {n_punct})"
+    den = f"500 * greatest(length({col}), 1)"
+    return num, den
+
+
+def quality_micro(col: str) -> Column:
+    """Per-document quality in exact 1e-6 BIGINT units (HALF_UP) — the
+    summable form: integer micros aggregate order-free, so corpus rollups
+    (t_quality_by_lang) need no decimal cast of the double chain."""
+    from boxoffice_spark.functions.numeric import units_div
+
+    num, den = _quality_ratio(col, sql=False)
+    return units_div(num, den, 6)
+
+
+def quality_micro_sql(col: str) -> str:
+    """DuckDB twin of :func:`quality_micro`."""
+    from boxoffice_spark.functions.numeric import units_div_sql
+
+    num, den = _quality_ratio(col, sql=True)
+    return units_div_sql(num, den, 6)
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality score: length signal x (1 - punct ratio).
+    The shape of every 'heuristic filter' stage in LLM-data pipelines:
+    cheap, monotone, threshold-able.
+
+    The score is the exact integer ratio
+        min(len, 500) * (greatest(len, 1) - n_punct)
+        -----------------------------------------
+                500 * greatest(len, 1)
+    emitted via ratio6's BIGINT HALF_UP (r09 legacy conversion — the
+    former round(double, 6) is engine-build surface; exact while
+    500 * len fits ratio6's bound, i.e. len < 9e9 chars). ``col`` is a
+    column NAME (the ratio is built as a SQL expression)."""
+    num, den = _quality_ratio(col, sql=False)
+    return _ratio6(num, den)
+
+
+def quality_score_sql(col: str) -> str:
+    """DuckDB twin of :func:`quality_score`."""
+    num, den = _quality_ratio(col, sql=True)
+    return _ratio6_sql(num, den)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -167,8 +214,11 @@ def repetition_stats(df, id_col: str, text_col: str):
             id_col,
             "n_words",
             "n_distinct_words",
-            F.round(F.col("max_c") / F.col("n_words"), 6).alias("top_word_frac"),
-            F.round(F.col("dup_bg") / F.col("total_bg"), 6).alias("dup_bigram_frac"),
+            # exact integer ratios: ratio6's BIGINT HALF_UP replaces the
+            # build-sensitive round(double, 6); NULL bigram rows propagate
+            # to NULL on both engines (r09 legacy conversion)
+            _ratio6("max_c", "n_words").alias("top_word_frac"),
+            _ratio6("dup_bg", "total_bg").alias("dup_bigram_frac"),
         )
     )
 
@@ -196,8 +246,8 @@ SELECT
     p.{id_col},
     CAST(p.n_words AS BIGINT) AS n_words,
     CAST(p.n_distinct_words AS BIGINT) AS n_distinct_words,
-    round(CAST(p.max_c AS DOUBLE) / CAST(p.n_words AS DOUBLE), 6) AS top_word_frac,
-    round(CAST(b.dup_bg AS DOUBLE) / CAST(b.total_bg AS DOUBLE), 6) AS dup_bigram_frac
+    """ + _ratio6_sql("p.max_c", "p.n_words") + """ AS top_word_frac,
+    """ + _ratio6_sql("b.dup_bg", "b.total_bg") + """ AS dup_bigram_frac
 FROM per_word p LEFT JOIN per_bg b USING ({id_col})
 """
 

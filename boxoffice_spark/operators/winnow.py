@@ -43,6 +43,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from boxoffice_spark.functions.numeric import (
+    ratio6 as _ratio6,
+    ratio6_sql as _ratio6_sql,
+)
 from boxoffice_spark.tables import spread
 
 DEFAULT_K = 20  # k-gram length (chars of normalized text)
@@ -186,11 +190,9 @@ def winnow_dup_pairs(
             "id_a",
             "id_b",
             "n_shared",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("_sz_a") + F.col("_sz_b") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
+            # exact integer ratio: ratio6's BIGINT HALF_UP replaces the
+            # build-sensitive round(double, 6) (r09 legacy conversion)
+            _ratio6("n_shared", "_sz_a + _sz_b - n_shared").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -213,9 +215,9 @@ WITH fp_rows AS (
     GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, CAST(n_shared AS INT) AS n_shared,
-       round(CAST(n_shared AS DOUBLE) / (sza + szb - n_shared), 6) AS jaccard
+       """ + _ratio6_sql("n_shared", "sza + szb - n_shared") + """ AS jaccard
 FROM pairs
-WHERE round(CAST(n_shared AS DOUBLE) / (sza + szb - n_shared), 6) >= {threshold}
+WHERE """ + _ratio6_sql("n_shared", "sza + szb - n_shared") + """ >= {threshold}
 """
 
 

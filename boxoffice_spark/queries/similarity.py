@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from boxoffice_spark.functions.numeric import fround_sql, ratio6, ratio6_sql
 from boxoffice_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
@@ -15,7 +16,7 @@ from boxoffice_spark.operators.similarity import (
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import plant_duplicates, table
 
-_COSINE_TOPK_ORACLE = """
+_COSINE_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id < 5
@@ -26,7 +27,7 @@ _COSINE_TOPK_ORACLE = """
     ),
     scored AS (
         SELECT query_id, neighbor_id,
-               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+               {fround_sql('list_cosine_similarity(qv, cv)', 6)} AS cos_sim
         FROM q JOIN c ON query_id <> neighbor_id
     ),
     ranked AS (
@@ -134,7 +135,7 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v_embedding_near_dup_lsh",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -144,9 +145,9 @@ def v_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id + 1000000 AS vec_id, e FROM v WHERE vec_id % 50 = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+           {fround_sql('list_cosine_similarity(a.e, b.e)', 6)} AS cos_sim
     FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+    WHERE {fround_sql('list_cosine_similarity(a.e, b.e)', 6)} >= 0.99
     """,
     bench=True,
     tags=("similarity", "dedup", "lsh"),
@@ -316,7 +317,7 @@ def v_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "v_knn_label_consistency",
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 200000
@@ -327,7 +328,7 @@ def v_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT query_id, qlab, neighbor_id, nlab,
-               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+               {fround_sql('list_cosine_similarity(qv, cv)', 6)} AS cos_sim
         FROM q JOIN c ON query_id <> neighbor_id
     ),
     ranked AS (
@@ -338,7 +339,7 @@ def v_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, qlab AS label,
            CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS INT) AS n_same,
-           round(avg(CASE WHEN nlab = qlab THEN 1.0 ELSE 0.0 END), 6) AS frac_same
+           {ratio6_sql('sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END)', 'count(*)')} AS frac_same
     FROM ranked WHERE rnk <= 10
     GROUP BY 1, 2
     """,
@@ -377,14 +378,23 @@ def v_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "label")
         .agg(
             F.sum(same).cast("int").alias("n_same"),
-            F.round(F.avg(same.cast("double")), 6).alias("frac_same"),
+            F.count("*").alias("_nn"),
+        )
+        # frac_same is an exact integer ratio (k-NN votes / k): ratio6's
+        # BIGINT HALF_UP replaces the build-sensitive round(avg, 6)
+        # (r09 legacy-oracle conversion, parity rule 4)
+        .select(
+            "query_id",
+            "label",
+            "n_same",
+            ratio6("n_same", "_nn").alias("frac_same"),
         )
     )
 
 
 @register(
     "v_hard_negatives",
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id % 20 = 0
@@ -395,7 +405,7 @@ def v_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT query_id, negative_id,
-               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+               {fround_sql('list_cosine_similarity(qv, cv)', 6)} AS cos_sim
         FROM q JOIN c ON qlab <> nlab
     ),
     ranked AS (
@@ -765,11 +775,10 @@ def v_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v_int8_quantization_report",
     oracle="""
     WITH ex AS (
-        SELECT label, p.dim AS dim, CAST(p.val AS DOUBLE) AS val
+        SELECT label, i AS dim, CAST(v AS DOUBLE) AS val
         FROM (
-            SELECT label,
-                   unnest(list_transform(generate_series(1, len(embedding)),
-                          i -> {'dim': i, 'val': embedding[i]})) AS p
+            SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
             FROM embeddings
         )
     ),
@@ -787,9 +796,10 @@ def v_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex JOIN rng ON rng.dim = ex.dim
     )
     SELECT label, count(*) AS n_values,
-        cast(sum(cast((val - deq) * (val - deq)
-                      as decimal(27,12))) as double) / count(*) AS mse,
-        CAST(max(abs(val - deq)) AS DECIMAL(27, 8)) AS max_abs_err
+        CAST(sum(CAST(floor((val - deq) * (val - deq)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1000000000000.0 / count(*) AS mse,
+        max(abs(val - deq)) AS max_abs_err
     FROM q
     GROUP BY 1
     ORDER BY 1
@@ -808,10 +818,20 @@ def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rule of thumb: max_abs_err under half the typical inter-vector
     gap). Degenerate dims (hi == lo) pass through exactly. One explode
     scan to (dim) ranges, a broadcast-joined codec projection, one
-    label-grain aggregate: squared errors grid-snap via the
-    DECIMAL(27,12) cast (parity rule 4 — the cast rounds nearest on
-    both engines, no round(double, k) anywhere) and decimal-sum; MSE is
-    a raw final quotient. Cell-exact."""
+    label-grain aggregate.
+
+    Parity (rule 4, r08 revision — the DECIMAL(27,12)/(27,8) casts of
+    double error terms were driver-red in r08; double->decimal-grid
+    rounding is build surface): each squared error is converted to
+    exact 1e-12 integer units by PURE DOUBLE ARITHMETIC —
+    floor(err^2 * 1e12 + 0.5) — two correctly-rounded IEEE ops plus an
+    exact floor, so both engines take the identical branch at every
+    value with no engine rounding rule involved; the BIGINT units sum
+    order-free, and mse/max_abs_err are emitted as raw doubles.
+    Exact while per-label n_values * 6.4e7 fits BIGINT (~1e11 values
+    per label). The r09 canary c9_int8_decimal_cells keeps the old
+    decimal-cast form pinned alongside to confirm the construct under
+    the driver's build. Cell-exact."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
@@ -834,17 +854,16 @@ def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "val", deq.alias("deq")
     )
     err = F.col("val") - F.col("deq")
+    # exact 1e-12 units via pure double arithmetic + floor (see docstring)
+    u12 = F.floor(err * err * F.lit(1000000000000.0) + F.lit(0.5)).cast("long")
     return (
         q.groupBy("label")
         .agg(
             F.count("*").alias("n_values"),
-            # grid-snap by the DECIMAL cast itself (parity rule 4), never
-            # round(double, k): the cast is nearest-decimal on both engines
             (
-                F.sum((err * err).cast("decimal(27,12)")).cast("double")
-                / F.count("*")
+                F.sum(u12).cast("double") / 1000000000000.0 / F.count("*")
             ).alias("mse"),
-            F.max(F.abs(err)).cast("decimal(27,8)").alias("max_abs_err"),
+            F.max(F.abs(err)).alias("max_abs_err"),
         )
         .orderBy("label")
     )

@@ -155,6 +155,12 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PUNCT6_SQL = ratio6_sql(
+    "len(regexp_extract_all(text, '[^A-Za-z가-힣0-9" + "\\s]'))",
+    "greatest(length(text), 1)",
+)
+
+
 @register(
     "t_text_stats",
     oracle=f"""
@@ -163,11 +169,8 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         length(text) AS n_chars_actual,
         len(string_split({_NORM}, ' ')) AS n_words,
         {TS.BPEISH_SQL.format(col='text')} AS n_tokens_bpeish,
-        round(CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE)
-              / greatest(length(text), 1), 6) AS punct_ratio,
-        round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-              * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE)
-                       / greatest(length(text), 1)), 6) AS quality
+        {_PUNCT6_SQL} AS punct_ratio,
+        {TS.quality_score_sql('text')} AS quality
     FROM documents
     """,
     bench=True,
@@ -176,18 +179,28 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: char/word/BPE-ish token counts,
     punctuation ratio, composite quality score — the standard pre-training
-    quality-filter feature set, all codegen'd."""
+    quality-filter feature set, all codegen'd. Both ratio cells are exact
+    integer ratios via ratio6's BIGINT HALF_UP (r09 legacy conversion off
+    the build-sensitive round(double, 6))."""
     d = table(spark, sf_dir, "documents")
+    punct6 = ratio6(
+        r"regexp_count(text, '[^A-Za-z가-힣0-9\\s]')",
+        "greatest(length(text), 1)",
+    )
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         TS.whitespace_token_count("text").alias("n_words"),
         TS.bpe_ish_token_count("text").alias("n_tokens_bpeish"),
-        F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
+        punct6.alias("punct_ratio"),
         TS.quality_score("text").alias("quality"),
     )
 
 
+# The raw-double quality chain, still used by the legacy-green oracles
+# (round(_QUALITY_EXPR_SQL, 6) sites; conversion queue in
+# tools/parity_audit.py --plan). New cells use TS.quality_score_sql /
+# TS.quality_micro_sql — exact integer arithmetic — instead.
 _QUALITY_EXPR_SQL = (
     "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) "
     "* (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE) "
@@ -201,7 +214,8 @@ _QUALITY_EXPR_SQL = (
     SELECT
         lang,
         count(*) AS n_docs,
-        {dsum_sql(_QUALITY_EXPR_SQL, 9)} AS quality_sum,
+        CAST(sum({TS.quality_micro_sql('text')}) AS DOUBLE) / 1000000.0
+            AS quality_sum,
         {dsum_sql('length(text)', 0)} AS chars_total
     FROM documents
     GROUP BY lang
@@ -210,15 +224,20 @@ _QUALITY_EXPR_SQL = (
 )
 def t_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation roll-up: per-language doc counts, total quality mass,
-    char volume — the 'what do we keep' dashboard of a data pipeline."""
+    char volume — the 'what do we keep' dashboard of a data pipeline.
+    quality_sum aggregates the per-doc quality as exact 1e-6 BIGINT units
+    (textstats.quality_micro — order-free integer sum, one IEEE division
+    at the end), replacing the r03-era decimal(27,9) cast of the raw
+    double chain, which is the r08-red construct class (r09 legacy
+    conversion)."""
     from boxoffice_spark.functions.numeric import dsum
 
     d = table(spark, sf_dir, "documents")
-    len_signal = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
-    quality = len_signal * (1.0 - TS.punct_ratio("text"))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        dsum(quality, scale=9).alias("quality_sum"),
+        (F.sum(TS.quality_micro("text")).cast("double") / 1000000.0).alias(
+            "quality_sum"
+        ),
         dsum(F.length("text"), scale=0).alias("chars_total"),
     )
 
@@ -3274,7 +3293,11 @@ def t_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     so all three go through ratio6's BIGINT HALF_UP (parity rule 4; the
     former round(double, 6) went driver-red in round 7, and integer
     ratios CAN sit on 6dp grid ties). Exact while 2e6*S fits BIGINT,
-    i.e. n_docs < ~2.1e6 per run; beyond that, shard the audit.
+    i.e. n_docs <= 2.1e6 per run; past that Spark's non-ANSI BIGINT
+    arithmetic would WRAP SILENTLY (DuckDB raises), so the n_docs
+    projection carries an explicit raise_error guard — a too-large
+    corpus fails loudly on both engines instead of emitting a wrong
+    kappa (ADVICE r08). Beyond the bound, shard the audit.
     Banding (Landis-Koch) buckets the ratio6 double, identical on both
     engines by construction.
 
@@ -3297,8 +3320,17 @@ def t_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nsq = F.col("n_docs") * F.col("n_docs")
     knum = F.col("n_match") * F.col("n_docs") - F.col("s_prod")
+    # 2e6 * s_prod <= 2e6 * n_docs^2 must fit BIGINT: n_docs <= 2.1e6
+    n_guarded = F.when(F.col("n_docs") <= 2_100_000, F.col("n_docs")).otherwise(
+        F.raise_error(
+            F.lit(
+                "t_lang_id_agreement: n_docs exceeds the ratio6 BIGINT "
+                "bound (2.1e6 docs) — kappa would overflow; shard the audit"
+            )
+        )
+    )
     k = tot.crossJoin(F.broadcast(pe)).select(
-        "n_docs",
+        n_guarded.alias("n_docs"),
         ratio6("n_match", "n_docs").alias("observed_agreement"),
         ratio6("s_prod", "n_docs * n_docs").alias("expected_agreement"),
         F.when(

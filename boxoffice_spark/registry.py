@@ -72,75 +72,102 @@ _QUERY_MODULES = [
 # property/equality tests remain the stronger correctness evidence. Round-4
 # pins earned their green rows in CORRECTNESS_r04 and rotate out.
 _PINNED = [
-    # Round-8 window (VERDICT r07 tasks 1 and 4): exactly 50 names.
-    # First the 8 round-7 driver reds, re-fixed with engine-build-proof
-    # final projections (dec6 decimal casts / ratio6 exact integer
-    # HALF_UP / digit-arithmetic hex — tools/parity_audit.py documents
-    # the classes); each needs a fresh green row under the driver's own
-    # engine build, which is the only gate that can certify the fix.
+    # Round-9 window (VERDICT r08 tasks 1, 2, 3, 5): exactly 50 names.
+    # --- Task 1: the five 2x-red statistics, re-converted to the
+    # driver-PROVEN recipe (raw correctly-rounded doubles / exact integer
+    # ratios; every decimal-grid cast removed — dec6 was 0-for-6, ratio6
+    # 2-for-2 in CORRECTNESS_r08). Each needs a fresh driver green.
     "dq_ks_drift",
     "a_mann_whitney_u",
     "a_permutation_test",
     "a_kendall_tau",
     "a_cramers_v",
-    "t_lang_id_agreement",
-    "t_oov_rate",
-    "t_span_corruption",
-    # The 5 queries deferred from the r07 window (judge-verified
-    # cell-exact in round 6, never driver-green). Three were converted
-    # off fragile constructs this round ahead of their first driver
-    # appearance (e_surrogate_keys hex cast, w_activity_heatmap and
-    # v_int8_quantization_report final rounds).
-    "j_asof_nearest",
-    "w_activity_heatmap",
-    "t_bpe_pair_stats",
+    # --- Task 2: the two remaining reds plus their single-construct
+    # canaries (queries/canaries.py — TEMPORARY, removed in r10). The
+    # r09 red/green pattern across these localizes the divergent
+    # construct: v_int8 was converted (floor-based integer units); its
+    # canary keeps the old decimal-cast form. t_span_corruption is
+    # pinned UNCHANGED alongside its three aspect canaries.
     "v_int8_quantization_report",
-    "e_surrogate_keys",
-    # Freshness rotation (task 4): the 37 oracle-backed queries whose
-    # only driver green predates round 4 — all are round-1 greens.
-    # e_display_normalize leads because its oracle was converted this
-    # round (decimal-space cents), which voids its r01 green row.
-    "e_display_normalize",
-    "e_array_ops",
-    "e_backfill_overwrite",
-    "e_case_bucketing",
-    "e_coercive_cast",
-    "e_date_functions",
-    "e_date_sequence_explode",
-    "e_regex_extract_brackets",
-    "e_snake_case_rename",
-    "e_upsert_merge",
-    "i_hierarchical_rollup",
-    "i_latest_state_view",
-    "i_sessionize",
-    "i_sliding_window",
-    "i_tumbling_window",
-    "i_watermark_resume",
-    "j_broadcast_left_join",
-    "j_dispatch_join",
-    "j_fuzzy_containment",
-    "j_semi_join",
-    "j_star_join",
-    "j_two_key_priority",
-    "p_anti_join_new_keys",
-    "p_conjunctive_filter",
-    "p_distinct_subset",
-    "p_membership_filter",
-    "p_multikey_sort_limit",
-    "p_null_and_empty_filter",
-    "p_projection_daterange",
-    "p_rolling_window_filter",
-    "p_union_all_concat",
-    "p_union_dedup",
-    "w_cumulative_sum",
-    "w_datediff_derived",
-    "w_lag_delta",
-    "w_latest_per_key",
-    "w_rank_derive",
+    "c9_int8_decimal_cells",
+    "t_span_corruption",
+    "c9_span_mask_counts",
+    "c9_span_sentinels",
+    "c9_span_text",
+    # --- Task 3: the legacy-ledger validation slice — the 10 P1 queries
+    # with the OLDEST driver greens (r02-r03), converted to ratio6 /
+    # fround (floor-implemented HALF_UP) / digit arithmetic; plus
+    # t_quality_by_lang, whose scale-9 decimal cast of the raw quality
+    # chain the re-ranked audit (DECCAST class) flagged as the r08-red
+    # construct. Oracle edits void old greens, so all 11 re-pin here.
+    "v_embedding_near_dup_lsh",
+    "v_cosine_topk",
+    "v_cosine_topk_arrow",
+    "v_hard_negatives",
+    "v_knn_label_consistency",
+    "t_text_stats",
+    "t_repetition_stats",
+    "t_decontamination",
+    "t_decontamination_bloom",
+    "t_winnow_dup_pairs",
+    "t_quality_by_lang",
+    # --- Task 5: freshness rotation — the 28 oracle-backed queries with
+    # the oldest standing greens (newest green r02-r03; the r08 rotation
+    # refreshed everything older).
+    "a_count_rows",
+    "a_countdistinct_stringagg",
+    "a_group_topk",
+    "a_groupby_multi_agg",
+    "a_grouped_distinct",
+    "a_pivot_conditional",
+    "a_post_agg_sort_topk",
+    "a_rollup",
+    "a_watermark_max",
+    "dq_lineitem_key_unique",
+    "e_schema_introspection",
+    "j_asof_last_purchase",
+    "j_attribution_window",
+    "j_sliding_interval_count",
+    "k_salted_distinct",
+    "k_salted_join",
+    "m_asset_table",
+    "q_sql_agent_dialect",
+    "q_sql_dashboard_load",
+    "r_rest_page_scan",
+    "v_embedding_stats",
+    "a_approx_stats",
+    "a_grouping_sets",
+    "a_hll_sketch_rollup",
+    "dq_k_anonymity",
+    "dq_price_outliers",
+    "dq_profile",
+    "e_deletion_propagation",
+]
+
+# Round-8 window, retired: every name earned its driver row in
+# CORRECTNESS_r08 — 43 green + the 7 reds now re-pinned/decomposed above.
+_PINNED_R08_RETIRED = [
+    "dq_ks_drift", "a_mann_whitney_u", "a_permutation_test", "a_kendall_tau",
+    "a_cramers_v", "t_lang_id_agreement", "t_oov_rate", "t_span_corruption",
+    "j_asof_nearest", "w_activity_heatmap", "t_bpe_pair_stats",
+    "v_int8_quantization_report", "e_surrogate_keys", "e_display_normalize",
+    "e_array_ops", "e_backfill_overwrite", "e_case_bucketing",
+    "e_coercive_cast", "e_date_functions", "e_date_sequence_explode",
+    "e_regex_extract_brackets", "e_snake_case_rename", "e_upsert_merge",
+    "i_hierarchical_rollup", "i_latest_state_view", "i_sessionize",
+    "i_sliding_window", "i_tumbling_window", "i_watermark_resume",
+    "j_broadcast_left_join", "j_dispatch_join", "j_fuzzy_containment",
+    "j_semi_join", "j_star_join", "j_two_key_priority",
+    "p_anti_join_new_keys", "p_conjunctive_filter", "p_distinct_subset",
+    "p_membership_filter", "p_multikey_sort_limit",
+    "p_null_and_empty_filter", "p_projection_daterange",
+    "p_rolling_window_filter", "p_union_all_concat", "p_union_dedup",
+    "w_cumulative_sum", "w_datediff_derived", "w_lag_delta",
+    "w_latest_per_key", "w_rank_derive",
 ]
 
 # Round-7 window, retired: every name below earned its driver row in
-# CORRECTNESS_r07 (45 green/rows-only; the 8 reds are re-pinned above).
+# CORRECTNESS_r07 (45 green/rows-only; the 8 reds were re-pinned in r08).
 _PINNED_R07_RETIRED = [
     # Round-7 window (VERDICT r06 items 1, 2, 4): exactly 50 names.
     # First the 11 queries whose plan or oracle changed this round — the

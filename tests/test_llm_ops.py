@@ -435,6 +435,44 @@ def test_hot_bucket_cap_bounds_lsh_pairs(spark):
     assert len(found) < 20, f"bucket cap failed: {len(found)} pairs from identical block"
 
 
+def test_successor_cap_bounds_pairs_and_keeps_groups_connected(spark):
+    """max_successors (r09 scale contract): a duplicate group BELOW the
+    bucket cap must emit O(cap * k) pairs, not C(k, 2) — and the emitted
+    chain must still connect the whole group for downstream components."""
+    n_same = 60  # below max_postings, above max_successors
+    same = [
+        (i, "identical boilerplate body repeated verbatim across docs")
+        for i in range(n_same)
+    ]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", max_successors=8
+        ).collect()
+    ]
+    # bound: each of k postings pairs with <= 8 successors per bucket
+    assert 0 < len(pairs) <= 8 * n_same, len(pairs)
+    assert len(pairs) < n_same * (n_same - 1) // 2
+    # connectivity: union-find over emitted pairs links all 60 copies
+    parent = list(range(n_same))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_same)}) == 1, "group disconnected"
+    # exhaustive form is unchanged when requested
+    full = minhash_lsh_pairs(
+        df.filter(F.col("doc_id") < 10), "doc_id", "text", max_successors=None
+    ).count()
+    assert full == 45, full
+
+
 def test_winnow_guarantee_and_edge_docs(spark):
     """Winnowing's defining property: two documents sharing a substring of
     length >= w + k - 1 MUST share at least one fingerprint — plus the

@@ -63,6 +63,15 @@ def test_converted_round7_reds_are_clean():
         "e_display_normalize",
         "w_activity_heatmap",
         "v_int8_quantization_report",
+        # r09 validation-slice conversions (oldest-green P1s, fully clean)
+        "v_embedding_near_dup_lsh",
+        "t_repetition_stats",
+        "t_text_stats",
+        "t_quality_by_lang",
+        "v_cosine_topk",
+        "v_cosine_topk_arrow",
+        "v_hard_negatives",
+        "v_knn_label_consistency",
     }
     dirty = fixed & set(out["flagged"])
     assert not dirty, f"converted queries regressed to fragile: {sorted(dirty)}"

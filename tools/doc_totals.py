@@ -46,10 +46,13 @@ def check_alphas() -> list[str]:
     against SCALE_sf1.json (VERDICT r07 task 5: the ledger and the
     artifact must agree or the ledger gets trusted over the data).
 
-    Matches ``\\`name\\` ... -> A`` / ``alpha A`` / ``(A ...)`` windows.
-    Historical 'Round-N verification' sections record what an OLDER probe
-    artifact measured, so only the current-state region (before the first
-    'Round-6 verification:' heading) is enforced."""
+    Matches only EXPLICIT alpha markers next to a backticked query name —
+    ``\\`name\\` ... -> A``, ``alpha A``, ``α A`` — never a bare
+    parenthesized d.dd, which false-positived on unrelated timings/counts
+    near a probed name (ADVICE r08). Historical 'Round-N verification'
+    sections record what an OLDER probe artifact measured, so only the
+    current-state region (before the first 'Round-6 verification:'
+    heading) is enforced."""
     import json
 
     probe_path = os.path.join(REPO, "SCALE_sf1.json")
@@ -61,7 +64,7 @@ def check_alphas() -> list[str]:
     current = text if cut < 0 else text[:cut]
     errors = []
     pat = re.compile(
-        r"`([a-z0-9_]+)`[^`|]{0,160}?(?:->|alpha |α |\()\s*(\d\.\d\d)\b"
+        r"`([a-z0-9_]+)`[^`|]{0,160}?(?:->|alpha |α )\s*(\d\.\d\d)\b"
     )
     for m in pat.finditer(current):
         name, quoted = m.group(1), float(m.group(2))

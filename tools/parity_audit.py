@@ -23,22 +23,37 @@ GRID round         the argument is a decimal(p,s) expression cast back to
                    double with s <= k: the value already sits on the
                    k-grid, so any nearest-rounding implementation returns
                    it unchanged.
+DECCAST            ``cast(<computed double chain> as decimal(p,s))``:
+                   double->decimal-grid rounding is itself build surface —
+                   CORRECTNESS_r08 refuted the round-8 dec6 recipe 0-for-6
+                   (every decimal-cast cell stayed red while every ratio6
+                   cell greened). Heuristic: the cast argument contains a
+                   division or sqrt (value-preserving casts of fixed-scale
+                   money/products don't). Remedy: raw double or ratio6 /
+                   units_div exact integer arithmetic — NEVER dec6.
 HEX cast           ``'0x' || <hex>`` string-to-integer casts: parse
-                   semantics vary across DuckDB versions (the
-                   t_span_corruption red). Use explicit digit arithmetic
-                   (queries/text_pipeline._md5_mod100_sql).
-INDEXED lambda     ``(x, i) ->`` list_transform lambdas: the arrow-lambda
-                   surface is deprecated/versioned DuckDB sugar. Use
-                   ``unnest`` + ``generate_subscripts`` zipping.
+                   semantics vary across DuckDB versions (the original
+                   t_span_corruption red theory). Digit arithmetic
+                   (_md5_u60_sql / _md5_mod100_sql) is driver-PROVEN
+                   (e_surrogate_keys green, r08).
+INDEXED lambda     ``(x, i) ->`` list_transform lambdas: versioned DuckDB
+                   sugar; r07 greens carried them but
+                   v_int8_quantization_report went red in r08 while
+                   carrying one, so the class is re-promoted to high risk
+                   until a same-build green separates it from the decimal
+                   casts it rode with. Use ``unnest`` +
+                   ``generate_subscripts`` zipping.
 
-Fragile hits must either be converted (dec6/ratio6 in
-functions/numeric.py) or appear in LEGACY_GREEN below: queries whose
-fragile construct already holds a driver-green row on an UNCHANGED oracle
-— the driver's own engine build demonstrably agrees on those exact cells,
-and editing the oracle would void that evidence while the 50-slot
-correctness window cannot re-pin the whole registry in one round. The
-gate (tests/test_parity_audit.py) fails on any fragile hit OUTSIDE this
-ledger, so the class cannot grow.
+Fragile hits must either be converted (ratio6/units_div/raw doubles —
+dec6 is REFUTED, see functions/numeric.py) or appear in LEGACY_GREEN
+below: queries whose fragile construct already holds a driver-green row
+on an UNCHANGED oracle — the driver's own engine build demonstrably
+agrees on those exact cells, and editing the oracle would void that
+evidence while the 50-slot correctness window cannot re-pin the whole
+registry in one round. The gate (tests/test_parity_audit.py) fails on any
+fragile hit OUTSIDE this ledger, so the class cannot grow. (The r09
+canary queries — tag "canary" — are exempt: they pin red constructs on
+purpose so the driver localizes the divergence.)
 
 Run: ``python tools/parity_audit.py [--json]``
 """
@@ -52,9 +67,12 @@ import sys
 # Queries with driver-green rows (r01-r07) whose oracles retain a fragile
 # construct on purpose: their green row is evidence the driver build agrees
 # on the exact cells these fixtures produce, and an oracle edit voids it.
-# Shrink this list by converting entries whenever re-pin budget exists;
-# NEVER add a new query here (new queries must use dec6/ratio6/digit
-# arithmetic from the start).
+# Shrink this list by converting entries whenever re-pin budget exists
+# (r09 removed the 7 oldest-green ratio/cosine conversions: the two
+# cosine-topk forms, near-dup-lsh, hard-negatives, knn-consistency,
+# repetition-stats, text-stats — all pinned in the r09 window);
+# NEVER add a new query here (new queries must use ratio6/units_div/raw
+# doubles/digit arithmetic from the start — dec6 is refuted).
 LEGACY_GREEN: set[str] = {
     'a_ab_test_zstat',
     'a_abc_classification',
@@ -132,7 +150,6 @@ LEGACY_GREEN: set[str] = {
     't_ngram_novelty',
     't_perplexity_buckets',
     't_readability_scores',
-    't_repetition_stats',
     't_sequence_packing',
     't_simhash',
     't_simhash_fast',
@@ -140,7 +157,6 @@ LEGACY_GREEN: set[str] = {
     't_source_overlap_matrix',
     't_source_quality_report',
     't_temperature_mixture',
-    't_text_stats',
     't_token_budget_select',
     't_tokenizer_fertility',
     't_unigram_logprob',
@@ -149,14 +165,9 @@ LEGACY_GREEN: set[str] = {
     't_winnow_fingerprints',
     't_zipf_fit',
     'v_centroid_similarity_matrix',
-    'v_cosine_topk',
-    'v_cosine_topk_arrow',
     'v_embedding_drift',
     'v_embedding_near_dup',
-    'v_embedding_near_dup_lsh',
     'v_embedding_stats',
-    'v_hard_negatives',
-    'v_knn_label_consistency',
     'v_matryoshka_recall',
     'v_semantic_keepers',
     'w_acf_daily',
@@ -251,16 +262,64 @@ def classify_round(arg: str, scale_text: str) -> str:
     return "FRAGILE"
 
 
+_CAST_DEC = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+
+
+def _deccast_sites(sql: str):
+    """Yield cast arguments of ``cast(X as decimal(p,s))`` where X is a
+    COMPUTED double chain (contains a division or sqrt) — the construct
+    class CORRECTNESS_r08 proved build-sensitive. Value-preserving casts
+    (bare columns, fixed-scale money products) don't match."""
+    for m in _CAST_DEC.finditer(sql):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[start : i - 1]
+        # the ``as decimal`` of THIS cast is the one at paren-depth 0
+        # (nested casts inside the argument sit at depth > 0)
+        arg = None
+        for am in re.finditer(
+            r"\bas\s+(?:(decimal)\s*\(\s*\d+\s*,\s*(\d+)\s*\)|(double|bigint|int\w*))",
+            inner,
+            re.IGNORECASE,
+        ):
+            d = inner[: am.start()].count("(") - inner[: am.start()].count(")")
+            if d == 0:
+                arg = (inner[: am.start()].strip(), am.group(1), am.group(2))
+                break
+        if not arg or not arg[1]:
+            continue
+        body, _, scale = arg
+        # scale >= 6 casts are the grid class that went driver-red; low-
+        # scale casts of /2.0 midranks / cent money are value-preserving
+        if int(scale) < 6:
+            continue
+        if "/" in body or re.search(r"\bsqrt\s*\(", body, re.IGNORECASE):
+            yield body
+
+
 def audit() -> dict:
     sys.path.insert(0, ".")
     from boxoffice_spark.registry import load_all
 
     findings: dict[str, list[str]] = {}
-    counts = {"SAFE": 0, "GRID": 0, "FRAGILE": 0, "HEX": 0, "LAMBDA": 0}
+    counts = {
+        "SAFE": 0,
+        "GRID": 0,
+        "FRAGILE": 0,
+        "DECCAST": 0,
+        "HEX": 0,
+        "LAMBDA": 0,
+    }
     for name, spec in load_all().items():
         sql = spec.oracle
-        if not sql:
-            continue
+        if not sql or "canary" in spec.tags:
+            continue  # canaries pin red constructs on purpose
         probs: list[str] = []
         for arg, scale in _round_sites(sql):
             cls = classify_round(arg, scale)
@@ -268,6 +327,10 @@ def audit() -> dict:
             if cls == "FRAGILE":
                 head = " ".join(arg.split())[:80]
                 probs.append(f"FRAGILE round({head}..., {scale.strip()})")
+        for arg in _deccast_sites(sql):
+            counts["DECCAST"] += 1
+            head = " ".join(arg.split())[:80]
+            probs.append(f"DECCAST cast(({head}...) as decimal)")
         if re.search(r"'0x'\s*\|\|", sql):
             counts["HEX"] += 1
             probs.append("HEX '0x'||… string cast")
@@ -287,20 +350,31 @@ def audit() -> dict:
 
 
 def conversion_plan(out: dict) -> list[tuple[str, str, str]]:
-    """Rank the legacy-green ledger for future-round conversion (round-9
-    window budget): (priority, query, reason), highest risk first.
+    """Rank the legacy-green ledger for conversion: (priority, query,
+    reason), highest risk first. Re-ranked after CORRECTNESS_r08
+    (VERDICT r08 task 3): dec6 is REFUTED (0-for-6) — no remedy below
+    prescribes it; indexed lambdas and decimal casts of double chains
+    are promoted to P1-equivalent risk (v_int8_quantization_report went
+    red carrying both).
 
-    P1 integer-ratio-shaped rounds — the class that actually went
-       driver-red (grid ties reachable); convert to ratio6.
-    P2 other double-chain rounds (z/sqrt/log chains; irrational-ish but
-       the round() call itself is still build surface); convert to dec6.
-    P3 quantile/percentile interpolation rounds — add engine-identical
-       interpolation risk on top of the round; convert to dec-cast and
-       keep the interpolation contract note.
-    P4 hex casts / indexed lambdas ONLY — both construct classes passed
-       cell-exact under the driver's CURRENT build in round 7
-       (t_ngram_novelty, t_keyphrase_rake), so they are proven-safe
-       today and convert last.
+    P1 integer-ratio-shaped rounds — the proven-red class with the
+       proven-green remedy; convert to ratio6 (NEVER dec6). 10 of these
+       (the oldest greens, r02-r03) were converted and pinned in r09 as
+       the validation slice; blitz the rest only after those green.
+    P1 decimal casts of computed double chains (DECCAST) and indexed
+       lambdas — remedy: raw doubles / ratio6 / units_div, and
+       unnest+generate_subscripts.
+    P2 other double-chain rounds (z/sqrt/log) — remedy: emit the RAW
+       double (correctly-rounded IEEE chains are bit-deterministic) or
+       the statistic's square as a ratio6 rational; where a grid value
+       is load-bearing (tie-broken rankings), fround's floor-implemented
+       HALF_UP pins the implementation.
+    P3 quantile/percentile interpolation rounds — interpolation-contract
+       risk on top of the round; convert with fround + the type-7 note.
+    P4 hex casts ONLY — digit arithmetic is driver-proven
+       (e_surrogate_keys r08 green), but plain hex also holds r07/r08
+       greens, so these convert last. Nothing is 'proven' without a
+       same-round driver green on the exact construct.
     """
     plan = []
     for name in sorted(out["flagged"]):
@@ -308,15 +382,22 @@ def conversion_plan(out: dict) -> list[tuple[str, str, str]]:
             continue
         probs = out["flagged"][name]
         rounds = [p for p in probs if p.startswith("FRAGILE round")]
-        only_hexlam = not rounds
-        if only_hexlam:
-            plan.append(("P4", name, "hex/lambda only (driver-build-proven in r07)"))
+        has_deccast = any(p.startswith("DECCAST") for p in probs)
+        has_lambda = any(p.startswith("INDEXED") for p in probs)
+        if has_deccast or has_lambda:
+            plan.append(
+                ("P1", name, "decimal-cast-of-double / indexed lambda "
+                             "(r08-red class) -> raw double / ratio6 / "
+                             "generate_subscripts")
+            )
+        elif not rounds:
+            plan.append(("P4", name, "hex only (digit-arithmetic remedy is r08-proven)"))
         elif any("quantile" in p or "percentile" in p for p in rounds):
-            plan.append(("P3", name, "quantile interpolation round"))
+            plan.append(("P3", name, "quantile interpolation round -> fround"))
         elif any(("sqrt" in p or "ln(" in p or "log" in p or "exp(" in p) for p in rounds):
-            plan.append(("P2", name, "irrational-chain round -> dec6"))
+            plan.append(("P2", name, "irrational-chain round -> raw double / fround"))
         else:
-            plan.append(("P1", name, "ratio-shaped round -> ratio6/dec6"))
+            plan.append(("P1", name, "ratio-shaped round -> ratio6 (never dec6)"))
     order = {"P1": 0, "P2": 1, "P3": 2, "P4": 3}
     plan.sort(key=lambda t: (order[t[0]], t[1]))
     return plan
