@@ -69,11 +69,13 @@ def davg_sql(expr: str, scale: int = 6) -> str:
 
 
 def dec6(col: Column) -> Column:
-    """DEPRECATED (driver-refuted, 0-for-6 in CORRECTNESS_r08): casting a
+    """DEPRECATED (driver-refuted, 0-for-6 in CORRECTNESS_r08 and
+    re-confirmed by the r09 canary c9_int8_decimal_cells, red on the
+    verbatim construct while the converted real query greened): casting a
     full-mantissa double to DECIMAL(27,6) is double->decimal-grid rounding,
-    which varies across engine builds. Kept only for the round-9 canary
-    queries that measure exactly this construct; never use in new cells —
-    emit the raw double or use :func:`ratio6` / :func:`units_div`."""
+    which varies across engine builds. Kept (with its local parity test)
+    only as the documented counter-example; never use in new cells — emit
+    the raw double or use :func:`ratio6` / :func:`units_div`."""
     return col.cast("decimal(27,6)")
 
 

@@ -1696,7 +1696,9 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (n_first + n_second - 1.0)))) AS sigma
         FROM agg
     )
-    SELECT status, n_first, n_second,
+    SELECT status,
+        CAST(n_first AS BIGINT) AS n_first,
+        CAST(n_second AS BIGINT) AS n_second,
         CAST(u1 AS DECIMAL(20, 1)) AS u1,
         CASE WHEN sigma > 0 THEN (u1 - mu) / sigma END AS z_mwu,
         CASE WHEN sigma > 0 THEN abs((u1 - mu) / sigma) > 1.96 END
@@ -2046,10 +2048,11 @@ def _poisson1_ladder():
         FROM perm CROSS JOIN obs
         GROUP BY 1, 2, 3
     )
-    SELECT n_days_first, n_days_second,
+    SELECT CAST(n_days_first AS BIGINT) AS n_days_first,
+        CAST(n_days_second AS BIGINT) AS n_days_second,
         CAST(obs_num AS DOUBLE)
             / (100.0 * n_days_first * n_days_second) AS obs_diff,
-        b_reps, n_extreme,
+        b_reps, CAST(n_extreme AS BIGINT) AS n_extreme,
         {ratio6_sql('1 + n_extreme', 'b_reps + 1')} AS p_value
     FROM counted
     """,
@@ -2369,8 +2372,10 @@ def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT status, count(*) AS n_pairs,
-            sum(conc) AS concordant, sum(disc) AS discordant,
-            sum(tie_rev) AS ties_rev, sum(tie_cnt) AS ties_cnt
+            CAST(sum(conc) AS BIGINT) AS concordant,
+            CAST(sum(disc) AS BIGINT) AS discordant,
+            CAST(sum(tie_rev) AS BIGINT) AS ties_rev,
+            CAST(sum(tie_cnt) AS BIGINT) AS ties_cnt
         FROM pairs GROUP BY 1
     ),
     nd AS (SELECT status, count(*) AS n_days FROM daily GROUP BY 1)
@@ -2638,7 +2643,7 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        'CAST(grand AS HUGEINT) * rc', 9)})
                     AS BIGINT) AS chi2_u9,
             count(DISTINCT lang) AS r, count(DISTINCT source) AS c,
-            sum(n_obs) AS n
+            CAST(sum(n_obs) AS BIGINT) AS n
         FROM cells
     ),
     stat AS (

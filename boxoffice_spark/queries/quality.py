@@ -798,7 +798,9 @@ def dq_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ecdf
         GROUP BY status, n_first, n_second
     )
-    SELECT status, n_first, n_second,
+    SELECT status,
+        CAST(n_first AS BIGINT) AS n_first,
+        CAST(n_second AS BIGINT) AS n_second,
         {ratio6_sql('gap_num', 'gap_den')} AS ks_stat,
         1.358 * sqrt(CAST(n_first + n_second AS DOUBLE)
                      / (n_first * CAST(n_second AS DOUBLE))) AS ks_crit,

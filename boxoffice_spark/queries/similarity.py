@@ -829,9 +829,10 @@ def v_int8_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     value with no engine rounding rule involved; the BIGINT units sum
     order-free, and mse/max_abs_err are emitted as raw doubles.
     Exact while per-label n_values * 6.4e7 fits BIGINT (~1e11 values
-    per label). The r09 canary c9_int8_decimal_cells keeps the old
-    decimal-cast form pinned alongside to confirm the construct under
-    the driver's build. Cell-exact."""
+    per label). The r09 canary c9_int8_decimal_cells (removed in r10)
+    pinned the old decimal-cast form alongside and came back red while
+    this converted form greened — the construct is confirmed and the
+    floor-quantize recipe is the proven remedy. Cell-exact."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",

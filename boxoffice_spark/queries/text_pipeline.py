@@ -4173,9 +4173,9 @@ def _md5_mod100_sql(hexcol: str) -> str:
     ),
     spans AS (
         SELECT doc_id, token, pos,
-            sum(span_start) OVER (PARTITION BY doc_id ORDER BY pos
+            CAST(sum(span_start) OVER (PARTITION BY doc_id ORDER BY pos
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                AS span_id
+                AS BIGINT) AS span_id
         FROM spans0 WHERE masked
     )
     SELECT doc_id, span_id,

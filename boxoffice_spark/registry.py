@@ -58,8 +58,13 @@ _QUERY_MODULES = [
     "boxoffice_spark.queries.incremental",
     "boxoffice_spark.queries.relational",
     "boxoffice_spark.queries.streaming_checks",
-    # round-9 single-construct canaries (VERDICT r08 task 2) — REMOVE in r10
-    "boxoffice_spark.queries.canaries",
+    # The round-9 single-construct canary module (4 queries) was removed in
+    # r10 as planned: its decision table resolved — decimal-grid casts of
+    # computed doubles CONFIRMED driver-divergent (c9_int8_decimal_cells
+    # red vs converted real query green), un-cast HUGEINT window sums
+    # CONFIRMED divergent (c9_span_sentinels green with the BIGINT cast vs
+    # t_span_corruption red without), tokenize/coin/windows/string_agg each
+    # exonerated (all three span aspect canaries green). See COVERAGE.md.
 ]
 
 # Queries pulled to the very front of load_all() order regardless of module,
@@ -72,76 +77,75 @@ _QUERY_MODULES = [
 # property/equality tests remain the stronger correctness evidence. Round-4
 # pins earned their green rows in CORRECTNESS_r04 and rotate out.
 _PINNED = [
-    # Round-9 window (VERDICT r08 tasks 1, 2, 3, 5): exactly 50 names.
-    # --- Task 1: the five 2x-red statistics, re-converted to the
-    # driver-PROVEN recipe (raw correctly-rounded doubles / exact integer
-    # ratios; every decimal-grid cast removed — dec6 was 0-for-6, ratio6
-    # 2-for-2 in CORRECTNESS_r08). Each needs a fresh driver green.
+    # Round-10 window (VERDICT r09 tasks 1, 4, 5): exactly 50 names.
+    # --- Task 1: the six persistent reds, fixed by casting every
+    # HUGEINT-emitting oracle cell to BIGINT (the construct the r09
+    # canaries isolated: the red set was EXACTLY the set of oracles
+    # emitting a HUGEINT column, and c9_span_sentinels — the identical
+    # span pipeline WITH the cast — was driver-green while the un-cast
+    # t_span_corruption stayed red). Spark sides unchanged (already
+    # LongType); values unchanged; local compare green at sf0.01.
     "dq_ks_drift",
     "a_mann_whitney_u",
     "a_permutation_test",
     "a_kendall_tau",
     "a_cramers_v",
-    # --- Task 2: the two remaining reds plus their single-construct
-    # canaries (queries/canaries.py — TEMPORARY, removed in r10). The
-    # r09 red/green pattern across these localizes the divergent
-    # construct: v_int8 was converted (floor-based integer units); its
-    # canary keeps the old decimal-cast form. t_span_corruption is
-    # pinned UNCHANGED alongside its three aspect canaries.
-    "v_int8_quantization_report",
-    "c9_int8_decimal_cells",
     "t_span_corruption",
-    "c9_span_mask_counts",
-    "c9_span_sentinels",
-    "c9_span_text",
-    # --- Task 3: the legacy-ledger validation slice — the 10 P1 queries
-    # with the OLDEST driver greens (r02-r03), converted to ratio6 /
-    # fround (floor-implemented HALF_UP) / digit arithmetic; plus
-    # t_quality_by_lang, whose scale-9 decimal cast of the raw quality
-    # chain the re-ranked audit (DECCAST class) flagged as the r08-red
-    # construct. Oracle edits void old greens, so all 11 re-pin here.
-    "v_embedding_near_dup_lsh",
-    "v_cosine_topk",
-    "v_cosine_topk_arrow",
-    "v_hard_negatives",
-    "v_knn_label_consistency",
-    "t_text_stats",
-    "t_repetition_stats",
-    "t_decontamination",
-    "t_decontamination_bloom",
-    "t_winnow_dup_pairs",
-    "t_quality_by_lang",
-    # --- Task 5: freshness rotation — the 28 oracle-backed queries with
-    # the oldest standing greens (newest green r02-r03; the r08 rotation
-    # refreshed everything older).
-    "a_count_rows",
-    "a_countdistinct_stringagg",
-    "a_group_topk",
-    "a_groupby_multi_agg",
-    "a_grouped_distinct",
-    "a_pivot_conditional",
-    "a_post_agg_sort_topk",
-    "a_rollup",
-    "a_watermark_max",
-    "dq_lineitem_key_unique",
-    "e_schema_introspection",
-    "j_asof_last_purchase",
-    "j_attribution_window",
-    "j_sliding_interval_count",
-    "k_salted_distinct",
+    # --- Task 4: the round-10 legacy-conversion batch (parity_audit
+    # --plan P1, oldest-green-first), converted off round(double-chain)
+    # / decimal-cast-of-double to the driver-proven recipe (ratio6 /
+    # units_div / raw doubles / fround) and type-gated by hugeint_scan.
+    # Oracle edits void old greens, so every one re-pins here.
+    # First the 7 quality_score callers (ADVICE r09 medium: their Spark
+    # side moved to the exact ratio6 quality grid in r09, so their
+    # round(_QUALITY_EXPR_SQL, 6) raw-double oracles must follow):
+    "t_curation_funnel",
+    "t_source_quality_report",
+    "t_dedup_keep_best",
+    "t_dedup_apply",
+    "t_curriculum_phases",
+    "t_weighted_sample",
+    "t_token_budget_select",
+    # then the 2 casts the broadened DECCAST detector (ADVICE r09)
+    # newly flagged — double-product chains cast to decimal grids:
+    "dq_order_lineitem_reconcile",
     "k_salted_join",
-    "m_asset_table",
-    "q_sql_agent_dialect",
-    "q_sql_dashboard_load",
-    "r_rest_page_scan",
-    "v_embedding_stats",
-    "a_approx_stats",
-    "a_grouping_sets",
-    "a_hll_sketch_rollup",
-    "dq_k_anonymity",
-    "dq_price_outliers",
-    "dq_profile",
-    "e_deletion_propagation",
+    # then the P1 queue in plan order:
+    "a_ab_test_zstat",
+    "a_abc_classification",
+    "a_chi2_independence",
+    "a_dunn_posthoc",
+    "a_gini_concentration",
+    "a_kmv_overlap",
+    "a_kpi_decomposition",
+    "a_kruskal_wallis",
+    "a_market_basket_lift",
+    "a_mode_per_group",
+    "a_regression_by_group",
+    "a_spearman_rank_corr",
+    "dq_completeness_by_day",
+    "dq_distribution_drift",
+    "dq_duplicate_payments",
+    "dq_freshness_sla",
+    "dq_numeric_drift",
+    "dq_pii_prevalence",
+    "dq_schema_drift",
+    "g_degree_assortativity",
+    "g_degree_distribution",
+    "g_harmonic_centrality",
+    "g_link_prediction",
+    "g_pagerank_authority",
+    "g_triangle_census",
+    "j_band_join_bucketed",
+    "p_skyline_pareto",
+    "t_blocklist_gate",
+    "t_capture_recapture_dups",
+    "t_chi2_keywords",
+    "t_code_detection",
+    "t_corpus_datacard",
+    "t_heaps_law_fit",
+    "t_heavy_hitters",
+    "t_hybrid_rrf_search",
 ]
 
 # Round-8 window, retired: every name earned its driver row in

@@ -16,7 +16,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from parity_audit import LEGACY_GREEN, audit  # noqa: E402
+from parity_audit import LEGACY_GREEN, audit, hugeint_scan  # noqa: E402
 
 
 def test_no_untracked_fragile_constructs():
@@ -26,6 +26,23 @@ def test_no_untracked_fragile_constructs():
         f"legacy-green ledger: {sorted(out['untracked'])} — convert them "
         "to dec6/ratio6/digit-arithmetic (functions/numeric.py) before "
         "registering"
+    )
+
+
+def test_no_wide_typed_oracle_columns(sf_dir):
+    """VERDICT r09 task 2: the r07-r09 red set was EXACTLY the set of
+    oracles whose DuckDB result contained a HUGEINT (or DECIMAL(38,0))
+    column — the driver's engine build canonicalizes those differently
+    than local duckdb, so the value hash diverges on identical values.
+    DESCRIBE types every oracle against the fixture views without
+    executing it; no registered oracle may emit a wide-typed column
+    (cast the cell to BIGINT in the final projection — the fix the
+    driver itself proved via the r09 c9_span_sentinels canary)."""
+    hits = hugeint_scan(sf_dir)
+    assert not hits, (
+        "oracles emitting HUGEINT/DECIMAL(38,0) result columns (the "
+        f"r07-r09 driver-red construct): {hits} — CAST the cell to "
+        "BIGINT in the oracle's final projection"
     )
 
 

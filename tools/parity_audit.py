@@ -101,6 +101,12 @@ LEGACY_GREEN: set[str] = {
     'dq_duplicate_payments',
     'dq_freshness_sla',
     'dq_numeric_drift',
+    # dq_order_lineitem_reconcile + k_salted_join: newly FLAGGED in r10 by
+    # the broadened DECCAST detector (ADVICE r09: '-'/'*' chains of doubles,
+    # not just '/'/sqrt) — both hold driver greens on unchanged oracles
+    # (r07 / r09 pins), which is this ledger's admission criterion. They
+    # rank P1 in conversion_plan and convert with the standard recipe.
+    'dq_order_lineitem_reconcile',
     'dq_pii_prevalence',
     'dq_price_outliers',
     'dq_schema_drift',
@@ -113,6 +119,7 @@ LEGACY_GREEN: set[str] = {
     'g_pagerank_authority',
     'g_triangle_census',
     'j_band_join_bucketed',
+    'k_salted_join',
     'k_skew_report',
     'm_training_pairs',
     'p_skyline_pareto',
@@ -299,8 +306,55 @@ def _deccast_sites(sql: str):
         # scale casts of /2.0 midranks / cent money are value-preserving
         if int(scale) < 6:
             continue
-        if "/" in body or re.search(r"\bsqrt\s*\(", body, re.IGNORECASE):
+        # ADVICE r09: the exact r08-red construct was
+        # cast((val-deq)*(val-deq) as decimal(27,12)) — no division or
+        # sqrt in the cast body, just a '-'/'*' chain of computed doubles.
+        # Flag ANY arithmetic in a scale>=6 decimal cast body (the scale
+        # filter above already excludes the value-preserving money class).
+        if re.search(r"[-+*/]", body) or re.search(
+            r"\b(sqrt|exp|ln|log)\s*\(", body, re.IGNORECASE
+        ):
             yield body
+
+
+# Result-column types whose value-hash canonicalization diverges between
+# the driver's engine build and local duckdb (VERDICT r09: the r07-r09 red
+# set was EXACTLY the set of oracles emitting a HUGEINT column — DuckDB
+# promotes sum(INTEGER/BIGINT) to HUGEINT — while 0 of 43 greens did; the
+# driver's own A/B proved the BIGINT cast fixes it: c9_span_sentinels
+# green vs the un-cast t_span_corruption red). DECIMAL(38,0) is HUGEINT's
+# cast-shaped twin; UHUGEINT included for completeness.
+_WIDE_TYPE = re.compile(r"^(U?HUGEINT|DECIMAL\(38,\s*0\))$", re.IGNORECASE)
+
+# Static early warning for the same class: a final-projection sum( whose
+# result is not wrapped in a CAST. Heuristic only — the DESCRIBE-based
+# hugeint_scan below is the authoritative gate.
+_UNCAST_SUM = re.compile(r"(?<!\w)sum\s*\(", re.IGNORECASE)
+
+
+def hugeint_scan(sf_dir: str) -> dict[str, list[str]]:
+    """Run ``DESCRIBE <oracle>`` for every registered oracle against the
+    fixture views and return {query: ["col:TYPE", ...]} for any result
+    column whose DuckDB type is HUGEINT / UHUGEINT / DECIMAL(38,0) —
+    the one construct class that separates all six r07-r09 driver reds
+    from all greens. DESCRIBE binds and types the query without
+    executing it, so the scan is cheap even for heavy oracles.
+    Gate (tests/test_parity_audit.py): this must return {}."""
+    sys.path.insert(0, ".")
+    from boxoffice_spark.registry import load_all
+    from boxoffice_spark.testing import duckdb_connect
+
+    con = duckdb_connect(sf_dir)
+    hits: dict[str, list[str]] = {}
+    for name, spec in load_all().items():
+        if not spec.oracle or "canary" in spec.tags:
+            continue
+        cols = con.sql(f"DESCRIBE {spec.oracle}").fetchall()
+        bad = [f"{c}:{t}" for c, t, *_ in cols if _WIDE_TYPE.match(t.strip())]
+        if bad:
+            hits[name] = bad
+    con.close()
+    return hits
 
 
 def audit() -> dict:
@@ -404,6 +458,16 @@ def conversion_plan(out: dict) -> list[tuple[str, str, str]]:
 
 
 if __name__ == "__main__":
+    if "--types" in sys.argv:
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_TYPES_SF", "/root/testdata/sf0.01")
+        hits = hugeint_scan(sf)
+        if hits:
+            for n, cols in sorted(hits.items()):
+                print(f"  [WIDE-TYPE] {n}: {', '.join(cols)}")
+        print("wide-typed oracles:", len(hits))
+        sys.exit(0 if not hits else 1)
     out = audit()
     if "--plan" in sys.argv:
         for pri, name, why in conversion_plan(out):
