@@ -182,6 +182,25 @@ def fround(col: Column, k: int) -> Column:
     return F.signum(col) * F.floor(F.abs(col) * F.lit(s) + F.lit(0.5)) / s
 
 
+def funits(col: Column, k: int) -> Column:
+    """:func:`fround` in exact integer units: sign(x)*floor(abs(x)*10^k
+    + 0.5) as BIGINT — the SUMMABLE form of a pinned k-dp grid value.
+    Integer units aggregate order-free with no decimal cast of a double
+    anywhere (the refuted DECCAST class), and one IEEE division by 10^k
+    recovers the grid double bit-identically on every build. Exact while
+    abs(x)*10^k + 0.5 stays under 2^53."""
+    s = float(10**k)
+    return (
+        F.signum(col) * F.floor(F.abs(col) * F.lit(s) + F.lit(0.5))
+    ).cast("long")
+
+
+def funits_sql(expr: str, k: int) -> str:
+    """DuckDB twin of :func:`funits` (same op order)."""
+    s = float(10**k)
+    return f"CAST(sign({expr}) * floor(abs({expr}) * {s!r} + 0.5) AS BIGINT)"
+
+
 def fround_sql(expr: str, k: int) -> str:
     """DuckDB twin of :func:`fround` (same op order)."""
     s = float(10**k)

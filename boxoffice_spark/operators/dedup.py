@@ -113,10 +113,18 @@ def capped_pair_rows(
     GROUP SIZES grow with the corpus (a bucket of k verbatim copies is
     C(k,2) pairs under the cap-less form even when k is far below
     max_postings; measured alpha 1.18 on the sf1->sf10 decade probe).
-    The id-ordered successor chain keeps every group CONNECTED, so
-    downstream connected-components dedup clusters identically; what is
-    traded away is only the redundant intra-group pair mass beyond the
-    chain width. None = emit the full tail (exact-pairs contract).
+    Connectivity scope (ADVICE r09): the id-ordered successor chain keeps
+    every key's posting set connected IN THE CANDIDATE GRAPH — for a
+    bucket of homogeneous duplicates (the k-verbatim-copies case the cap
+    targets) downstream connected-components therefore clusters
+    identically. When a bucket MIXES distinct duplicate groups (or hash
+    collisions), a later exact-similarity rerank can filter chain links
+    that pass through dissimilar bucket-mates and split a cluster the
+    cap-less form kept connected — the cap can lower recall further on
+    mixed buckets, on top of banding's own probabilistic recall. What is
+    traded away in the homogeneous case is only the redundant intra-group
+    pair mass beyond the chain width. None = emit the full tail
+    (exact-pairs contract).
     """
     if max_postings is not None:
         wk = W.partitionBy(*key_cols)
@@ -291,6 +299,24 @@ def _word_hash(word: Column) -> Column:
 WORD_HASH_SQL = "CAST(('0x' || substring(md5({w}), 1, 15)) AS BIGINT)"
 
 
+def md5_u60_sql(hex_expr: str) -> str:
+    """Build-stable DuckDB SQL for the first-15-hex-digits of an md5 hex
+    string as a 60-bit BIGINT — the digit-arithmetic twin of
+    :func:`_word_hash` (strpos + BIGINT place-value constants, max term
+    15*16^14 < 2^63). Unlike ``WORD_HASH_SQL``'s '0x'-prefixed
+    string->BIGINT cast, whose parse semantics vary across DuckDB builds
+    (the t_span_corruption round-7 driver red), this form is pinned on
+    every engine build — it is the construct e_surrogate_keys holds a
+    driver green on (CORRECTNESS_r08). ``hex_expr`` must be a bare column
+    or cheap expression: it is referenced 15 times."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({hex_expr}, {d}, 1)) - 1)"
+        f" * {16 ** (15 - d)}"
+        for d in range(1, 16)
+    )
+    return f"({terms})"
+
+
 def _norm_words_py(text: str) -> list[str]:
     """Python twin of ``split(normalized_text(col), ' ')`` — shared by every
     map-side Arrow kernel so JVM/DuckDB parity lives in ONE place.
@@ -452,11 +478,17 @@ def minhash_lsh_pairs(
     the term that grows QUADRATICALLY in duplicate-group size even under
     the max_postings bucket cap (a corpus where copy-groups grow with
     volume, e.g. boilerplate at 100 TB, is exactly where that bites).
-    Groups of <= 17 copies still emit every pair; larger groups stay
-    CONNECTED through the id-ordered successor chain, so downstream
-    connected-components clustering (t_dedup_clusters*) is unchanged,
-    and only redundant intra-group pair mass is dropped. Pass
-    ``max_successors=None`` for the exhaustive-pairs form.
+    Groups of <= 17 copies still emit every pair; larger HOMOGENEOUS
+    duplicate groups stay connected through the id-ordered successor
+    chain in the CANDIDATE graph, so their connected-components clusters
+    are unchanged and only redundant intra-group pair mass is dropped.
+    Caveat (ADVICE r09): connectivity is pre-rerank — when one bucket
+    interleaves distinct duplicate groups (or hash collisions), the
+    exact-Jaccard rerank can cut chain links through dissimilar
+    bucket-mates and split a cluster the uncapped form kept, so recall
+    (already probabilistic under banding) can drop further on mixed
+    buckets (tests/test_llm_ops.py pins the homogeneous-group property).
+    Pass ``max_successors=None`` for the exhaustive-pairs form.
     """
     r = num_hashes // bands
     shingles = F.array_distinct(_word_ngrams_col(F.split(normalized_text(text_col), " "), n))

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from boxoffice_spark.functions.numeric import ratio6w
+
 
 def connected_components(
     pairs: DataFrame, src: str, dst: str, max_iters: int = 20
@@ -216,7 +218,7 @@ def pagerank(
     ranking use; add a dangling-redistribution term if mass conservation
     matters.
     """
-    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.functions.numeric import funits
 
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
@@ -237,16 +239,28 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
+        # r10 legacy conversion: each contribution quantizes to EXACT
+        # 1e-18 integer units via funits (pinned floor-implemented
+        # HALF_UP — the old decimal(27,18) cast of the rank/deg double
+        # was the refuted build-surface class) and sums exactly in
+        # DECIMAL(38,0); one IEEE division recovers the double.
         contrib = (
             e.join(out_deg, "_src")
             .join(ranks.withColumnRenamed("node", "_src"), "_src")
             .select(
                 F.col("_dst").alias("node"),
-                (F.col("rank") / F.col("_deg")).alias("_c"),
+                funits(F.col("rank") / F.col("_deg"), 18).alias("_cu"),
             )
         )
         inflow = contrib.groupBy("node").agg(
-            (F.lit(base) + F.lit(damping) * dsum("_c", 18)).alias("rank")
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (
+                    F.sum(F.col("_cu").cast("decimal(38,0)")).cast("double")
+                    / 1e18
+                )
+            ).alias("rank")
         )
         # eager=False: lineage still truncates, but the iteration work
         # executes inside the CALLER's action (bench-honest), not at
@@ -430,9 +444,12 @@ def triangle_stats(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
-            ).alias("global_clustering"),
+            # r10 legacy conversion: exact integer ratio via ratio6w's
+            # 128-bit HALF_UP (3*triangles can exceed ratio6's BIGINT
+            # headroom at corpus scale; round(double, 6) is build surface).
+            ratio6w("3 * n_triangles", "n_wedges").alias(
+                "global_clustering"
+            ),
         )
     )
 
@@ -524,7 +541,7 @@ def link_prediction_scores(
     so the k-set is deterministic.
     """
     from boxoffice_spark.functions.caching import scoped_persist
-    from boxoffice_spark.functions.numeric import dsum
+    from boxoffice_spark.functions.numeric import fround, units_div
 
     e = scoped_persist(
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")),
@@ -535,10 +552,15 @@ def link_prediction_scores(
     )
     deg = adj.groupBy("_c").agg(F.count("*").alias("_d"))
     centers = deg.filter(F.col("_d") <= max_center_degree)
+    # r10 legacy conversion: 1/d quantizes to EXACT 1e-15 integer units
+    # (units_div's BIGINT HALF_UP) so the RA sum is an exact integer —
+    # no decimal cast of an off-grid double anywhere; the display cell
+    # pins its 12dp grid via fround. Sum bound: <= max_center_degree
+    # terms of <= 1e15, far inside BIGINT.
     adjc = adj.join(centers, "_c").select(
-        "_c", "_x", (F.lit(1.0) / F.col("_d")).alias("_inv")
+        "_c", "_x", units_div("1", "_d", 15).alias("_inv_u")
     )
-    a1 = adjc.select("_c", F.col("_x").alias("_pa"), "_inv")
+    a1 = adjc.select("_c", F.col("_x").alias("_pa"), "_inv_u")
     a2 = adjc.select("_c", F.col("_x").alias("_pb"))
     scores = (
         a1.join(a2, "_c")
@@ -546,7 +568,9 @@ def link_prediction_scores(
         .groupBy("_pa", "_pb")
         .agg(
             F.count("*").alias("common_neighbors"),
-            F.round(dsum(F.col("_inv"), 18), 12).alias("ra_score"),
+            fround(F.sum("_inv_u").cast("double") / 1e15, 12).alias(
+                "ra_score"
+            ),
         )
     )
     non_adjacent = scores.join(

@@ -32,6 +32,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from boxoffice_spark.functions.numeric import ratio6
+
 
 def _mg_candidates(tokens: DataFrame, term_col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries survivors (term column only)."""
@@ -109,7 +111,9 @@ def exact_recount(
         .select(
             F.col("_t").alias(term_col),
             "term_count",
-            F.round(F.col("term_count") / F.col("_n"), 6).alias("frac"),
+            # r10 legacy conversion: exact integer ratio via ratio6's
+            # BIGINT HALF_UP (round(double, 6) is engine-build surface).
+            ratio6("term_count", "_n").alias("frac"),
         )
     )
 
@@ -119,7 +123,10 @@ WITH toks AS ({tokens_sql}),
 tot AS (SELECT count(*) AS n FROM toks)
 SELECT {term_col} AS {term_col},
        count(*) AS term_count,
-       round(CAST(count(*) AS DOUBLE) / any_value(tot.n), 6) AS frac
+       (CAST(((2 * CAST((count(*)) AS BIGINT) * 1000000
+        + CAST((any_value(tot.n)) AS BIGINT))
+        // (2 * CAST((any_value(tot.n)) AS BIGINT)))
+        AS DOUBLE) / 1000000.0) AS frac
 FROM toks, tot
 GROUP BY 1
 HAVING count(*) > any_value(tot.n) * {phi}

@@ -11,8 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from boxoffice_spark.functions.numeric import (
+    fround as _fround,
     ratio6 as _ratio6,
     ratio6_sql as _ratio6_sql,
+    units_div as _units_div,
 )
 from boxoffice_spark.operators.dedup import NORMALIZED_SQL, normalized_text
 
@@ -393,7 +395,11 @@ def bm25_topk(
         .select(
             "query_id",
             "doc_id",
-            F.round(idf * tf_part, 6).alias("term_score"),
+            # r10 legacy conversion: fround's pinned floor-implemented
+            # HALF_UP puts the ln-chain score on the 6dp grid identically
+            # on every engine build (round(double, 6) is build surface);
+            # the downstream decimal sum is then value-preserving.
+            _fround(idf * tf_part, 6).alias("term_score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -461,12 +467,15 @@ def rrf_fuse(rankings, k: int = 10, c: int = 60, round_to: int = 6):
     combiner — it needs only ranks, never score calibration, so a BM25
     list and a cosine list fuse without normalizing incomparable scores.
 
-    Determinism contract: ``1/(c + rank)`` is a single IEEE double
-    division (bit-identical in any engine), rounded to 10dp so the
-    per-doc accumulation can run through decimal (functions/numeric.dsum
-    — order-independent under Spark's nondeterministic partial-agg
-    order); the fused score is rounded to ``round_to`` and ties break on
-    doc_id — hence a cell-exact DuckDB oracle.
+    Determinism contract (r10 legacy conversion): each contribution is
+    the EXACT integer HALF_UP of 1/(c + rank) in 1e-10 units
+    (functions/numeric.units_div — BIGINT arithmetic, no engine rounding
+    rule anywhere), the per-doc accumulation is an exact integer sum
+    (order-free under Spark's nondeterministic partial-agg order), and
+    the fused score lands on the ``round_to`` grid via fround's pinned
+    floor-implemented HALF_UP; ties break on doc_id — hence a cell-exact
+    DuckDB oracle with no build-sensitive round(double, k) on either
+    side.
 
     Scale shape: the inputs are already top-k lists — |queries| x k rows
     each, orders of magnitude smaller than the corpora that produced
@@ -476,15 +485,13 @@ def rrf_fuse(rankings, k: int = 10, c: int = 60, round_to: int = 6):
     """
     from pyspark.sql import Window as W
 
-    from boxoffice_spark.functions.numeric import dsum
-
     if not rankings:
         raise ValueError("rrf_fuse: at least one ranking is required")
     contrib = [
         r.select(
             "query_id",
             "doc_id",
-            F.round(F.lit(1.0) / (F.lit(float(c)) + F.col("rank")), 10).alias("contrib"),
+            _units_div("1", f"{int(c)} + rank", 10).alias("u"),
         )
         for r in rankings
     ]
@@ -494,7 +501,14 @@ def rrf_fuse(rankings, k: int = 10, c: int = 60, round_to: int = 6):
     w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
         unioned.groupBy("query_id", "doc_id")
-        .agg(F.round(dsum("contrib", 10), round_to).alias("rrf_score"))
+        .agg(F.sum("u").alias("_su"))
+        .select(
+            "query_id",
+            "doc_id",
+            _fround(F.col("_su").cast("double") / 1e10, round_to).alias(
+                "rrf_score"
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "rank")

@@ -15,10 +15,16 @@ from boxoffice_spark.functions.numeric import (
     davg_sql,
     dsum,
     dsum_sql,
+    fround,
+    fround_sql,
+    funits_sql,
     ratio6,
     ratio6_sql,
+    ratio6w,
+    ratio6w_sql,
     units_div_sql,
 )
+from boxoffice_spark.operators.dedup import md5_u60_sql as _md5_u60
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -508,10 +514,11 @@ _KMV_ORACLE = f"""
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
     ),
+    dh0 AS (
+        SELECT DISTINCT m, md5(CAST(p AS VARCHAR)) AS hx FROM dv
+    ),
     dh AS (
-        SELECT DISTINCT m,
-            CAST(('0x' || substr(md5(CAST(p AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM dv
+        SELECT DISTINCT m, {_md5_u60('hx')} AS h FROM dh0
     ),
     sk AS (
         SELECT m, h FROM (
@@ -556,16 +563,15 @@ _KMV_ORACLE = f"""
     SELECT p.ma AS month_a, p.mb AS month_b,
         exa.exact_n AS exact_a, exb.exact_n AS exact_b,
         coalesce(exi.exact_common, 0) AS exact_common,
-        round(CAST(coalesce(exi.exact_common, 0) AS DOUBLE)
-              / (exa.exact_n + exb.exact_n - coalesce(exi.exact_common, 0)),
-              6) AS exact_jaccard,
-        round({{est_a}}, 3) AS est_a,
-        round({{est_b}}, 3) AS est_b,
-        round({{est_u}}, 3) AS est_union,
-        round(CAST(u.n_common AS DOUBLE) / CAST(u.n_u AS DOUBLE), 6)
-            AS jaccard_est,
-        round(CAST(u.n_common AS DOUBLE) / CAST(u.n_u AS DOUBLE)
-              * ({{est_u}}), 3) AS est_common
+        {ratio6_sql('coalesce(exi.exact_common, 0)',
+                    'exa.exact_n + exb.exact_n'
+                    ' - coalesce(exi.exact_common, 0)')} AS exact_jaccard,
+        {fround_sql('{est_a}', 3)} AS est_a,
+        {fround_sql('{est_b}', 3)} AS est_b,
+        {fround_sql('{est_u}', 3)} AS est_union,
+        {ratio6_sql('u.n_common', 'u.n_u')} AS jaccard_est,
+        {fround_sql('CAST(u.n_common AS DOUBLE) / CAST(u.n_u AS DOUBLE)'
+                    ' * ({est_u})', 3)} AS est_common
     FROM prs p
     JOIN gs ga ON ga.m = p.ma
     JOIN gs gb ON gb.m = p.mb
@@ -683,14 +689,18 @@ def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a",
             "exact_b",
             exc.alias("exact_common"),
-            F.round(
-                exc.cast("double") / (F.col("exact_a") + F.col("exact_b") - exc), 6
+            # r10 legacy conversion: jaccards are exact integer ratios
+            # (ratio6); the KMV estimates are raw-IEEE chains over exact
+            # integers pinned to the 3dp grid via fround.
+            ratio6(
+                "coalesce(exact_common_raw, 0)",
+                "exact_a + exact_b - coalesce(exact_common_raw, 0)",
             ).alias("exact_jaccard"),
-            F.round(est_a, 3).alias("est_a"),
-            F.round(est_b, 3).alias("est_b"),
-            F.round(est_u, 3).alias("est_union"),
-            F.round(jac, 6).alias("jaccard_est"),
-            F.round(jac * est_u, 3).alias("est_common"),
+            fround(est_a, 3).alias("est_a"),
+            fround(est_b, 3).alias("est_b"),
+            fround(est_u, 3).alias("est_union"),
+            ratio6("n_common", "n_u").alias("jaccard_est"),
+            fround(jac * est_u, 3).alias("est_common"),
         )
         .orderBy("month_a", "month_b")
     )
@@ -698,7 +708,7 @@ def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_ab_test_zstat",
-    oracle="""
+    oracle=f"""
     WITH ud AS (
         SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS day,
             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
@@ -722,11 +732,11 @@ def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM arms
     )
     SELECT n_control, conv_control,
-        round(CAST(conv_control AS DOUBLE) / n_control, 6) AS rate_control,
+        {ratio6_sql('conv_control', 'n_control')} AS rate_control,
         n_treatment, conv_treatment,
-        round(CAST(conv_treatment AS DOUBLE) / n_treatment, 6)
+        {ratio6_sql('conv_treatment', 'n_treatment')}
             AS rate_treatment,
-        round(
+        (
             (CAST(conv_treatment AS DOUBLE) / n_treatment
              - CAST(conv_control AS DOUBLE) / n_control)
             / sqrt(
@@ -736,7 +746,7 @@ def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (n_control + n_treatment))
                 * (CAST(1 AS DOUBLE) / n_control
                    + CAST(1 AS DOUBLE) / n_treatment)
-            ), 6) AS zstat,
+            )) AS zstat,
         abs(
             (CAST(conv_treatment AS DOUBLE) / n_treatment
              - CAST(conv_control AS DOUBLE) / n_control)
@@ -808,21 +818,24 @@ def a_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = (rate_t - rate_c) / se
+    # r10 legacy conversion: the rates are exact integer ratios (ratio6);
+    # z is a chain of correctly-rounded IEEE ops over exact integers, so
+    # the RAW double is bit-identical on every build — no round(double, 6).
     return wide.select(
         "n_control",
         "conv_control",
-        F.round(rate_c, 6).alias("rate_control"),
+        ratio6("conv_control", "n_control").alias("rate_control"),
         "n_treatment",
         "conv_treatment",
-        F.round(rate_t, 6).alias("rate_treatment"),
-        F.round(z, 6).alias("zstat"),
+        ratio6("conv_treatment", "n_treatment").alias("rate_treatment"),
+        z.alias("zstat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
 
 
 @register(
     "a_market_basket_lift",
-    oracle="""
+    oracle=f"""
     WITH basket AS (
         SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -835,12 +848,10 @@ def a_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT brand_a, brand_b, pair_count,
-        round(CAST(pair_count AS DOUBLE) / n.n_baskets, 6) AS support,
-        round(CAST(pair_count AS DOUBLE) / ia.item_count, 6) AS confidence,
-        round(
-            CAST(pair_count AS DOUBLE) * n.n_baskets
-            / (CAST(ia.item_count AS DOUBLE) * ib.item_count), 6
-        ) AS lift
+        {ratio6_sql('pair_count', 'n.n_baskets')} AS support,
+        {ratio6_sql('pair_count', 'ia.item_count')} AS confidence,
+        {ratio6w_sql('pair_count * n.n_baskets',
+                     'ia.item_count * ib.item_count')} AS lift
     FROM pair
     JOIN item ia ON ia.b = brand_a
     JOIN item ib ON ib.b = brand_b
@@ -887,7 +898,10 @@ def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("b").alias("brand_a"), F.col("item_count").alias("_ca"))
     ib = item.select(F.col("b").alias("brand_b"), F.col("item_count").alias("_cb"))
-    pc = F.col("pair_count").cast("double")
+    # r10 legacy conversion: all three cells are exact integer ratios —
+    # support/confidence via ratio6's BIGINT HALF_UP, lift via ratio6w's
+    # 128-bit path (its numerator pair_count * n_baskets is corpus² —
+    # exact while under 9.2e18, i.e. ~3e9 baskets).
     return (
         pair.join(F.broadcast(ia), "brand_a")
         .join(F.broadcast(ib), "brand_b")
@@ -896,12 +910,9 @@ def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "pair_count",
-            F.round(pc / F.col("n_baskets"), 6).alias("support"),
-            F.round(pc / F.col("_ca"), 6).alias("confidence"),
-            F.round(
-                pc * F.col("n_baskets") / (F.col("_ca").cast("double") * F.col("_cb")),
-                6,
-            ).alias("lift"),
+            ratio6("pair_count", "n_baskets").alias("support"),
+            ratio6("pair_count", "_ca").alias("confidence"),
+            ratio6w("pair_count * n_baskets", "_ca * _cb").alias("lift"),
         )
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(30)
@@ -922,16 +933,20 @@ def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT brand, count(*) AS n,
             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
             {dsum_sql('y', 4)} AS sy, {dsum_sql('x * y', 4)} AS sxy,
-            {dsum_sql('y * y', 8)} AS syy
+            CAST(sum(CAST({funits_sql('y', 4)} AS HUGEINT)
+                     * {funits_sql('y', 4)}) AS DOUBLE) / 1e8 AS syy
         FROM daily GROUP BY 1
     )
     SELECT brand, n,
-        round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        {fround_sql('(n * sxy - sx * sy)'
+                    ' / (n * sxx - CAST(sx AS DOUBLE) * sx)', 6)}
             AS slope,
-        round((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-              / n, 6) AS intercept,
-        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-              / ((n * sxx - CAST(sx AS DOUBLE) * sx) * (n * syy - sy * sy)), 6)
+        {fround_sql('(sy - ((n * sxy - sx * sy)'
+                    ' / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n', 6)}
+            AS intercept,
+        {fround_sql('(n * sxy - sx * sy) * (n * sxy - sx * sy)'
+                    ' / ((n * sxx - CAST(sx AS DOUBLE) * sx)'
+                    ' * (n * syy - sy * sy))', 6)}
             AS r2
     FROM s
     ORDER BY brand
@@ -968,13 +983,26 @@ def a_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # r10 legacy conversion: y*y is OFF the 8dp grid at daily-revenue
+    # magnitude (1e12 needs > 53 bits at 1e-8 resolution), so its decimal
+    # cast was the refuted double->decimal-grid class. Syy now accumulates
+    # as EXACT integer units — yu = funits(y, 4) recovers y's exact 1e-4
+    # units (y is on the 4dp grid by construction), yu*yu sums in
+    # DECIMAL(38,0)/HUGEINT (exact to 38 digits; ~2.4e23 at fixture
+    # magnitudes). Sy/Sxy keep the value-preserving decimal path. The
+    # three fitted cells pin their 6dp grid via fround.
+    from boxoffice_spark.functions.numeric import funits
+
+    yu = funits(F.col("y"), 4)
     s = daily.groupBy("brand").agg(
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         dsum("y", scale=4).alias("sy"),
         dsum(F.col("x") * F.col("y"), scale=4).alias("sxy"),
-        dsum(F.col("y") * F.col("y"), scale=8).alias("syy"),
+        (
+            F.sum(yu.cast("decimal(38,0)") * yu).cast("double") / 1e8
+        ).alias("syy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
@@ -984,9 +1012,9 @@ def a_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "brand",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+        fround(slope, 6).alias("slope"),
+        fround((sy - slope * sx) / n, 6).alias("intercept"),
+        fround(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     ).orderBy("brand")
 
 
@@ -1017,9 +1045,9 @@ def a_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY 1
     )
     SELECT segment, n,
-        round(sx, 2) AS total_spend,
-        round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini,
-        round(top_decile_x / sx, 6) AS top_decile_share
+        {fround_sql('sx', 2)} AS total_spend,
+        {fround_sql('(2 * six - (n + 1) * sx) / (n * sx)', 6)} AS gini,
+        {fround_sql('top_decile_x / sx', 6)} AS top_decile_share
     FROM agg
     ORDER BY segment
     """,
@@ -1068,12 +1096,16 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_decile_x"),
     )
     n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    # r10 legacy conversion: gini and the decile share are raw-IEEE
+    # chains over 2dp-grid decimal sums, pinned to the 6dp grid via
+    # fround (round(double, 6) is build surface); total_spend's round is
+    # the GRID class (sx already sits on the 2dp grid) and stays.
     return agg.select(
         "segment",
         "n",
-        F.round(sx, 2).alias("total_spend"),
-        F.round((2 * six - (n + 1) * sx) / (n * sx), 6).alias("gini"),
-        F.round(F.col("top_decile_x") / sx, 6).alias("top_decile_share"),
+        fround(sx, 2).alias("total_spend"),
+        fround((2 * six - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+        fround(F.col("top_decile_x") / sx, 6).alias("top_decile_share"),
     ).orderBy("segment")
 
 
@@ -1098,7 +1130,7 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rev
     )
     SELECT category, p_partkey, revenue,
-        round(cum_rev / tot_rev, 6) AS cum_share,
+        {fround_sql('cum_rev / tot_rev', 6)} AS cum_share,
         CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
              WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
              ELSE 'C' END AS abc_class
@@ -1147,11 +1179,13 @@ def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tot_rev"),
     )
     share = F.col("cum_rev") / F.col("tot_rev")
+    # r10 legacy conversion: the share is one IEEE division of decimal-
+    # grid doubles, pinned to 6dp via fround (not round(double, 6)).
     return walk.select(
         "category",
         "p_partkey",
         "revenue",
-        F.round(share, 6).alias("cum_share"),
+        fround(share, 6).alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
             "abc_class"
         ),
@@ -1178,10 +1212,10 @@ def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_cust
     )
     SELECT segment, count(*) AS n,
-        round(1.0 - 6.0 * CAST(sum(
+        {fround_sql('''1.0 - 6.0 * CAST(sum(
             (r_spend - r_freq) * (r_spend - r_freq)) AS BIGINT)
             / (CAST(count(*) AS DOUBLE)
-               * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6)
+               * (CAST(count(*) AS DOUBLE) * count(*) - 1))''', 6)}
             AS spearman_rho
     FROM ranked GROUP BY 1
     ORDER BY segment
@@ -1223,7 +1257,9 @@ def a_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("segment")
         .agg(
             n.alias("n"),
-            F.round(
+            # r10 legacy conversion: the rho chain is IEEE over exact
+            # integers; fround pins its 6dp grid (round is build surface).
+            fround(
                 F.lit(1.0)
                 - 6.0
                 * F.sum(d2).cast("long")
@@ -1553,7 +1589,7 @@ def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_chi2_independence",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
         SELECT o_orderpriority AS priority, o_orderstatus AS status,
             count(*) AS n_obs
@@ -1571,9 +1607,10 @@ def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND obs.status = ct.status
     ),
     cells AS (
-        SELECT priority, status, n_obs, round(expected, 6) AS expected,
-            round((n_obs - expected) * (n_obs - expected) / expected, 6)
-                AS contrib
+        SELECT priority, status, n_obs,
+            {fround_sql('expected', 6)} AS expected,
+            {fround_sql('(n_obs - expected) * (n_obs - expected)'
+                        ' / expected', 6)} AS contrib
         FROM grid
     ),
     tot AS (
@@ -1624,12 +1661,15 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected"),
         )
     )
+    # r10 legacy conversion: expected/contrib are IEEE chains over exact
+    # integers, pinned to the 6dp grid via fround (round is build
+    # surface); the decimal sum of on-grid contribs stays value-preserving.
     cells = grid.select(
         "priority",
         "status",
         "n_obs",
-        F.round("expected", 6).alias("expected"),
-        F.round(
+        fround(F.col("expected"), 6).alias("expected"),
+        fround(
             (F.col("n_obs") - F.col("expected"))
             * (F.col("n_obs") - F.col("expected"))
             / F.col("expected"),
@@ -2485,8 +2525,8 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_group AS (
         SELECT grp, count(*) AS n_i,
-            CAST(sum(CAST(rk + (tie_n - 1) / 2.0 AS DECIMAL(20, 1)))
-                AS DOUBLE) AS r_i
+            CAST(sum(CAST(rk + (tie_n - 1) / 2.0 AS DECIMAL(20, 1))) * 10
+                AS BIGINT) AS r_iu
         FROM ranked GROUP BY 1
     ),
     ties AS (
@@ -2497,8 +2537,9 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat AS (
         SELECT t.n_total, count(*) AS n_groups,
             12.0 / (t.n_total * (t.n_total + 1.0))
-                * cast(sum(cast(round(g.r_i * g.r_i / g.n_i, 4)
-                                as decimal(27,4))) as double)
+                * (CAST(sum({units_div_sql(
+                        'CAST(g.r_iu AS HUGEINT) * g.r_iu',
+                        '100 * g.n_i', 4)}) AS DOUBLE) / 1e4)
                 - 3.0 * (t.n_total + 1.0) AS h_raw,
             1.0 - t.tie_sum
                 / (CAST(t.n_total AS DOUBLE) * t.n_total * t.n_total
@@ -2506,12 +2547,13 @@ def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_group g, ties t
         GROUP BY t.n_total, t.tie_sum
     )
-    SELECT n_total, n_groups, round(h_raw, 6) AS h_raw,
-        round(tie_c, 8) AS tie_c,
-        CASE WHEN tie_c > 0 THEN round(h_raw / tie_c, 6) END AS h_stat,
+    SELECT n_total, n_groups, {fround_sql('h_raw', 6)} AS h_raw,
+        {fround_sql('tie_c', 8)} AS tie_c,
+        CASE WHEN tie_c > 0 THEN {fround_sql('h_raw / tie_c', 6)} END
+            AS h_stat,
         n_groups - 1 AS df,
         CASE WHEN tie_c > 0 THEN
-            round(h_raw / tie_c, 6) > CASE n_groups - 1
+            {fround_sql('h_raw / tie_c', 6)} > CASE n_groups - 1
                 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
                 WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
                 ELSE 0 END
@@ -2551,16 +2593,26 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_rank).alias("rk"),
         F.count("*").over(w_tie).alias("tie_n"),
     )
+    # r10 legacy conversion: R_i is exact in 0.1-units (midrank sums), so
+    # each R_i^2/n_i term is an exact rational HALF_UP-quantized to 1e-4
+    # units in 128-bit integer math (units_div) and summed exactly — the
+    # old round(double, 4) + decimal cast was the refuted DECCAST class.
+    # Final cells pin their grids via fround.
+    from boxoffice_spark.functions.numeric import units_div
+
     avg_rank = (F.col("rk") + (F.col("tie_n") - 1) / 2.0).cast("decimal(20,1)")
     per_group = ranked.groupBy("grp").agg(
         F.count("*").alias("n_i"),
-        F.sum(avg_rank).cast("double").alias("r_i"),
+        (F.sum(avg_rank) * 10).cast("long").alias("r_iu"),
     )
     ties = ranked.agg(
         F.sum(F.col("tie_n") * F.col("tie_n") - 1).cast("double").alias("tie_sum"),
         F.count("*").alias("n_total"),
     )
     nt = F.col("n_total").cast("double")
+    term_u = units_div(
+        "CAST(r_iu AS DECIMAL(38,0)) * r_iu", "100 * n_i", 4
+    )
     stat = (
         per_group.crossJoin(F.broadcast(ties))
         .groupBy("n_total", "tie_sum")
@@ -2569,11 +2621,10 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 12.0
                 / (nt * (nt + 1.0))
-                * F.sum(
-                    F.round(
-                        F.col("r_i") * F.col("r_i") / F.col("n_i"), 4
-                    ).cast("decimal(27,4)")
-                ).cast("double")
+                * (
+                    F.sum(term_u.cast("decimal(38,0)")).cast("double")
+                    / 1e4
+                )
                 - 3.0 * (nt + 1.0)
             ).alias("h_raw"),
             F.first(
@@ -2595,9 +2646,9 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat.select(
             "n_total",
             "n_groups",
-            F.round("h_raw", 6).alias("h_raw"),
-            F.round("tie_c", 8).alias("tie_c"),
-            F.when(F.col("tie_c") > 0, F.round(h, 6)).alias("h_stat"),
+            fround(F.col("h_raw"), 6).alias("h_raw"),
+            fround(F.col("tie_c"), 8).alias("tie_c"),
+            F.when(F.col("tie_c") > 0, fround(h, 6)).alias("h_stat"),
             (F.col("n_groups") - 1).alias("df"),
         )
         .select(
@@ -2684,7 +2735,10 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (order-free), and chi2 plus both V cells are emitted as
     raw doubles derived from that one integer by correctly-rounded
     IEEE ops only — nothing is ever rounded on a decimal grid. Exact
-    while dv^2*2e9 fits 38 digits (n below ~3e7 documents; the grid
+    while dv^2*2e9 fits 38 digits (|dv| reaches ~n^2, so n below ~1.5e7
+    documents — guarded by an explicit raise_error so a too-large corpus
+    fails loudly on both engines instead of Spark's non-ANSI decimal
+    overflow silently dropping NULL cells from the sum; the grid
     statistic is for datacard-scale grids — past that, drop the units
     scale). One shuffle to the R x C grain, constant-size after.
     Cell-exact."""
@@ -2731,8 +2785,23 @@ def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("c"),
         F.sum("n_obs").alias("n"),
     )
+    # ADVICE r09: 2*dv^2*1e9 must fit DECIMAL(38,0) and |dv| can reach
+    # ~n^2, so the exactness bound is n <= ~1.5e7 documents (not the
+    # ~3e7 previously stated). Past it Spark's non-ANSI decimal overflow
+    # yields NULL cells that F.sum silently DROPS (wrong chi2) while
+    # DuckDB raises — so fail loudly on both engines instead.
+    n_guarded = F.when(F.col("n") <= 15_000_000, F.col("n")).otherwise(
+        F.raise_error(
+            F.lit(
+                "a_cramers_v: n exceeds the units_div DECIMAL(38,0) "
+                "bound (~1.5e7 docs) — chi2 would silently drop "
+                "overflowed cells; shard the grid or drop the 1e-9 "
+                "units scale"
+            )
+        )
+    )
     stat = tot.select(
-        "n",
+        n_guarded.alias("n"),
         "r",
         "c",
         (F.col("chi2_u9").cast("double") / 1000000000.0).alias("chi2"),
@@ -2880,12 +2949,12 @@ def a_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly
     )
     SELECT mon, n_orders, revenue,
-        round(revenue - rev_prev, 2) AS delta_revenue,
-        round((n_orders - n_prev)
-              * ((revenue / n_orders + rev_prev / n_prev) / 2), 4)
+        {fround_sql('revenue - rev_prev', 2)} AS delta_revenue,
+        {fround_sql('(n_orders - n_prev)'
+                    ' * ((revenue / n_orders + rev_prev / n_prev) / 2)', 4)}
             AS volume_effect,
-        round((revenue / n_orders - rev_prev / n_prev)
-              * ((n_orders + n_prev) / 2.0), 4) AS aov_effect
+        {fround_sql('(revenue / n_orders - rev_prev / n_prev)'
+                    ' * ((n_orders + n_prev) / 2.0)', 4)} AS aov_effect
     FROM paired
     WHERE n_prev IS NOT NULL
     ORDER BY mon
@@ -2922,15 +2991,18 @@ def a_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_prev").isNotNull())
     aov = F.col("revenue") / F.col("n_orders")
     aov_prev = F.col("rev_prev") / F.col("n_prev")
+    # r10 legacy conversion: all three effect cells pin their grids via
+    # fround (the chains are IEEE over decimal-grid sums and exact counts;
+    # round(double, k) is build surface).
     return paired.select(
         "mon",
         "n_orders",
         "revenue",
-        F.round(F.col("revenue") - F.col("rev_prev"), 2).alias("delta_revenue"),
-        F.round(
+        fround(F.col("revenue") - F.col("rev_prev"), 2).alias("delta_revenue"),
+        fround(
             (F.col("n_orders") - F.col("n_prev")) * ((aov + aov_prev) / 2), 4
         ).alias("volume_effect"),
-        F.round(
+        fround(
             (aov - aov_prev) * ((F.col("n_orders") + F.col("n_prev")) / 2.0), 4
         ).alias("aov_effect"),
     ).orderBy("mon")
@@ -2980,7 +3052,7 @@ def a_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS z
         FROM pairs
     )
-    SELECT grp_a, grp_b, n_a, n_b, round(z, 6) AS z_dunn,
+    SELECT grp_a, grp_b, n_a, n_b, z AS z_dunn,
         abs(z) > 2.807 AS significant_bonf
     FROM stat
     ORDER BY grp_a, grp_b
@@ -3043,12 +3115,15 @@ def a_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nt * (F.col("n_total") + 1) / 12.0 - F.col("tie_sum") / (12.0 * (nt - 1)))
         * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    # r10 legacy conversion: z is a correctly-rounded IEEE chain over the
+    # decimal midrank sums and exact counts — emitted RAW (the driver-
+    # proven a_mann_whitney_u posture), no round(double, 6).
     return pairs.select(
         "grp_a",
         "grp_b",
         "n_a",
         "n_b",
-        F.round(z, 6).alias("z_dunn"),
+        z.alias("z_dunn"),
         (F.abs(z) > 2.807).alias("significant_bonf"),
     ).orderBy("grp_a", "grp_b")
 

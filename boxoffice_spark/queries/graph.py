@@ -7,7 +7,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import dsum_sql
+from boxoffice_spark.functions.numeric import (
+    dsum_sql,
+    fround,
+    fround_sql,
+    funits_sql,
+    ratio6,
+    ratio6_sql,
+    ratio6w,
+    ratio6w_sql,
+    units_div_sql,
+)
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -23,7 +33,9 @@ def _iter_cte(prev: str, cur: str) -> str:
     return f"""
     i{cur} AS (
         SELECT e.dst AS node,
-               {_BASE} + {_D} * {dsum_sql('r.rank / deg.deg', 18)} AS rank
+               {_BASE} + {_D}
+                   * (CAST(sum({funits_sql('r.rank / deg.deg', 18)})
+                           AS DOUBLE) / 1e18) AS rank
         FROM e
         JOIN deg ON deg.src = e.src
         JOIN r{prev} r ON r.node = e.src
@@ -48,8 +60,9 @@ _PAGERANK_ORACLE = f"""
     {_iter_cte('0', '1')},
     {_iter_cte('1', '2')},
     {_iter_cte('2', '3')}
-    SELECT node, round(rank, 12) AS rank,
-           CAST(ROW_NUMBER() OVER (ORDER BY round(rank, 12) DESC, node) AS INT) AS rnk
+    SELECT node, {fround_sql('rank', 12)} AS rank,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY {fround_sql('rank', 12)} DESC, node) AS INT) AS rnk
     FROM r3
     ORDER BY rnk
     LIMIT 20
@@ -84,8 +97,10 @@ def g_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pulling the FULL node set through one partition for a global
     # row_number window. The rank column is then assigned over just the 20
     # survivors — a 20-row window is free at any corpus scale.
+    # r10 legacy conversion: fround pins the 12dp display grid (round is
+    # build surface; the rank chain itself is decimal-summed/IEEE-exact).
     top = (
-        ranks.withColumn("rank", F.round("rank", 12))
+        ranks.withColumn("rank", fround(F.col("rank"), 12))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
@@ -93,7 +108,7 @@ def g_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
-_TRIANGLE_ORACLE = """
+_TRIANGLE_ORACLE = f"""
     WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v
           FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
@@ -109,7 +124,7 @@ _TRIANGLE_ORACLE = """
            (SELECT count(*) FROM e) AS n_edges,
            (SELECT w FROM wed) AS n_wedges,
            (SELECT t FROM tri) AS n_triangles,
-           round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+           {ratio6w_sql('3 * (SELECT t FROM tri)', '(SELECT w FROM wed)')}
                AS global_clustering
 """
 
@@ -190,12 +205,14 @@ _LINKPRED_ORACLE = f"""
     adj AS (SELECT u AS c, v AS x FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
     ctr AS (SELECT c, d FROM deg WHERE d <= 64),
-    ax AS (SELECT a.c, a.x, CAST(1 AS DOUBLE) / ctr.d AS inv
+    ax AS (SELECT a.c, a.x, {units_div_sql('1', 'ctr.d', 15)} AS inv_u
            FROM adj a JOIN ctr ON ctr.c = a.c),
-    wp AS (SELECT a1.x AS pa, a2.x AS pb, a1.inv
+    wp AS (SELECT a1.x AS pa, a2.x AS pb, a1.inv_u
            FROM ax a1 JOIN ax a2 ON a1.c = a2.c AND a1.x < a2.x),
     sc AS (SELECT pa, pb, count(*) AS common_neighbors,
-                  round({dsum_sql('inv', 18)}, 12) AS ra_score
+                  {fround_sql(
+                      'CAST(CAST(sum(inv_u) AS BIGINT) AS DOUBLE) / 1e15',
+                      12)} AS ra_score
            FROM wp GROUP BY 1, 2),
     ne AS (SELECT * FROM sc WHERE NOT EXISTS (
                SELECT 1 FROM e WHERE e.u = sc.pa AND e.v = sc.pb))
@@ -244,7 +261,7 @@ def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_degree_distribution",
-    oracle="""
+    oracle=f"""
     WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v
           FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
@@ -254,8 +271,8 @@ def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1),
     tot AS (SELECT count(*) AS n, CAST(sum(d) AS BIGINT) AS dsum FROM deg)
     SELECT degree, n_nodes,
-        round(CAST(n_nodes AS DOUBLE) / tot.n, 6) AS frac_nodes,
-        round(CAST(degree AS DOUBLE) * n_nodes / tot.dsum, 6) AS frac_degree_mass
+        {ratio6_sql('n_nodes', 'tot.n')} AS frac_nodes,
+        {ratio6w_sql('degree * n_nodes', 'tot.dsum')} AS frac_degree_mass
     FROM hist, tot
     ORDER BY degree
     """,
@@ -291,17 +308,16 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = deg.agg(
         F.count("*").alias("n"), F.sum("d").cast("long").alias("dsum")
     )
+    # r10 legacy conversion: both shares are exact integer ratios (ratio6
+    # / ratio6w — degree * n_nodes is corpus-squared, so the mass share
+    # takes the 128-bit path).
     return (
         hist.crossJoin(F.broadcast(tot))
         .select(
             "degree",
             "n_nodes",
-            F.round(F.col("n_nodes").cast("double") / F.col("n"), 6).alias(
-                "frac_nodes"
-            ),
-            F.round(
-                F.col("degree").cast("double") * F.col("n_nodes") / F.col("dsum"), 6
-            ).alias("frac_degree_mass"),
+            ratio6("n_nodes", "n").alias("frac_nodes"),
+            ratio6w("degree * n_nodes", "dsum").alias("frac_degree_mass"),
         )
         .orderBy("degree")
     )
@@ -601,7 +617,7 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g_degree_assortativity",
-    oracle="""
+    oracle=f"""
     WITH pl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     e AS (SELECT DISTINCT a.p AS u, b.p AS v
           FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
@@ -627,9 +643,11 @@ def g_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (SELECT count(*) FROM e) AS n_edges
     )
     SELECT n_nodes, n_edges,
-        round(CAST(2 * n_edges AS DOUBLE) / n_nodes, 4) AS mean_degree,
+        {fround_sql('CAST(2 * n_edges AS DOUBLE) / n_nodes', 4)}
+            AS mean_degree,
         CASE WHEN n * sxx - sx * sx > 0
-            THEN round((n * sxy - sx * sx)  / (n * sxx - sx * sx), 6) END
+            THEN {fround_sql('(n * sxy - sx * sx)'
+                             ' / (n * sxx - sx * sx)', 6)} END
             AS assortativity
     FROM s CROSS JOIN tot
     """,
@@ -692,14 +710,16 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx = F.col("n"), F.col("sx")
     var_n = n * F.col("sxx") - sx * sx
+    # r10 legacy conversion: both cells are IEEE chains over exact
+    # integer moments, pinned to their grids via fround.
     return s.crossJoin(F.broadcast(tot)).select(
         "n_nodes",
         "n_edges",
-        F.round((2 * F.col("n_edges")).cast("double") / F.col("n_nodes"), 4).alias(
-            "mean_degree"
-        ),
+        fround(
+            (2 * F.col("n_edges")).cast("double") / F.col("n_nodes"), 4
+        ).alias("mean_degree"),
         F.when(
-            var_n > 0, F.round((n * F.col("sxy") - sx * sx) / var_n, 6)
+            var_n > 0, fround((n * F.col("sxy") - sx * sx) / var_n, 6)
         ).alias("assortativity"),
     )
 
@@ -720,13 +740,13 @@ _HARMONIC_ORACLE = f"""
     {_bfs_round('3', '4')},
     per_node AS (
         SELECT node, count(*) AS n_seeds_reached,
-            sum(cast(round(1.0 / dist, 8) as decimal(20,8))) AS h_dec
+            CAST(sum({units_div_sql('1', 'dist', 8)}) AS BIGINT) AS h_u
         FROM d4 WHERE dist > 0 GROUP BY 1
     )
     SELECT node, n_seeds_reached,
-        cast(h_dec as double) AS h_raw,
-        cast(round(h_dec * n_nodes * CAST(0.0625 AS DECIMAL(6,4)), 4)
-             AS DOUBLE) AS h_scaled
+        CAST(h_u AS DOUBLE) / 1e8 AS h_raw,
+        CAST({units_div_sql('h_u * n_nodes', '1600000000', 4)}
+             AS DOUBLE) / 1e4 AS h_scaled
     FROM per_node, nn
     ORDER BY node
 """
@@ -796,13 +816,20 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+    # r10 legacy conversion: 1/d quantizes to EXACT 1e-8 integer units
+    # (units_div — the old round(double, 8) + decimal cast pair was the
+    # refuted build-surface class), the <=16-term sum is an exact BIGINT,
+    # and the n/16 scaling is one more exact integer HALF_UP
+    # (units_div(h_u * n, 16e8, 4)); both display cells are single IEEE
+    # divisions of exact integers.
+    from boxoffice_spark.functions.numeric import units_div
+
     per_node = (
         dist.filter(F.col("dist") > 0)
         .groupBy("node")
         .agg(
             F.count("*").alias("n_seeds_reached"),
-            F.sum(F.round(1.0 / F.col("dist"), 8).cast("decimal(20,8)"))
-            .alias("h_dec"),
+            F.sum(units_div("1", "dist", 8)).alias("h_u"),
         )
     )
     return (
@@ -810,15 +837,11 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "node",
             "n_seeds_reached",
-            F.col("h_dec").cast("double").alias("h_raw"),
-            F.round(
-                F.col("h_dec")
-                * F.col("n_nodes").cast("decimal(10,0)")
-                * F.lit("0.0625").cast("decimal(6,4)"),
-                4,
-            )
-            .cast("double")
-            .alias("h_scaled"),
+            (F.col("h_u").cast("double") / 1e8).alias("h_raw"),
+            (
+                units_div("h_u * n_nodes", "1600000000", 4).cast("double")
+                / 1e4
+            ).alias("h_scaled"),
         )
         .orderBy("node")
     )

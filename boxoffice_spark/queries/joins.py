@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from boxoffice_spark.functions.numeric import dsum, dsum_sql
+from boxoffice_spark.functions.numeric import dsum, dsum_sql, fround, fround_sql
 from boxoffice_spark.operators.fuzzy import fuzzy_containment_join
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
@@ -352,9 +352,9 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j_band_join_bucketed",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal,
-        round(abs(c.c_acctbal - s.s_acctbal), 2) AS bal_diff
+        {fround_sql('abs(c.c_acctbal - s.s_acctbal)', 2)} AS bal_diff
     FROM customer c
     JOIN supplier s ON abs(c.c_acctbal - s.s_acctbal) <= 10.0
     ORDER BY c.c_custkey, s.s_suppkey
@@ -399,7 +399,9 @@ def j_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "c_acctbal",
             "s_acctbal",
-            F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias(
+            # r10 legacy conversion: fround pins the cent grid (the diff
+            # of two 2dp-grid doubles; round(double, 2) is build surface).
+            fround(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias(
                 "bal_diff"
             ),
         )

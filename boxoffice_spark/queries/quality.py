@@ -7,8 +7,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from boxoffice_spark.functions.numeric import (
     dsum_sql,
+    fround,
+    fround_sql,
+    funits_sql,
     ratio6,
     ratio6_sql,
+    units_div_sql,
 )
 from boxoffice_spark.operators.quality import check_constraints, check_unique
 from boxoffice_spark.registry import register
@@ -69,7 +73,7 @@ def dq_lineitem_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_distribution_drift",
-    oracle="""
+    oracle=f"""
     WITH counted AS (
         SELECT lang,
                sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS n_corpus,
@@ -80,10 +84,11 @@ def dq_lineitem_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_corpus AS BIGINT) AS n_corpus,
            CAST(n_batch AS BIGINT) AS n_batch,
            CASE WHEN n_corpus > 0 AND n_batch > 0 THEN
-               round((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ()
+               {fround_sql('''(CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ()
                       - CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())
                      * ln((CAST(n_batch AS DOUBLE) / sum(n_batch) OVER ())
-                          / (CAST(n_corpus AS DOUBLE) / sum(n_corpus) OVER ())), 6)
+                          / (CAST(n_corpus AS DOUBLE)
+                             / sum(n_corpus) OVER ()))''', 6)}
            END AS psi_term
     FROM counted
     """,
@@ -124,9 +129,11 @@ def psi_drift_terms(d: DataFrame) -> DataFrame:
     w = Window.partitionBy()
     p = F.col("n_corpus").cast("double") / F.sum("n_corpus").over(w)
     q = F.col("n_batch").cast("double") / F.sum("n_batch").over(w)
+    # r10 legacy conversion: the PSI term pins its 6dp grid via fround
+    # (round(double, 6) is engine-build surface).
     term = F.when(
         (F.col("n_corpus") > 0) & (F.col("n_batch") > 0),
-        F.round((q - p) * F.log(q / p), 6),
+        fround((q - p) * F.log(q / p), 6),
     )
     return counted.select("lang", "n_corpus", "n_batch", term.alias("psi_term"))
 
@@ -317,7 +324,7 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_completeness_by_day",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                user_id, event_type, value, props
@@ -330,7 +337,7 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (props IS NULL OR props = '') AS BIGINT) AS n_empty_props,
            CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error_events,
            count(DISTINCT user_id) AS n_users,
-           round(CAST(count(value) AS DOUBLE) / count(*), 6) AS value_completeness
+           {ratio6_sql('count(value)', 'count(*)')} AS value_completeness
     FROM ev GROUP BY 1
     """,
     tags=("quality", "temporal"),
@@ -373,12 +380,12 @@ def completeness_counters() -> list:
 def completeness_by_day(ev: DataFrame) -> DataFrame:
     """Frame-level form of dq_completeness_by_day (the streaming twin's
     equality tests aggregate arbitrary event frames through it)."""
+    # r10 legacy conversion: the completeness ratio is exact-integer
+    # ratio6, not the build-sensitive round(double, 6).
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
         *completeness_counters(),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.count("value").cast("double") / F.count("*"), 6).alias(
-            "value_completeness"
-        ),
+        ratio6("count(value)", "count(*)").alias("value_completeness"),
     )
 
 
@@ -398,9 +405,10 @@ def completeness_by_day(ev: DataFrame) -> DataFrame:
                    FILTER (NOT is_batch) AS cq
         FROM ev GROUP BY 1
     )
-    SELECT event_type, round(i / 10.0, 2) AS pct,
-           round(bq[i], 4) AS batch_q, round(cq[i], 4) AS corpus_q,
-           round(abs(bq[i] - cq[i]), 4) AS gap
+    SELECT event_type, {fround_sql('i / 10.0', 2)} AS pct,
+           {fround_sql('bq[i]', 4)} AS batch_q,
+           {fround_sql('cq[i]', 4)} AS corpus_q,
+           {fround_sql('abs(bq[i] - cq[i])', 4)} AS gap
     FROM q CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
     """,
     tags=("quality", "drift", "percentile"),
@@ -432,22 +440,25 @@ def dq_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = g.select(
         "event_type", "is_batch", F.posexplode("qs").alias("i", "q")
     )
+    # r10 legacy conversion: every grid cell pins via fround; the gap is
+    # computed from the RAW quantiles exactly as the oracle does (the old
+    # Spark form diffed the ROUNDED cells — a latent half-grid mismatch).
     out = e2.groupBy("event_type", "i").agg(
-        F.round(F.max(F.when(F.col("is_batch"), F.col("q"))), 4).alias("batch_q"),
-        F.round(F.max(F.when(~F.col("is_batch"), F.col("q"))), 4).alias("corpus_q"),
+        F.max(F.when(F.col("is_batch"), F.col("q"))).alias("_bq"),
+        F.max(F.when(~F.col("is_batch"), F.col("q"))).alias("_cq"),
     )
     return out.select(
         "event_type",
-        F.round((F.col("i") + 1) / 10.0, 2).alias("pct"),
-        "batch_q",
-        "corpus_q",
-        F.round(F.abs(F.col("batch_q") - F.col("corpus_q")), 4).alias("gap"),
+        fround((F.col("i") + 1) / 10.0, 2).alias("pct"),
+        fround(F.col("_bq"), 4).alias("batch_q"),
+        fround(F.col("_cq"), 4).alias("corpus_q"),
+        fround(F.abs(F.col("_bq") - F.col("_cq")), 4).alias("gap"),
     )
 
 
 @register(
     "dq_schema_drift",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
         SELECT CASE WHEN ts >= TIMESTAMP '2024-01-24' THEN 'new' ELSE 'ref' END AS split,
                user_id, event_type, value, props
@@ -471,10 +482,10 @@ def dq_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT * FROM prof WHERE split = 'new')
     SELECT r.column_name,
            r.n AS n_ref, n.n AS n_new,
-           round(1.0 - CAST(r.n_nonnull AS DOUBLE) / r.n, 6) AS null_rate_ref,
-           round(1.0 - CAST(n.n_nonnull AS DOUBLE) / n.n, 6) AS null_rate_new,
-           round(round(1.0 - CAST(n.n_nonnull AS DOUBLE) / n.n, 6)
-                 - round(1.0 - CAST(r.n_nonnull AS DOUBLE) / r.n, 6), 6) AS null_rate_delta,
+           {ratio6_sql('r.n - r.n_nonnull', 'r.n')} AS null_rate_ref,
+           {ratio6_sql('n.n - n.n_nonnull', 'n.n')} AS null_rate_new,
+           ({ratio6_sql('n.n - n.n_nonnull', 'n.n')}
+            - {ratio6_sql('r.n - r.n_nonnull', 'r.n')}) AS null_rate_delta,
            r.n_distinct AS distinct_ref, n.n_distinct AS distinct_new
     FROM r JOIN n ON r.column_name = n.column_name
     """,
@@ -502,16 +513,19 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = wide.selectExpr(
         "split", f"stack({len(cols)}, {cells}) AS (column_name, n, n_nonnull, n_distinct)"
     )
+    # r10 legacy conversion: null rates are exact integer ratios (ratio6:
+    # (n - n_nonnull)/n); the delta is the raw difference of the two grid
+    # doubles (bit-identical inputs -> bit-identical difference).
     r = prof.filter("split = 'ref'").select(
         "column_name",
         F.col("n").alias("n_ref"),
-        F.round(1.0 - F.col("n_nonnull").cast("double") / F.col("n"), 6).alias("null_rate_ref"),
+        ratio6("n - n_nonnull", "n").alias("null_rate_ref"),
         F.col("n_distinct").alias("distinct_ref"),
     )
     n = prof.filter("split = 'new'").select(
         "column_name",
         F.col("n").alias("n_new"),
-        F.round(1.0 - F.col("n_nonnull").cast("double") / F.col("n"), 6).alias("null_rate_new"),
+        ratio6("n - n_nonnull", "n").alias("null_rate_new"),
         F.col("n_distinct").alias("distinct_new"),
     )
     return r.join(n, "column_name").select(
@@ -520,7 +534,9 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         "null_rate_ref",
         "null_rate_new",
-        F.round(F.col("null_rate_new") - F.col("null_rate_ref"), 6).alias("null_rate_delta"),
+        (F.col("null_rate_new") - F.col("null_rate_ref")).alias(
+            "null_rate_delta"
+        ),
         "distinct_ref",
         "distinct_new",
     )
@@ -598,8 +614,8 @@ def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gmax AS (SELECT max(last_ts) AS corpus_max FROM per_type)
     SELECT event_type, n_events, last_ts,
-        round(CAST(epoch_us(corpus_max) - epoch_us(last_ts) AS DOUBLE)
-              / 3600000000.0, 6) AS hours_behind,
+        {fround_sql('CAST(epoch_us(corpus_max) - epoch_us(last_ts) AS DOUBLE)'
+                    ' / 3600000000.0', 6)} AS hours_behind,
         (epoch_us(corpus_max) - epoch_us(last_ts)) > 24 * 3600000000
             AS sla_breach
     FROM per_type, gmax
@@ -630,7 +646,9 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "last_ts",
-            F.round(lag_us.cast("double") / 3600000000.0, 6).alias("hours_behind"),
+            # r10 legacy conversion: fround pins the 6dp grid of the
+            # exact-microsecond lag ratio (round is build surface).
+            fround(lag_us.cast("double") / 3600000000.0, 6).alias("hours_behind"),
             (lag_us > 24 * 3600000000).alias("sla_breach"),
         )
         .orderBy("event_type")
@@ -1041,8 +1059,9 @@ def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH li AS (
         SELECT l_orderkey,
-            {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
-                AS li_total,
+            CAST(sum({funits_sql(
+                'l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)})
+                AS BIGINT) AS li_u,
             count(*) AS n_lines
         FROM lineitem GROUP BY 1
     ),
@@ -1050,20 +1069,20 @@ def dq_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o.o_orderstatus AS status,
             CASE
                 WHEN li.l_orderkey IS NULL THEN 'no_lineitems'
-                WHEN abs(o.o_totalprice - li.li_total)
+                WHEN abs(o.o_totalprice - CAST(li.li_u AS DOUBLE) / 1e6)
                      <= 0.01 * o.o_totalprice THEN 'within_1pct'
-                WHEN abs(o.o_totalprice - li.li_total)
+                WHEN abs(o.o_totalprice - CAST(li.li_u AS DOUBLE) / 1e6)
                      <= 0.10 * o.o_totalprice THEN 'within_10pct'
                 ELSE 'gap_over_10pct'
             END AS bucket,
             o.o_totalprice,
-            li.li_total
+            li.li_u
         FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
     )
     SELECT status, bucket, count(*) AS n_orders,
         {dsum_sql('o_totalprice')} AS header_total,
-        cast(round(sum(cast(coalesce(li_total, 0) as decimal(27,6))), 2)
-             as double) AS detail_total
+        CAST({units_div_sql('sum(coalesce(li_u, 0))', '10000', 0)}
+             AS DOUBLE) / 100.0 AS detail_total
     FROM joined
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -1089,62 +1108,70 @@ def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. One shuffle of lineitem to the order grain + one
     key join against the header scan + a |status x bucket| aggregate —
     two scans total at any scale, no second pass per rule. Cell-exact."""
-    from boxoffice_spark.functions.numeric import dsum
+    # r10 legacy conversion (the broadened DECCAST detector's flag): the
+    # per-line amount is an exact 6dp rational, so it converts to EXACT
+    # integer micros via funits (floor-implemented HALF_UP — identical
+    # IEEE ops on every build) instead of a decimal cast of the double
+    # product; sums, thresholds, and the cent rounding (units_div) are
+    # then pure integer arithmetic. Exact while a group's micro total
+    # fits BIGINT (~9.2e12 dollars per (status, bucket)).
+    from boxoffice_spark.functions.numeric import dsum, funits, units_div
 
     o = table(spark, sf_dir, "orders")
+    amt_u = funits(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")),
+        6,
+    )
     li = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            dsum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                scale=6,
-            ).alias("li_total"),
+            F.sum(amt_u).alias("li_u"),
             F.count("*").alias("n_lines"),
         )
     )
     j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
-    gap = F.abs(F.col("o_totalprice") - F.col("li_total"))
+    li_total = F.col("li_u").cast("double") / 1e6
+    gap = F.abs(F.col("o_totalprice") - li_total)
     bucket = (
         F.when(F.col("l_orderkey").isNull(), "no_lineitems")
         .when(gap <= 0.01 * F.col("o_totalprice"), "within_1pct")
         .when(gap <= 0.10 * F.col("o_totalprice"), "within_10pct")
         .otherwise("gap_over_10pct")
     )
-    return (
+    grouped = (
         j.select(
             F.col("o_orderstatus").alias("status"),
             bucket.alias("bucket"),
             "o_totalprice",
-            "li_total",
+            "li_u",
         )
         .groupBy("status", "bucket")
         .agg(
             F.count("*").alias("n_orders"),
             dsum("o_totalprice").alias("header_total"),
-            F.round(
-                F.sum(
-                    F.coalesce(F.col("li_total"), F.lit(0.0)).cast(
-                        "decimal(27,6)"
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("detail_total"),
+            F.sum(F.coalesce(F.col("li_u"), F.lit(0))).alias("_li_u_sum"),
         )
-        .orderBy("status", "bucket")
     )
+    return grouped.select(
+        "status",
+        "bucket",
+        "n_orders",
+        "header_total",
+        (
+            units_div("_li_u_sum", "10000", 0).cast("double") / 100.0
+        ).alias("detail_total"),
+    ).orderBy("status", "bucket")
 
 
 @register(
     "dq_duplicate_payments",
-    oracle="""
+    oracle=f"""
     WITH o AS (
         SELECT o_orderkey, o_custkey, o_totalprice,
-            round(o_totalprice, -4) AS amt_bucket,
+            {fround_sql('o_totalprice', -4)} AS amt_bucket,
             CAST(o_orderdate AS DATE) AS d
         FROM orders
     )
@@ -1179,11 +1206,14 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (custkey, bucket)-keyed rows; no window, no band join, no global
     sort. Cell-exact; non-vacuous at every fixture scale (1 pair at
     sf0.001, 48 at sf0.01, 404 at sf0.1)."""
+    # r10 legacy conversion: the 10k bucket key pins its rounding via
+    # fround (negative-scale round(double, -4) is build surface and a 2dp
+    # price CAN sit exactly on a 5000 boundary).
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.round("o_totalprice", -4).alias("amt_bucket"),
+        fround(F.col("o_totalprice"), -4).alias("amt_bucket"),
         F.to_date("o_orderdate").alias("d"),
     )
     a = o.alias("a")

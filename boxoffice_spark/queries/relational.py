@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from boxoffice_spark.functions.numeric import fround, fround_sql
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -263,10 +264,10 @@ def p_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p_skyline_pareto",
-    oracle="""
+    oracle=f"""
     WITH p AS (
         SELECT p_brand, p_partkey, p_retailprice, p_size,
-            CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+            CAST({fround_sql('p_retailprice * 100', 0)} AS BIGINT) AS cents
         FROM part
     ),
     flagged AS (
@@ -312,7 +313,9 @@ def p_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_retailprice",
         "p_size",
-        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
+        # r10 legacy conversion: fround pins the cent quantization
+        # (round(double, 0) is build surface).
+        fround(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
     )
     w_cheaper = (
         Window.partitionBy("p_brand")

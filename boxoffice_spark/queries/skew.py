@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from boxoffice_spark.functions.numeric import dsum, dsum_sql
+from boxoffice_spark.functions.numeric import dsum, dsum_sql, funits, funits_sql
 from boxoffice_spark.operators.skew import salted_distinct_count, salted_join
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
@@ -21,7 +21,8 @@ from boxoffice_spark.tables import EVENTS_US_SQL as _EVENTS_US, table
     dim AS (SELECT DISTINCT event_type, length(event_type) AS weight FROM ev)
     SELECT e.event_type,
            count(*) AS n_events,
-           {dsum_sql('e.value * d.weight', 6)} AS weighted_sum
+           CAST(sum({funits_sql('e.value * d.weight', 6)}) AS DOUBLE) / 1e6
+               AS weighted_sum
     FROM ev e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """,
@@ -38,9 +39,16 @@ def k_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight", F.length("event_type")
     )
     joined = salted_join(ev, dim, on="event_type", salt=16)
+    # r10 legacy conversion (broadened DECCAST flag): value*weight is an
+    # off-grid double product, so it quantizes to EXACT 1e-6 integer
+    # units via funits (identical IEEE ops on every build) and sums in
+    # DECIMAL(38,0)/HUGEINT — no decimal cast of a double anywhere.
+    term_u = funits(F.col("value") * F.col("weight"), 6)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        dsum(F.col("value") * F.col("weight"), scale=6).alias("weighted_sum"),
+        (
+            F.sum(term_u.cast("decimal(38,0)")).cast("double") / 1e6
+        ).alias("weighted_sum"),
     )
 
 

@@ -9,8 +9,13 @@ from boxoffice_spark.functions import cleaning as CL
 from boxoffice_spark.functions.numeric import (
     davg_sql,
     dsum_sql,
+    fround,
+    fround_sql,
+    funits_sql,
     ratio6,
     ratio6_sql,
+    ratio6w_sql,
+    units_div_sql,
 )
 from boxoffice_spark.operators import dedup as D
 from boxoffice_spark.operators import sampling as SMP
@@ -197,15 +202,10 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The raw-double quality chain, still used by the legacy-green oracles
-# (round(_QUALITY_EXPR_SQL, 6) sites; conversion queue in
-# tools/parity_audit.py --plan). New cells use TS.quality_score_sql /
-# TS.quality_micro_sql — exact integer arithmetic — instead.
-_QUALITY_EXPR_SQL = (
-    "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) "
-    "* (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z가-힣0-9\\s]')) AS DOUBLE) "
-    "/ greatest(length(text), 1))"
-)
+# The raw-double quality chain is GONE (r10, ADVICE r09 medium): the last
+# seven round(_QUALITY_EXPR_SQL, 6) oracles converted to
+# TS.quality_score_sql — the exact integer ratio the Spark side has used
+# since r09 — so there is exactly ONE quality grid engine-wide.
 
 
 @register(
@@ -669,19 +669,21 @@ _FUNNEL_NGRAMS = D.WORD_NGRAMS_SQL.format(norm=_NORM, nm1=4)  # 5-grams
     WITH train AS (
         SELECT doc_id, text, md5({_NORM}) AS fp,
                {TS.lang_id_sql('text')} <> 'und' AS lang_ok,
-               round({_QUALITY_EXPR_SQL}, 6) >= 0.5 AS quality_ok
+               {TS.quality_score_sql('text')} >= 0.5 AS quality_ok
         FROM documents WHERE source <> 'src0'
     ), keepers AS (
         SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_keeper FROM train
     ), eval_hashes AS (
-        SELECT DISTINCT {D.WORD_HASH_SQL.format(w="g")} AS h
-        FROM (SELECT unnest(list_distinct({_FUNNEL_NGRAMS})) AS g
-              FROM documents WHERE source = 'src0')
+        SELECT DISTINCT {D.md5_u60_sql('hx')} AS h
+        FROM (SELECT md5(g) AS hx FROM
+              (SELECT unnest(list_distinct({_FUNNEL_NGRAMS})) AS g
+               FROM documents WHERE source = 'src0'))
     ), contaminated AS (
         SELECT DISTINCT doc_id
-        FROM (SELECT doc_id, unnest(list_distinct({_FUNNEL_NGRAMS})) AS g
-              FROM documents WHERE source <> 'src0')
-        WHERE {D.WORD_HASH_SQL.format(w="g")} IN (SELECT h FROM eval_hashes)
+        FROM (SELECT doc_id, md5(g) AS hx FROM
+              (SELECT doc_id, unnest(list_distinct({_FUNNEL_NGRAMS})) AS g
+               FROM documents WHERE source <> 'src0'))
+        WHERE {D.md5_u60_sql('hx')} IN (SELECT h FROM eval_hashes)
     )
     SELECT
         count(*) AS n_total,
@@ -725,7 +727,10 @@ def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.md5(D.normalized_text("text")).alias("fp"),
         (TS.lang_id("text") != "und").alias("lang_ok"),
-        (F.round(TS.quality_score("text"), 6) >= 0.5).alias("quality_ok"),
+        # r10 legacy conversion (ADVICE r09): quality_score is the exact
+        # ratio6 grid since r09 — the gate compares it directly, no
+        # build-sensitive round(double, 6) on either engine.
+        (TS.quality_score("text") >= 0.5).alias("quality_ok"),
     )
     keepers = train.withColumn(
         "is_keeper", F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp"))
@@ -879,12 +884,13 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (
         SELECT source, md5({_NORM}) AS fp,
-               round({_QUALITY_EXPR_SQL}, 6) AS q,
+               {TS.quality_score_sql('text')} AS q,
                {TS.BPEISH_SQL.format(col='text')} AS n_tok
         FROM documents
     )
     SELECT source, count(*) AS n_docs,
-           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+           {ratio6_sql('count(*) - count(DISTINCT fp)', 'count(*)')}
+               AS dup_rate,
            {davg_sql('q', 6)} AS mean_quality,
            CAST(sum(n_tok) AS BIGINT) AS est_tokens
     FROM base GROUP BY source
@@ -899,21 +905,29 @@ def t_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering spends compute). One scan, one per-source aggregate; the
     fingerprint distinct swaps for approx_count_distinct at 100 TB."""
     d = table(spark, sf_dir, "documents")
+    # r10 legacy conversion: q is the exact ratio6 quality grid (no
+    # round(double, 6)); dup_rate is the exact integer ratio
+    # (n_docs - n_distinct_fp) / n_docs via ratio6's BIGINT HALF_UP.
     base = d.select(
         "source",
         F.md5(D.normalized_text("text")).alias("fp"),
-        F.round(TS.quality_score("text"), 6).alias("q"),
+        TS.quality_score("text").alias("q"),
         TS.bpe_ish_token_count("text").alias("n_tok"),
     )
-    from boxoffice_spark.functions.numeric import davg
+    from boxoffice_spark.functions.numeric import davg, ratio6
 
-    return base.groupBy("source").agg(
+    agg = base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(
-            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
-        ).alias("dup_rate"),
+        F.countDistinct("fp").alias("_n_uniq"),
         davg("q", 6).alias("mean_quality"),
         F.sum("n_tok").cast("long").alias("est_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        ratio6("n_docs - _n_uniq", "n_docs").alias("dup_rate"),
+        "mean_quality",
+        "est_tokens",
     )
 
 
@@ -1398,20 +1412,23 @@ def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dfreq AS (
         SELECT term, count(*) AS df FROM tf GROUP BY 1
     ), q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
-    scored AS (
+    scored_raw AS (
         SELECT q.query_id, tf.doc_id,
-               round(
-                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                   * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
-                   / (tf.tf + CAST(1.2 AS DOUBLE)
-                      * (1.0 - CAST(0.75 AS DOUBLE)
-                         + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 6)
-                   AS term_score
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl))
+                   AS ts_raw
         FROM q
         JOIN tf ON tf.term = q.term
         JOIN dfreq d ON d.term = q.term
         JOIN doclen dl ON dl.doc_id = tf.doc_id
         CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id, {fround_sql('ts_raw', 6)} AS term_score
+        FROM scored_raw
     )
     SELECT query_id, doc_id, score, rank FROM (
         SELECT query_id, doc_id,
@@ -1463,20 +1480,23 @@ _RRF_PM_VALUES = ", ".join(f"({q}, {p})" for q, p in _RRF_PROBES.items())
     ), dfreq AS (
         SELECT term, count(*) AS df FROM tf GROUP BY 1
     ), q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
-    bm_scored AS (
+    bm_raw AS (
         SELECT q.query_id, tf.doc_id,
-               round(
-                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                   * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
-                   / (tf.tf + CAST(1.2 AS DOUBLE)
-                      * (1.0 - CAST(0.75 AS DOUBLE)
-                         + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 6)
-                   AS term_score
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl))
+                   AS ts_raw
         FROM q
         JOIN tf ON tf.term = q.term
         JOIN dfreq d ON d.term = q.term
         JOIN doclen dl ON dl.doc_id = tf.doc_id
         CROSS JOIN stats s
+    ),
+    bm_scored AS (
+        SELECT query_id, doc_id, {fround_sql('ts_raw', 6)} AS term_score
+        FROM bm_raw
     ),
     lex AS (
         SELECT query_id, doc_id, rank FROM (
@@ -1495,9 +1515,10 @@ _RRF_PM_VALUES = ", ".join(f"({q}, {p})" for q, p in _RRF_PROBES.items())
             SELECT pm.query_id, e2.vec_id AS doc_id,
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY pm.query_id
-                       ORDER BY round(list_cosine_similarity(
+                       ORDER BY {fround_sql('''list_cosine_similarity(
                                     CAST(e1.embedding AS DOUBLE[]),
-                                    CAST(e2.embedding AS DOUBLE[])), 6) DESC,
+                                    CAST(e2.embedding AS DOUBLE[]))''', 6)}
+                                DESC,
                                 e2.vec_id
                    ) AS INT) AS rank
             FROM pm
@@ -1507,9 +1528,10 @@ _RRF_PM_VALUES = ", ".join(f"({q}, {p})" for q, p in _RRF_PROBES.items())
     ),
     fused AS (
         SELECT query_id, doc_id,
-               round(cast(sum(cast((round(1.0 / (60 + rank), 10)) as decimal(27,10)))
-                          as double), 6) AS rrf_score
-        FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+               {fround_sql('CAST(sum(u) AS DOUBLE) / 1e10', 6)} AS rrf_score
+        FROM (SELECT query_id, doc_id,
+                     {units_div_sql('1', '60 + rank', 10)} AS u
+              FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem))
         GROUP BY 1, 2
     )
     SELECT query_id, doc_id, rrf_score, rank FROM (
@@ -1596,7 +1618,7 @@ def t_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(*) AS n_docs,
         CAST(count(DISTINCT lang) AS INT) AS n_langs,
         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
-        round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+        {ratio6_sql('count(*) - count(DISTINCT fp)', 'count(*)')} AS dup_rate,
         CAST(sum(n_words) AS BIGINT) AS total_words,
         CAST(sum(n_chars) AS BIGINT) AS total_chars,
         CAST(sum(n_tok) AS BIGINT) AS est_tokens
@@ -1625,14 +1647,24 @@ def t_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).alias("n_words"),
         TS.bpe_ish_token_count("text").alias("n_tok"),
     ).select("lang", F.md5("_n").alias("fp"), "n_chars", "n_words", "n_tok")
-    return base.agg(
+    # r10 legacy conversion: dup_rate is the exact integer ratio
+    # (n_docs - n_unique) / n_docs via ratio6's BIGINT HALF_UP.
+    agg = base.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").cast("int").alias("n_langs"),
         F.countDistinct("fp").alias("n_unique"),
-        F.round(1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6).alias("dup_rate"),
         F.sum("n_words").alias("total_words"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_tok").cast("long").alias("est_tokens"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_langs",
+        "n_unique",
+        ratio6("n_docs - n_unique", "n_docs").alias("dup_rate"),
+        "total_words",
+        "total_chars",
+        "est_tokens",
     )
 
 
@@ -1810,7 +1842,7 @@ def _keep_best_ranked(d: DataFrame) -> DataFrame:
         FROM reach GROUP BY node
     ),
     scored AS (
-        SELECT m.cluster_id, m.doc_id, round({_QUALITY_EXPR_SQL}, 6) AS q
+        SELECT m.cluster_id, m.doc_id, {TS.quality_score_sql('text')} AS q
         FROM members m JOIN documents USING (doc_id)
     ),
     ranked AS (
@@ -1928,7 +1960,7 @@ def t_compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT m.doc_id,
                row_number() OVER (
                    PARTITION BY (SELECT min(r2.comp) FROM reach r2 WHERE r2.node = m.doc_id)
-                   ORDER BY round({_QUALITY_EXPR_SQL}, 6) DESC, m.doc_id ASC) AS rn
+                   ORDER BY {TS.quality_score_sql('text')} DESC, m.doc_id ASC) AS rn
         FROM members m JOIN documents USING (doc_id)
     )
     SELECT d.doc_id, 'unique' AS kept_reason
@@ -1980,7 +2012,7 @@ _BLOCKLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
         FROM documents
     )
     SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
-           round(CAST(n_hits AS DOUBLE) / greatest(n_words, 1), 6) AS hit_ratio,
+           {ratio6_sql('n_hits', 'greatest(n_words, 1)')} AS hit_ratio,
            n_hits = 0 AS blocklist_ok
     FROM scored
     """,
@@ -2002,13 +2034,18 @@ def t_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
     hits = F.size(F.filter(words, lambda w: F.array_contains(bl, w)))
     d = table(spark, sf_dir, "documents")
-    return d.select(
+    # r10 legacy conversion: hit_ratio is the exact integer ratio
+    # n_hits / max(n_words, 1) via ratio6's BIGINT HALF_UP.
+    scored = d.select(
         "doc_id",
         hits.cast("long").alias("n_hits"),
-        F.round(
-            hits.cast("double") / F.greatest(F.size(words), F.lit(1)), 6
-        ).alias("hit_ratio"),
-        (hits == 0).alias("blocklist_ok"),
+        F.size(words).alias("n_words"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_hits",
+        ratio6("n_hits", "greatest(n_words, 1)").alias("hit_ratio"),
+        (F.col("n_hits") == 0).alias("blocklist_ok"),
     )
 
 
@@ -2029,8 +2066,8 @@ def t_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, count(*) AS n_docs,
            CAST(count(*) FILTER (has_email) AS BIGINT) AS docs_with_email,
            CAST(count(*) FILTER (has_phone) AS BIGINT) AS docs_with_phone,
-           round(CAST(count(*) FILTER (has_email OR has_phone) AS DOUBLE)
-                 / count(*), 6) AS pii_rate
+           {ratio6_sql('count(*) FILTER (has_email OR has_phone)',
+                       'count(*)')} AS pii_rate
     FROM flags GROUP BY 1
     """,
     tags=("quality", "pii", "privacy"),
@@ -2067,15 +2104,22 @@ def dq_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.regexp_count("t", F.lit(CL.EMAIL_RE)) > 0).alias("has_email"),
         (F.regexp_count("t", F.lit(CL.PHONE_RE)) > 0).alias("has_phone"),
     )
-    return flags.groupBy("source").agg(
+    # r10 legacy conversion: pii_rate is the exact integer ratio via
+    # ratio6's BIGINT HALF_UP.
+    agg = flags.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count(F.when(F.col("has_email"), 1)).alias("docs_with_email"),
         F.count(F.when(F.col("has_phone"), 1)).alias("docs_with_phone"),
-        F.round(
-            F.count(F.when(F.col("has_email") | F.col("has_phone"), 1)).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("pii_rate"),
+        F.count(F.when(F.col("has_email") | F.col("has_phone"), 1)).alias(
+            "_n_pii"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "docs_with_email",
+        "docs_with_phone",
+        ratio6("_n_pii", "n_docs").alias("pii_rate"),
     )
 
 
@@ -2345,19 +2389,22 @@ def t_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURR_HASH_SQL = D.WORD_HASH_SQL.format(w="CAST(doc_id AS VARCHAR)")
+# r10 legacy conversion: digit arithmetic (the e_surrogate_keys driver-
+# proven form) instead of the '0x' string cast whose parse semantics vary
+# across DuckDB builds.
+_CURR_HASH_SQL = D.md5_u60_sql("md5(CAST(doc_id AS VARCHAR))")
 
 
 @register(
     "t_curriculum_phases",
     oracle=f"""
     WITH d AS (
-        SELECT doc_id, round({_QUALITY_EXPR_SQL}, 6) AS q FROM documents
+        SELECT doc_id, {TS.quality_score_sql('text')} AS q FROM documents
     ),
     th AS (
-        SELECT round(quantile_cont(q, 0.25), 6) AS t1,
-               round(quantile_cont(q, 0.5), 6) AS t2,
-               round(quantile_cont(q, 0.75), 6) AS t3
+        SELECT {fround_sql('quantile_cont(q, 0.25)', 6)} AS t1,
+               {fround_sql('quantile_cont(q, 0.5)', 6)} AS t2,
+               {fround_sql('quantile_cont(q, 0.75)', 6)} AS t3
         FROM d
     )
     SELECT doc_id, q,
@@ -2385,13 +2432,17 @@ def t_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     design: quartiles are corpus-relative)."""
     from boxoffice_spark.operators.textstats import quality_score
 
+    # r10 legacy conversion: q is the exact ratio6 quality grid; the
+    # quartile thresholds land on the 6dp grid via fround's pinned
+    # floor-implemented HALF_UP (type-7 interpolation on both engines)
+    # instead of the build-sensitive round(double, 6).
     d = table(spark, sf_dir, "documents").select(
         "doc_id", quality_score("text").alias("q")
     )
     th = d.agg(
-        F.round(F.percentile("q", F.lit(0.25)), 6).alias("t1"),
-        F.round(F.percentile("q", F.lit(0.5)), 6).alias("t2"),
-        F.round(F.percentile("q", F.lit(0.75)), 6).alias("t3"),
+        fround(F.percentile("q", F.lit(0.25)), 6).alias("t1"),
+        fround(F.percentile("q", F.lit(0.5)), 6).alias("t2"),
+        fround(F.percentile("q", F.lit(0.75)), 6).alias("t3"),
     )
     return d.crossJoin(F.broadcast(th)).select(
         "doc_id",
@@ -2572,16 +2623,18 @@ def t_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_weighted_sample",
     oracle=f"""
-    WITH d AS (
-        SELECT doc_id, lang, round({_QUALITY_EXPR_SQL}, 6) AS q,
-            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                 AS BIGINT) AS h
+    WITH hx AS (
+        SELECT doc_id, lang, {TS.quality_score_sql('text')} AS q,
+            md5(CAST(doc_id AS VARCHAR)) AS hex
         FROM documents
+    ),
+    d AS (
+        SELECT doc_id, lang, q, {D.md5_u60_sql('hex')} AS h FROM hx
     ),
     keyed AS (
         SELECT doc_id, lang, q,
-            round(ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)
-                  / greatest(q, 0.000001), 8) AS sample_key
+            {fround_sql('ln((CAST(h AS DOUBLE) + 1) / 1152921504606846976.0)'
+                        ' / greatest(q, 0.000001)', 8)} AS sample_key
         FROM d
     )
     SELECT lang, doc_id, q, sample_key, rank FROM (
@@ -2611,10 +2664,14 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     here. Scale: zero-shuffle key projection + one per-lang window
     (per-stratum top-k; salt-phase it like kmv_kmin if a stratum is a
     whole corpus)."""
+    # r10 legacy conversion: q is the exact ratio6 quality grid; the hex
+    # md5 parse converts to digit arithmetic on the oracle side (the
+    # e_surrogate_keys driver-proven form); the A-ES key lands on the 8dp
+    # grid via fround's pinned HALF_UP instead of round(double, 8).
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.round(TS.quality_score("text"), 6).alias("q"),
+        TS.quality_score("text").alias("q"),
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
@@ -2624,9 +2681,9 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "q",
-        F.round(F.log(u) / F.greatest(F.col("q"), F.lit(0.000001)), 8).alias(
-            "sample_key"
-        ),
+        fround(
+            F.log(u) / F.greatest(F.col("q"), F.lit(0.000001)), 8
+        ).alias("sample_key"),
     )
     from pyspark.sql import Window
 
@@ -2834,18 +2891,21 @@ def t_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN n
         WHERE st.a >= 5
     ),
-    scored AS (
+    raw AS (
         SELECT source, term, a,
-            round(nn * (a * d - b * c) * (a * d - b * c)
-                  / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2,
-            ROW_NUMBER() OVER (
-                PARTITION BY source
-                ORDER BY round(nn * (a * d - b * c) * (a * d - b * c)
-                      / ((a + b) * (c + d) * (a + c) * (b + d)), 6) DESC,
-                    term
-            ) AS rank
+            nn * (a * d - b * c) * (a * d - b * c)
+                / ((a + b) * (c + d) * (a + c) * (b + d)) AS chi2_raw
         FROM cells
         WHERE a * d > b * c
+    ),
+    scored AS (
+        SELECT source, term, a,
+            {fround_sql('chi2_raw', 6)} AS chi2,
+            ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY {fround_sql('chi2_raw', 6)} DESC, term
+            ) AS rank
+        FROM raw
     )
     SELECT source, term, a AS term_count, chi2, CAST(rank AS INT) AS rank
     FROM scored WHERE rank <= 10
@@ -2905,7 +2965,10 @@ def t_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b, c, dd, nn = (F.col(x) for x in ("a", "b", "c", "d", "nn"))
-    chi2 = F.round(
+    # r10 legacy conversion: the chi2 chain is correctly-rounded IEEE ops
+    # over exact integer-valued doubles (bit-identical on both engines);
+    # only the final grid needs pinning — fround, not round(double, 6).
+    chi2 = fround(
         nn * (a * dd - b * c) * (a * dd - b * c)
         / ((a + b) * (c + dd) * (a + c) * (b + dd)),
         6,
@@ -3375,29 +3438,40 @@ def t_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     xy AS (
         SELECT source, n_tokens, n_vocab,
-            round(ln(CAST(n_tokens AS DOUBLE)), 8) AS x,
-            round(ln(CAST(n_vocab AS DOUBLE)), 8) AS y
+            {fround_sql('ln(CAST(n_tokens AS DOUBLE))', 8)} AS x,
+            {fround_sql('ln(CAST(n_vocab AS DOUBLE))', 8)} AS y
         FROM pts WHERE n_tokens > 0 AND n_vocab > 0
+    ),
+    u AS (
+        SELECT {funits_sql('x', 8)} AS ux, {funits_sql('y', 8)} AS uy,
+            {funits_sql('x * x', 8)} AS uxx,
+            {funits_sql('y * y', 8)} AS uyy,
+            {funits_sql('x * y', 8)} AS uxy
+        FROM xy
     ),
     s AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
-            cast(sum(cast(x AS DECIMAL(27, 8))) AS DOUBLE) AS sx,
-            cast(sum(cast(y AS DECIMAL(27, 8))) AS DOUBLE) AS sy,
-            cast(sum(cast(round(x * x, 8) AS DECIMAL(27, 8))) AS DOUBLE)
-                AS sxx,
-            cast(sum(cast(round(y * y, 8) AS DECIMAL(27, 8))) AS DOUBLE)
-                AS syy,
-            cast(sum(cast(round(x * y, 8) AS DECIMAL(27, 8))) AS DOUBLE)
-                AS sxy
-        FROM xy
+            CAST(CAST(sum(ux) AS BIGINT) AS DOUBLE) / 1e8 AS sx,
+            CAST(CAST(sum(uy) AS BIGINT) AS DOUBLE) / 1e8 AS sy,
+            CAST(CAST(sum(uxx) AS BIGINT) AS DOUBLE) / 1e8 AS sxx,
+            CAST(CAST(sum(uyy) AS BIGINT) AS DOUBLE) / 1e8 AS syy,
+            CAST(CAST(sum(uxy) AS BIGINT) AS DOUBLE) / 1e8 AS sxy
+        FROM u
+    ),
+    fit AS (
+        SELECT n,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta_raw,
+            exp(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * (sx / n)) AS k_raw,
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2_raw
+        FROM s
     )
     SELECT CAST(n AS BIGINT) AS n_points,
-        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
-        round(exp(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-              * (sx / n)), 4) AS heaps_k,
-        round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-    FROM s
+        {fround_sql('beta_raw', 6)} AS heaps_beta,
+        {fround_sql('k_raw', 4)} AS heaps_k,
+        {fround_sql('r2_raw', 6)} AS r2
+    FROM fit
     """,
     tags=("text", "vocab", "stats"),
 )
@@ -3430,30 +3504,40 @@ def t_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vocab"),
         )
     )
+    # r10 legacy conversion: the log points land on the 8dp grid via
+    # fround's pinned HALF_UP, the OLS moments accumulate as EXACT
+    # integer 1e-8 units (funits — order-free, no decimal cast of a
+    # double anywhere), and the three fitted cells are fround'ed chains
+    # of correctly-rounded IEEE ops over those bit-identical moments.
+    from boxoffice_spark.functions.numeric import funits
+
     xy = pts.filter((F.col("n_tokens") > 0) & (F.col("n_vocab") > 0)).select(
-        F.round(F.log(F.col("n_tokens").cast("double")), 8).alias("x"),
-        F.round(F.log(F.col("n_vocab").cast("double")), 8).alias("y"),
+        fround(F.log(F.col("n_tokens").cast("double")), 8).alias("x"),
+        fround(F.log(F.col("n_vocab").cast("double")), 8).alias("y"),
     )
-
-    def dsum8(c):
-        return F.sum(c.cast("decimal(27,8)")).cast("double")
-
-    s = xy.agg(
+    u = xy.select(
+        funits(F.col("x"), 8).alias("ux"),
+        funits(F.col("y"), 8).alias("uy"),
+        funits(F.col("x") * F.col("x"), 8).alias("uxx"),
+        funits(F.col("y") * F.col("y"), 8).alias("uyy"),
+        funits(F.col("x") * F.col("y"), 8).alias("uxy"),
+    )
+    s = u.agg(
         F.count("*").cast("double").alias("n"),
-        dsum8(F.col("x")).alias("sx"),
-        dsum8(F.col("y")).alias("sy"),
-        dsum8(F.round(F.col("x") * F.col("x"), 8)).alias("sxx"),
-        dsum8(F.round(F.col("y") * F.col("y"), 8)).alias("syy"),
-        dsum8(F.round(F.col("x") * F.col("y"), 8)).alias("sxy"),
+        (F.sum("ux").cast("double") / 1e8).alias("sx"),
+        (F.sum("uy").cast("double") / 1e8).alias("sy"),
+        (F.sum("uxx").cast("double") / 1e8).alias("sxx"),
+        (F.sum("uyy").cast("double") / 1e8).alias("syy"),
+        (F.sum("uxy").cast("double") / 1e8).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         n.cast("bigint").alias("n_points"),
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(F.exp(sy / n - beta * (sx / n)), 4).alias("heaps_k"),
-        F.round(
+        fround(beta, 6).alias("heaps_beta"),
+        fround(F.exp(sy / n - beta * (sx / n)), 4).alias("heaps_k"),
+        fround(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
@@ -3716,15 +3800,16 @@ def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged
     )
     SELECT n1, n2, m,
-        round((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1, 2)
-            AS est_total_dup_docs,
-        -- est = 0 on a duplicate-free corpus: Spark's x/0 is NULL but
-        -- DuckDB's (ieee mode) is NaN, so both sides guard explicitly
-        CASE WHEN (n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1 > 0 THEN
-            round(n1 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
+        CAST({units_div_sql('(n1 + 1) * (n2 + 1) - (m + 1)', 'm + 1', 2)}
+             AS DOUBLE) / 100.0 AS est_total_dup_docs,
+        -- est = 0 on a duplicate-free corpus: the estimator is the exact
+        -- rational ((n1+1)(n2+1) - (m+1)) / (m+1); recalls guard on its
+        -- integer numerator (no x/0 NULL-vs-NaN divergence possible)
+        CASE WHEN (n1 + 1) * (n2 + 1) - (m + 1) > 0 THEN
+            {ratio6w_sql('n1 * (m + 1)', '(n1 + 1) * (n2 + 1) - (m + 1)')}
         END AS recall_a,
-        CASE WHEN (n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1 > 0 THEN
-            round(n2 / ((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1), 6)
+        CASE WHEN (n1 + 1) * (n2 + 1) - (m + 1) > 0 THEN
+            {ratio6w_sql('n2 * (m + 1)', '(n1 + 1) * (n2 + 1) - (m + 1)')}
         END AS recall_b
     FROM agg
     """,
@@ -3770,16 +3855,25 @@ def t_capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cap_b"), 1)).alias("n2"),
         F.count(F.when(F.col("cap_a") & F.col("cap_b"), 1)).alias("m"),
     )
-    est = (F.col("n1") + 1) * (F.col("n2") + 1) / (
-        F.col("m") + 1
-    ).cast("double") - 1
+    # r10 legacy conversion: the Chapman estimator is the exact rational
+    # ((n1+1)(n2+1) - (m+1)) / (m+1) — est and both recalls are HALF_UP
+    # integer-ratio cells (units_div / ratio6w), no round(double, k).
+    from boxoffice_spark.functions.numeric import ratio6w, units_div
+
+    est_num = "(n1 + 1) * (n2 + 1) - (m + 1)"
     return agg.select(
         "n1",
         "n2",
         "m",
-        F.round(est, 2).alias("est_total_dup_docs"),
-        F.when(est > 0, F.round(F.col("n1") / est, 6)).alias("recall_a"),
-        F.when(est > 0, F.round(F.col("n2") / est, 6)).alias("recall_b"),
+        (units_div(est_num, "m + 1", 2).cast("double") / 100.0).alias(
+            "est_total_dup_docs"
+        ),
+        F.when(
+            F.expr(est_num) > 0, ratio6w("n1 * (m + 1)", est_num)
+        ).alias("recall_a"),
+        F.when(
+            F.expr(est_num) > 0, ratio6w("n2 * (m + 1)", est_num)
+        ).alias("recall_b"),
     )
 
 
@@ -3872,11 +3966,13 @@ def t_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_token_budget_select",
     oracle=f"""
     WITH base AS (
-        SELECT doc_id, round({_QUALITY_EXPR_SQL}, 6) AS q,
+        SELECT doc_id, {TS.quality_score_sql('text')} AS q,
             {TS.BPEISH_SQL.format(col='text')} AS tok
         FROM documents
     ),
-    banded AS (SELECT doc_id, round(q, 2) AS band, tok FROM base),
+    banded AS (
+        SELECT doc_id, {fround_sql('q', 2)} AS band, tok FROM base
+    ),
     bstat AS (
         SELECT band, CAST(sum(tok) AS BIGINT) AS band_tokens
         FROM banded GROUP BY 1
@@ -3939,10 +4035,13 @@ def t_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     from boxoffice_spark.operators.textstats import quality_score
 
+    # r10 legacy conversion: the band is fround(exact-ratio6-quality, 2) —
+    # the pinned HALF_UP of a bit-identical double on both engines —
+    # instead of round(round(double-chain, 6), 2).
     banded = scoped_persist(
         d.select(
             "doc_id",
-            F.round(quality_score("text"), 2).alias("band"),
+            fround(quality_score("text"), 2).alias("band"),
             TS.bpe_ish_token_count("text").alias("tok"),
         ),
         "t_token_budget_select.banded",
@@ -4277,11 +4376,11 @@ def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_code_detection",
-    oracle="""
+    oracle=f"""
     WITH sig AS (
         SELECT doc_id, source, length(text) AS n_chars,
-            len(regexp_extract_all(text, '[{}();=\\[\\]<>]')) AS n_code_chars,
-            len(regexp_extract_all(text, '\\n[ \\t]{2,}')) AS n_indents,
+            len(regexp_extract_all(text, '[{{}}();=\\[\\]<>]')) AS n_code_chars,
+            len(regexp_extract_all(text, '\\n[ \\t]{{2,}}')) AS n_indents,
             len(regexp_extract_all(text,
                 '(?:def |class |import |return |function |var |const |#include)'))
                 AS n_keywords
@@ -4289,7 +4388,7 @@ def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, source, n_chars,
-            round(CAST(n_code_chars AS DOUBLE) / greatest(n_chars, 1), 6)
+            {ratio6_sql('n_code_chars', 'greatest(n_chars, 1)')}
                 AS code_char_ratio,
             n_indents, n_keywords,
             (CAST(n_code_chars AS DOUBLE) / greatest(n_chars, 1) > 0.02
@@ -4299,10 +4398,9 @@ def t_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
         count(*) AS n_docs,
         count(CASE WHEN is_code THEN 1 END) AS n_code_docs,
-        round(CAST(count(CASE WHEN is_code THEN 1 END) AS DOUBLE)
-              / count(*), 6) AS code_fraction,
-        round(cast(sum(cast(code_char_ratio as decimal(27,6))) as double)
-              / count(*), 6) AS mean_code_char_ratio
+        {ratio6_sql('count(CASE WHEN is_code THEN 1 END)', 'count(*)')}
+            AS code_fraction,
+        {davg_sql('code_char_ratio', 6)} AS mean_code_char_ratio
     FROM scored
     GROUP BY 1
     ORDER BY 1
@@ -4332,37 +4430,45 @@ def t_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(?:def |class |import |return |function |var |const |#include)"
         ),
     )
-    ratio = F.round(
-        n_code_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6
-    )
-    scored = d.select(
+    # r10 legacy conversion: both ratio cells are exact integer ratios
+    # (ratio6's BIGINT HALF_UP); the mean of 6dp-grid ratios is davg's
+    # value-preserving decimal sum + one IEEE division, emitted raw (an
+    # outer round(double, 6) would re-introduce build-surface rounding).
+    from boxoffice_spark.functions.numeric import davg
+
+    sig = d.select(
         "source",
-        ratio.alias("code_char_ratio"),
+        n_chars.alias("n_chars"),
+        n_code_chars.alias("n_code_chars"),
+        n_indents.alias("n_indents"),
+        n_keywords.alias("n_keywords"),
+    )
+    scored = sig.select(
+        "source",
+        ratio6("n_code_chars", "greatest(n_chars, 1)").alias(
+            "code_char_ratio"
+        ),
         (
-            (n_code_chars.cast("double") / F.greatest(n_chars, F.lit(1)) > 0.02)
-            & ((n_indents >= 2) | (n_keywords >= 1))
+            (
+                F.col("n_code_chars").cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1))
+                > 0.02
+            )
+            & ((F.col("n_indents") >= 2) | (F.col("n_keywords") >= 1))
         ).alias("is_code"),
     )
-    return (
-        scored.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.count(F.when(F.col("is_code"), 1)).alias("n_code_docs"),
-            F.round(
-                F.count(F.when(F.col("is_code"), 1)).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("code_fraction"),
-            F.round(
-                F.sum(F.col("code_char_ratio").cast("decimal(27,6)")).cast(
-                    "double"
-                )
-                / F.count("*"),
-                6,
-            ).alias("mean_code_char_ratio"),
-        )
-        .orderBy("source")
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("is_code"), 1)).alias("n_code_docs"),
+        davg("code_char_ratio", 6).alias("mean_code_char_ratio"),
     )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_code_docs",
+        ratio6("n_code_docs", "n_docs").alias("code_fraction"),
+        "mean_code_char_ratio",
+    ).orderBy("source")
 
 
 @register(

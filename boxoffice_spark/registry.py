@@ -110,7 +110,9 @@ _PINNED = [
     # newly flagged — double-product chains cast to decimal grids:
     "dq_order_lineitem_reconcile",
     "k_salted_join",
-    # then the P1 queue in plan order:
+    # then the P1 queue in plan order (a_mode_per_group deferred to r11:
+    # converting bm25_topk/rrf_fuse — shared operators — pulled
+    # t_bm25_search into the batch, and the window caps at 50):
     "a_ab_test_zstat",
     "a_abc_classification",
     "a_chi2_independence",
@@ -120,7 +122,6 @@ _PINNED = [
     "a_kpi_decomposition",
     "a_kruskal_wallis",
     "a_market_basket_lift",
-    "a_mode_per_group",
     "a_regression_by_group",
     "a_spearman_rank_corr",
     "dq_completeness_by_day",
@@ -139,6 +140,7 @@ _PINNED = [
     "j_band_join_bucketed",
     "p_skyline_pareto",
     "t_blocklist_gate",
+    "t_bm25_search",
     "t_capture_recapture_dups",
     "t_chi2_keywords",
     "t_code_detection",

@@ -64,77 +64,40 @@ import json
 import re
 import sys
 
-# Queries with driver-green rows (r01-r07) whose oracles retain a fragile
+# Queries with driver-green rows whose oracles retain a fragile
 # construct on purpose: their green row is evidence the driver build agrees
 # on the exact cells these fixtures produce, and an oracle edit voids it.
 # Shrink this list by converting entries whenever re-pin budget exists
-# (r09 removed the 7 oldest-green ratio/cosine conversions: the two
-# cosine-topk forms, near-dup-lsh, hard-negatives, knn-consistency,
-# repetition-stats, text-stats — all pinned in the r09 window);
-# NEVER add a new query here (new queries must use ratio6/units_div/raw
-# doubles/digit arithmetic from the start — dec6 is refuted).
+# (r09 removed the 7 oldest-green ratio/cosine conversions; r10 drained
+# 42 more — the full P1 tier plus the quality_score callers — leaving the
+# P2/P3/P4 tail below). NEVER add a new query here (new queries must use
+# ratio6/units_div/funits/raw doubles/digit arithmetic from the start —
+# dec6 is refuted). t_dedup_apply / t_dedup_keep_best remain by design:
+# their only residual flag is the '0x' hex cast inside the SHARED
+# simhash_hamming_pairs_sql template (editing it would void the greens of
+# its other consumers); both are pinned in the r10 window, so their fresh
+# greens re-certify that construct on the edited oracles.
 LEGACY_GREEN: set[str] = {
-    'a_ab_test_zstat',
-    'a_abc_classification',
     'a_bootstrap_ci_poisson',
-    'a_chi2_independence',
     'a_cohens_d',
-    'a_dunn_posthoc',
     'a_exact_median',
-    'a_gini_concentration',
-    'a_kmv_overlap',
-    'a_kpi_decomposition',
-    'a_kruskal_wallis',
-    'a_market_basket_lift',
     'a_mode_per_group',
     'a_moments_profile',
     'a_price_index',
-    'a_regression_by_group',
     'a_sample_estimate_ci',
-    'a_spearman_rank_corr',
     'a_theil_sen_trend',
     'a_welch_ttest',
     'dq_benford_totalprice',
-    'dq_completeness_by_day',
-    'dq_distribution_drift',
     'dq_dp_noisy_release',
-    'dq_duplicate_payments',
-    'dq_freshness_sla',
-    'dq_numeric_drift',
-    # dq_order_lineitem_reconcile + k_salted_join: newly FLAGGED in r10 by
-    # the broadened DECCAST detector (ADVICE r09: '-'/'*' chains of doubles,
-    # not just '/'/sqrt) — both hold driver greens on unchanged oracles
-    # (r07 / r09 pins), which is this ledger's admission criterion. They
-    # rank P1 in conversion_plan and convert with the standard recipe.
-    'dq_order_lineitem_reconcile',
-    'dq_pii_prevalence',
     'dq_price_outliers',
-    'dq_schema_drift',
     'dq_seasonal_anomaly',
     'dq_volume_anomaly_mad',
-    'g_degree_assortativity',
-    'g_degree_distribution',
-    'g_harmonic_centrality',
-    'g_link_prediction',
-    'g_pagerank_authority',
-    'g_triangle_census',
-    'j_band_join_bucketed',
-    'k_salted_join',
     'k_skew_report',
     'm_training_pairs',
-    'p_skyline_pareto',
     't_bigram_backoff_logprob',
-    't_blocklist_gate',
-    't_bm25_search',
-    't_capture_recapture_dups',
-    't_chi2_keywords',
     't_cluster_safe_split',
-    't_code_detection',
     't_cooccurrence_pmi',
-    't_corpus_datacard',
     't_cross_source_dup_matrix',
-    't_curation_funnel',
-    't_curriculum_phases',
     't_decontamination',
     't_decontamination_bloom',
     't_dedup_apply',
@@ -143,9 +106,6 @@ LEGACY_GREEN: set[str] = {
     't_dedup_keep_best',
     't_domain_loss_weights',
     't_dsir_weights',
-    't_heaps_law_fit',
-    't_heavy_hitters',
-    't_hybrid_rrf_search',
     't_incremental_dedup_clusters',
     't_js_divergence_matrix',
     't_keyphrase_rake',
@@ -162,12 +122,9 @@ LEGACY_GREEN: set[str] = {
     't_simhash_fast',
     't_simhash_hamming_pairs',
     't_source_overlap_matrix',
-    't_source_quality_report',
     't_temperature_mixture',
-    't_token_budget_select',
     't_tokenizer_fertility',
     't_unigram_logprob',
-    't_weighted_sample',
     't_winnow_dup_pairs',
     't_winnow_fingerprints',
     't_zipf_fit',
