@@ -1634,8 +1634,10 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the row/column marginals of ONE grouped aggregate; absent
     cells are restored by the marginal cross join (a zero cell still
     contributes its full expected mass — dropping it understates
-    chi2). Per-cell contributions are rounded at 6dp then
-    decimal-summed, so the total is order-independent; dof =
+    chi2). Per-cell contributions land on the 6dp grid via fround's
+    pinned floor-implemented HALF_UP (r10 conversion off the build-
+    sensitive round(double, 6)) then decimal-sum value-preservingly, so
+    the total is order-independent; dof =
     (R-1)(C-1) falls out of the same 15-row table. All joins after the
     first aggregate are broadcasts of <= |priorities| x |statuses|
     rows — at 100 TB the fact scan is one shuffle to the R x C grain
@@ -2578,8 +2580,10 @@ def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the calendar-bounded daily grain (|days| x |priorities|
     rows, ~13k for a 7-year window AT ANY corpus volume), never over
     raw orders: the only corpus-sized work is the first groupBy. The
-    R_i^2/n_i terms are rounded at 4dp and decimal-summed so the
-    5-row group sum is order-independent. Cell-exact."""
+    R_i^2/n_i terms are exact rationals of the 0.1-unit midrank sums,
+    HALF_UP-quantized to 1e-4 units in 128-bit integer math (units_div,
+    r10 conversion) and summed exactly — order-independent with no
+    engine rounding rule anywhere. Cell-exact."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderpriority").alias("grp"),

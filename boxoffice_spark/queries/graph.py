@@ -239,7 +239,8 @@ def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_prediction_scores: wedge generation is bounded by the
     max-center-degree cap (= 64, mirrored in the oracle — hub-mediated
     neighbors are popularity noise by the RA argument, so the checked
-    path IS the scale path), scores are decimal-summed IEEE-exact, and
+    path IS the scale path), scores sum as exact 1e-15 integer units
+    with an fround-pinned 12dp display grid (r10 conversion), and
     top-30 plans as TakeOrderedAndProject over a total-order sort key."""
     from boxoffice_spark.operators.graph import link_prediction_scores
 
@@ -774,10 +775,10 @@ def g_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-edge join + one (node, seed) min-aggregate,
     localCheckpoint truncating lineage; state bounded by |seeds| x
     |reached|), then one 1/d aggregate: the inverse distances are
-    rounded at 8dp and decimal-summed per node, so the <=16-term sum is
-    order-independent, and the n/16 scaling stays in DECIMAL arithmetic
-    (x n x 0.0625 exactly, rounded at 4dp by decimal rule) — a
-    round(double) here split engines on the exact .66665 ties that
+    exact 1e-8 integer units (units_div's BIGINT HALF_UP — r10
+    conversion) summed per node, so the <=16-term sum is an exact
+    BIGINT, and the n/16 scaling is one more exact integer HALF_UP —
+    a round(double) here split engines on the exact .66665 ties that
     1/3-sums x round seed counts produce. Cell-exact against the
     unrolled chained-CTE oracle. Seeds and hop cap are the scale dials
     — more pivots tighten the estimate, the BFS cost stays

@@ -1098,14 +1098,15 @@ def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq_fk_orphans finds the reverse direction), aggregated per status
     with both sides' money totals so the absolute exposure is visible
     next to the count. Per-line amounts are EXACT 6dp rationals (2dp
-    price x 2dp discount x 2dp tax), so the decimal sum casts at scale
-    6 and never rounds near a boundary (a round(x, 2) here split a cent
-    between engines on exact half-cent lines); detail_total then rounds
-    to cents IN DECIMAL (rule-based, tie-safe) before the double cast —
-    a raw scale-6 double at 1e10 magnitude exceeds double's 2^53/10^6
-    exactness budget and the engines' decimal->double conversions split
-    by one ulp. Bucket thresholds compare identical doubles on both
-    engines. One shuffle of lineitem to the order grain + one
+    price x 2dp discount x 2dp tax), so they quantize LOSSLESSLY to
+    integer micros (funits — r10 conversion off the build-sensitive
+    decimal cast of the double product); group sums are exact BIGINT
+    micros, detail_total rounds to cents via units_div's exact integer
+    HALF_UP (tie-safe on exact half-cent totals, which ARE reachable),
+    and one IEEE division emits the double. Bucket thresholds compare
+    identical doubles on both engines (a round(x, 2) here once split a
+    cent between engines on exact half-cent lines — that class is
+    gone). One shuffle of lineitem to the order grain + one
     key join against the header scan + a |status x bucket| aggregate —
     two scans total at any scale, no second pass per rule. Cell-exact."""
     # r10 legacy conversion (the broadened DECCAST detector's flag): the

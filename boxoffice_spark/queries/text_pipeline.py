@@ -1449,9 +1449,10 @@ def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword queries (operators/textstats.bm25_topk) — the reference
     dashboard's keyword filter generalized to scored retrieval. One
     tokenize + tf shuffle builds the inverted index; query terms, their
-    idf rows, and corpus stats broadcast; 6dp-rounded term scores
-    decimal-sum so BM25 ranking is bit-deterministic — hence the exact
-    DuckDB oracle, which BM25 pipelines normally cannot have."""
+    idf rows, and corpus stats broadcast; term scores land on the 6dp
+    grid via fround's pinned HALF_UP (r10 conversion) and decimal-sum
+    value-preservingly, so BM25 ranking is bit-deterministic — hence the
+    exact DuckDB oracle, which BM25 pipelines normally cannot have."""
     from boxoffice_spark.operators.textstats import bm25_topk
 
     return bm25_topk(
@@ -1553,8 +1554,10 @@ def t_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(60+rank) into a final top-10 per query. The standard two-tower
     retrieval combiner: no score calibration across incomparable scales,
     only ranks. Both input rankers are the already-registered oracle-
-    exact operators, and the fusion arithmetic is rounded + decimal-
-    summed, so the hybrid ranking itself is cell-exact against DuckDB.
+    exact operators, and the fusion arithmetic is exact-integer
+    (1e-10-unit contributions summed as BIGINTs, fround-pinned output
+    grid — r10 conversion), so the hybrid ranking itself is cell-exact
+    against DuckDB.
 
     Scale shape: corpus bytes are touched only inside the two upstream
     rankers (each scale-audited on its own); the fusion runs on
@@ -4418,8 +4421,9 @@ def t_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_code flag (the t_lang_id recipe pointed at syntax instead of
     stopwords); the per-source roll-up is the corpus datacard row.
     Pure regexp_count projections — zero-shuffle scan work, one
-    |sources|-row aggregate after; ratios rounded 6dp and
-    decimal-summed. Cell-exact."""
+    |sources|-row aggregate after; ratio cells are exact integer
+    ratios (ratio6) and the mean is a value-preserving decimal sum of
+    on-grid values (r10 conversion). Cell-exact."""
     d = table(spark, sf_dir, "documents")
     n_chars = F.length("text")
     n_code_chars = F.regexp_count("text", F.lit(r"[{}();=\[\]<>]"))
