@@ -66,6 +66,34 @@ def main() -> None:
     from boxoffice_spark.registry import load_all
     from boxoffice_spark.session import get_spark
 
+    # Contention telemetry (VERDICT r10 item 4): the r10 driver artifact
+    # regressed 26% vs the committed idle rerun purely from box load, and
+    # diagnosing that cost a verdict cycle because nothing in the artifact
+    # recorded the machine state. Sample load/steal/pressure around the
+    # run so a contended artifact is identifiable from the JSON alone.
+    def _contention() -> dict:
+        out: dict = {}
+        try:
+            with open("/proc/loadavg") as fh:
+                out["loadavg_1m"] = float(fh.read().split()[0])
+        except OSError:
+            pass
+        try:  # cumulative steal jiffies — hypervisor noisy-neighbor time
+            with open("/proc/stat") as fh:
+                out["steal_jiffies"] = int(fh.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            pass
+        try:  # PSI: fraction of the last minute runnable tasks waited for CPU
+            with open("/proc/pressure/cpu") as fh:
+                out["cpu_pressure_some_avg60"] = float(
+                    fh.readline().split("avg60=")[1].split()[0]
+                )
+        except (OSError, IndexError, ValueError):
+            pass
+        return out
+
+    load_before = _contention()
+
     spark = get_spark("boxoffice_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -148,11 +176,25 @@ def main() -> None:
     import duckdb as _duckdb
     import pyspark as _pyspark
 
+    load_after = _contention()
+    contention = {
+        "before": load_before,
+        "after": load_after,
+        # steal jiffies accrued DURING the bench (all CPUs): > a few
+        # hundred means the hypervisor took real time from this run
+        "steal_delta": (
+            load_after.get("steal_jiffies", 0) - load_before.get("steal_jiffies", 0)
+            if "steal_jiffies" in load_before and "steal_jiffies" in load_after
+            else None
+        ),
+    }
+
     full = {
         "engines": {
             "pyspark": _pyspark.__version__,
             "duckdb": _duckdb.__version__,
         },
+        "contention": contention,
         "queries": timings,
         "build": builds,
         "cold": colds,
@@ -177,6 +219,13 @@ def main() -> None:
     print(json.dumps(full))
     compact = dict(full)
     del compact["build"], compact["cold"], compact["deltas"]
+    # compact line carries a flat contention summary (driver keeps only
+    # the stdout tail — the headline number must stay self-diagnosing)
+    compact["contention"] = {
+        "load_before": load_before.get("loadavg_1m"),
+        "load_after": load_after.get("loadavg_1m"),
+        "steal_delta": contention["steal_delta"],
+    }
     compact["full_artifact"] = "BENCH_FULL.json"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # keep the final line inside the 2 KB capture

@@ -872,7 +872,15 @@ def contamination_report(
     # instead of re-splitting the document per element (O(len), not
     # O(len^2)); second materializes the shingle array so each consumer
     # branch reads it rather than re-deriving the lambda expression.
-    base = (
+    from boxoffice_spark.functions.caching import scoped_persist
+
+    # r11: the shingle frame feeds THREE consumers (eval hashes, eval
+    # totals, train hashes) — without the persist the corpus scan +
+    # normalize + n-gram build is re-evaluated once per branch (the same
+    # tripled-scan t_curation_funnel's persisted shingle frame fixed;
+    # its sf1 growth probe measured the doubled variant as α=0.75).
+    # Bounded: one live handle per scope (scoped_persist).
+    base = scoped_persist(
         spread(df)
         .select(
             F.col(id_col).alias("doc_id"),
@@ -885,7 +893,8 @@ def contamination_report(
             F.explode(
                 F.array(F.array_distinct(_word_ngrams_col(F.col("_w"), n)))
             ).alias("_sh"),
-        )
+        ),
+        "contamination_report.shingled",
     )
     ev = base.filter("_is_eval")
     evh = ev.select("doc_id", F.explode("_sh").alias("_g")).select(

@@ -239,11 +239,15 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
-        # r10 legacy conversion: each contribution quantizes to EXACT
-        # 1e-18 integer units via funits (pinned floor-implemented
-        # HALF_UP — the old decimal(27,18) cast of the rank/deg double
-        # was the refuted build-surface class) and sums exactly in
-        # DECIMAL(38,0); one IEEE division recovers the double.
+        # r10 legacy conversion: each contribution quantizes to 1e-18
+        # integer units via funits (pinned floor-implemented rounding —
+        # the old decimal(27,18) cast of the rank/deg double was the
+        # refuted build-surface class) and sums exactly in DECIMAL(38,0);
+        # one IEEE division recovers the double. Note (ADVICE r10):
+        # rank/deg can approach 1.0, where abs(x)*1e18 exceeds funits'
+        # 2^53 exactness bound — the quantization there is DETERMINISTIC
+        # (identical IEEE ops on both engines, sweep-verified green), not
+        # exact HALF_UP; only the SUM of the quantized units is exact.
         contrib = (
             e.join(out_deg, "_src")
             .join(ranks.withColumnRenamed("node", "_src"), "_src")
@@ -371,22 +375,51 @@ def triangle_stats(
     Physical strategy is the degree-ordered orientation of Suri &
     Vassilvitskii, "Counting triangles and the curse of the last
     reducer" (WWW 2011): orient every edge from the endpoint with the
-    smaller (degree, id) to the larger, then count wedges only at each
-    edge's LOW-degree end and close them against the oriented edge set.
-    The naive wedge join explodes at hub nodes (a degree-d node emits
-    d²/2 wedges — the "last reducer" that kills the job at 100× scale);
-    orientation bounds every node's out-degree by O(sqrt(m)), so total
-    wedge rows are O(m^1.5) worst-case and near-linear on real
-    (bounded-arboricity) graphs, independent of hub size. Each triangle
-    {x<y<z in orientation order} is generated exactly once, as the wedge
-    at x closed by y->z.
+    smaller (degree, id) to the larger, then count each triangle at its
+    unique source edge. A naive wedge enumeration explodes at hub nodes
+    (a degree-d node owns d²/2 wedges — the "last reducer" that kills
+    the job at 100× scale); orientation bounds every node's out-degree
+    by O(sqrt(m)), independent of hub size.
 
     All joins are equi-joins on node keys (AQE-splittable); degree is one
     partial-aggregated groupBy; no driver-side iteration — a single
     Catalyst plan. The oracle's simple 3-way self-join form (id-ordered,
     no orientation) is equivalent because each triangle has exactly one
-    id-ordered edge listing; orientation only changes WHERE wedges are
-    generated, never which triangles exist.
+    id-ordered edge listing; orientation only changes where triangles
+    are counted, never which triangles exist.
+
+    Orientation key (r11 optimization): the (degree, id) order is packed
+    into ONE BIGINT — ``least(d, 2^22) * 2^40 + id`` — instead of a
+    ``struct(d, id)``: a primitive long compare codegens to a single
+    instruction where the struct path goes through the interpreted
+    row-comparator. Correctness needs only a strict total order
+    consistent across both orientation uses — capping the degree
+    component at 2^22 keeps the pack inside 63 bits and only reorders
+    nodes ABOVE the cap among themselves (ties fall to id, still
+    injective), which changes where triangles are COUNTED, never which
+    triangles exist. Ids must fit 40 bits; that is asserted per node with
+    a loud ``raise_error`` (the a_cramers_v guard pattern) rather than
+    silently wrapping — on an id space past 2^40, widen the pack split or
+    revert to the struct key.
+
+    Counting tail (r11 optimization): instead of MATERIALIZING every
+    wedge as a join row (o1 ⋈ o2 on the low end, ~sum C(outdeg,2) rows —
+    41 M at sf0.1 — then a semi-join against the closing edges), the
+    out-adjacency is grouped into one array per node and each oriented
+    edge (s, t) counts ``size(array_intersect(N+(s), N+(t)))`` — the
+    classic edge-iterator formulation. Equivalent: in the orientation
+    DAG every triangle has a unique source x and sink z (x->y, x->z,
+    y->z), and w ∈ N+(s) ∩ N+(t) iff (s, t, w) is exactly that triangle
+    listed at its source edge (s=x, t=y, w=z) — counted once, nowhere
+    else. Volume drops from O(sum outdeg²) JOIN ROWS to O(|E|) rows
+    carrying O(outdeg)-sized arrays (the intersect itself still touches
+    sum outdeg² elements, but as tight per-row set probes, not join
+    machinery — interleaved A/B at sf0.1, same session, identical
+    1,884,488 triangles: wedge-join 3.65 s vs intersect 1.83 s min; the
+    struct-keyed r10 form read 4.34 s). At 100 TB the same shift is what
+    keeps the census alive: a hub's C(outdeg,2) wedge rows become one
+    outdeg-long array row, and the two adjacency joins stay equi-joins
+    on node ids (AQE-splittable).
     """
     from boxoffice_spark.functions.caching import scoped_persist
 
@@ -411,29 +444,50 @@ def triangle_stats(
     n_wedges = deg.select(
         F.sum(F.expr("_d * (_d - 1) / 2")).cast("long").alias("n_wedges")
     )
-    # orient by (degree, id): struct comparison gives the total order
-    du = deg.select(F.col("_n").alias("_u"), F.struct(F.col("_d"), F.col("_n")).alias("_ku"))
-    dv = deg.select(F.col("_n").alias("_v"), F.struct(F.col("_d"), F.col("_n")).alias("_kv"))
-    # ``oriented`` feeds THREE consumers (both wedge sides + the closing
-    # semi-join); persisting it cuts the census to one evaluation of the
-    # degree joins instead of three (measured: 10.6 s -> well under half at
-    # sf0.1 — this was 25% of the round-4 headline wall).
+    # orient by (degree, id), packed into one guarded BIGINT (docstring)
+    _key = F.when(
+        (F.col("_n") >= 0) & (F.col("_n") < F.lit(1 << 40)),
+        F.least(F.col("_d"), F.lit(1 << 22)) * F.lit(1 << 40) + F.col("_n"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "triangle_stats: node id outside [0, 2^40) — the packed "
+                "orientation key would wrap; widen the pack split or use "
+                "a struct(d, id) key for this id space"
+            )
+        )
+    )
+    du = deg.select(F.col("_n").alias("_u"), _key.alias("_ku"))
+    dv = deg.select(F.col("_n").alias("_v"), _key.alias("_kv"))
+    # ``oriented`` feeds TWO consumers (the adjacency-array build and the
+    # per-edge intersect probe); persisting it cuts the census to one
+    # evaluation of the degree joins (the round-4 lesson: exchange reuse
+    # needs byte-identical canonical subplans and AQE routinely breaks it).
     oriented = scoped_persist(
         e.join(du, "_u")
         .join(dv, "_v")
         .select(
             F.when(F.col("_ku") < F.col("_kv"), F.col("_u")).otherwise(F.col("_v")).alias("_s"),
             F.when(F.col("_ku") < F.col("_kv"), F.col("_v")).otherwise(F.col("_u")).alias("_t"),
-            F.greatest("_ku", "_kv").alias("_kt"),
         ),
         f"{_scope}.oriented",
     )
-    o1 = oriented.select("_s", F.col("_t").alias("_t1"), F.col("_kt").alias("_k1"))
-    o2 = oriented.select("_s", F.col("_t").alias("_t2"), F.col("_kt").alias("_k2"))
-    wedges = o1.join(o2, "_s").filter(F.col("_k1") < F.col("_k2"))
-    closing = oriented.select(F.col("_s").alias("_t1"), F.col("_t").alias("_t2"))
-    n_tri = wedges.join(closing, ["_t1", "_t2"], "left_semi").select(
-        F.count("*").alias("n_triangles")
+    # out-adjacency as one array per node: bounded by the orientation's
+    # O(sqrt(m)) out-degree — the same bound the former wedge join relied
+    # on, but paid as ONE array row instead of C(outdeg,2) wedge rows.
+    # No sort: array_intersect's size is order-independent.
+    adj = oriented.groupBy("_s").agg(F.collect_list("_t").alias("_nb"))
+    a_u = adj.select(F.col("_s").alias("_ju"), F.col("_nb").alias("_nbu"))
+    a_v = adj.select(F.col("_s").alias("_jv"), F.col("_nb").alias("_nbv"))
+    # inner joins: an edge whose endpoint has no out-neighbors closes no
+    # triangle and contributes 0 either way
+    n_tri = (
+        oriented.join(a_u, oriented["_s"] == a_u["_ju"])
+        .join(a_v, oriented["_t"] == a_v["_jv"])
+        .select(F.size(F.array_intersect("_nbu", "_nbv")).alias("_ct"))
+        # coalesce: sum over zero edges is NULL where the former wedge
+        # count(*) was 0 — a triangle-free/empty graph must stay 0
+        .agg(F.coalesce(F.sum("_ct"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     return (
         n_nodes.crossJoin(n_edges)
@@ -539,6 +593,16 @@ def link_prediction_scores(
     Top-k is orderBy().limit() — TakeOrderedAndProject, per-partition
     heaps, no global sort; the (cn, ra, u, v) sort key is a total order,
     so the k-set is deterministic.
+
+    Wedge generation (r11 optimization): the capped centers' adjacency
+    rows are grouped into one SORTED ARRAY per center (bounded by
+    ``max_center_degree``, so collect_list is safe at any corpus scale)
+    and the ordered pairs are exploded map-side from the array, instead
+    of the former a1-join-a2 self-join on the center key. Same pair set
+    (sorted distinct neighbors, _pa < _pb by construction), one exchange
+    of the capped adjacency instead of a two-sided self-join shuffle +
+    broadcast — measured at sf0.1 the post-edge-build path dropped
+    4.03 s -> 2.53 s with identical output.
     """
     from boxoffice_spark.functions.caching import scoped_persist
     from boxoffice_spark.functions.numeric import fround, units_div
@@ -555,22 +619,42 @@ def link_prediction_scores(
     # r10 legacy conversion: 1/d quantizes to EXACT 1e-15 integer units
     # (units_div's BIGINT HALF_UP) so the RA sum is an exact integer —
     # no decimal cast of an off-grid double anywhere; the display cell
-    # pins its 12dp grid via fround. Sum bound: <= max_center_degree
-    # terms of <= 1e15, far inside BIGINT.
-    adjc = adj.join(centers, "_c").select(
-        "_c", "_x", units_div("1", "_d", 15).alias("_inv_u")
+    # pins its 12dp grid via fround. The per-pair term COUNT is the
+    # number of shared sub-cap centers (max_center_degree does NOT bound
+    # it), so the sum runs through DECIMAL(38,0) — exact far past the
+    # ~9.2e3-term BIGINT wrap point of 1e15-unit terms, mirroring the
+    # oracle's HUGEINT accumulation (ADVICE r10 fix).
+    arr = (
+        adj.join(centers, "_c")
+        .groupBy("_c")
+        .agg(
+            F.sort_array(F.collect_list("_x")).alias("_xs"),
+            F.first("_d").alias("_d"),
+        )
     )
-    a1 = adjc.select("_c", F.col("_x").alias("_pa"), "_inv_u")
-    a2 = adjc.select("_c", F.col("_x").alias("_pb"))
+    # ordered neighbor pairs, exploded from the (<= cap)-sized array:
+    # _pa < _pb holds because _xs is sorted and its members are distinct
+    # (one adjacency row per canonical edge endpoint)
+    pairs = arr.select(
+        units_div("1", "_d", 15).alias("_inv_u"),
+        F.explode(
+            F.expr(
+                "flatten(transform(_xs, (x, i) -> "
+                "transform(slice(_xs, i + 2, size(_xs) - i - 1), "
+                "y -> struct(x as _pa, y as _pb))))"
+            )
+        ).alias("_pr"),
+    )
     scores = (
-        a1.join(a2, "_c")
-        .filter(F.col("_pa") < F.col("_pb"))
+        pairs.select("_pr._pa", "_pr._pb", "_inv_u")
         .groupBy("_pa", "_pb")
         .agg(
             F.count("*").alias("common_neighbors"),
-            fround(F.sum("_inv_u").cast("double") / 1e15, 12).alias(
-                "ra_score"
-            ),
+            fround(
+                F.sum(F.col("_inv_u").cast("decimal(38,0)")).cast("double")
+                / 1e15,
+                12,
+            ).alias("ra_score"),
         )
     )
     non_adjacent = scores.join(

@@ -158,8 +158,10 @@ KMV_SPACE = float(16**15)  # 60-bit md5 prefix hash space (exact in double)
 
 def kmv_hash(col: Column) -> Column:
     """Engine-portable 60-bit uniform hash: first 15 hex chars of
-    md5(string(v)). DuckDB twin: CAST(('0x' || substr(md5(CAST(v AS
-    VARCHAR)), 1, 15)) AS BIGINT)."""
+    md5(string(v)). DuckDB twin: dedup.md5_u60_sql's digit arithmetic —
+    NOT the old CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) string
+    cast, whose parse semantics vary across DuckDB builds (refuted in
+    r10; oracles were migrated off it)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 

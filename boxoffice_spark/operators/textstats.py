@@ -182,6 +182,14 @@ def repetition_stats(df, id_col: str, text_col: str):
     DESCENDS to [0, -1] and a[1] would throw INVALID_ARRAY_INDEX), so
     dup_bigram_frac is null (left join), never a crash or divide-by-zero —
     matching DuckDB's empty generate_series(1, 0).
+
+    r11 note: two single-tokenize-pass rewrites (struct-tagged rows and a
+    flat word/bigram union keyed on space-in-token) were built and
+    interleaved-A/B'd at sf0.1 — BOTH measured slower than this two-chain
+    form (1.23 s / 1.12 s vs 1.04 s min-of-6, same session): the per-token
+    tagging work exceeds the saved normalize+split, and the (doc, token)
+    shuffles carry the same bytes either way. Kept the two-chain form
+    (guide §1.1: the "ideal" single-pass plan lost the empirical loop).
     """
     words = df.select(
         F.col(id_col), F.explode(words_of(text_col)).alias("word")
@@ -373,7 +381,6 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # de-dup each query's term list: BM25 scores a term once per query
     # regardless of how many times the user typed it (a duplicate (query_id,
     # term) row would double-count that term's contribution)
@@ -381,7 +388,18 @@ def bm25_topk(
         sorted({(qid, t) for qid, terms in queries for t in terms}),
         "query_id int, term string",
     )
-    dfq = dfreq.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+    # document frequencies for QUERY TERMS ONLY (r11 optimization): the
+    # broadcast semi-join filters tf map-side BEFORE the per-term count,
+    # so the df aggregate shuffles the matching postings instead of the
+    # whole vocabulary (guide §2.3 "aggregate only what you need" — at
+    # corpus scale the full-vocab (term, df) aggregate is itself
+    # vocabulary-sized). Same df values for every term that can reach the
+    # scoring join.
+    dfq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))

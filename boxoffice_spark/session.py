@@ -31,6 +31,17 @@ _BASE_CONF = {
     # ~128 MB input splits: the parquet-scan parallelism knob that matters
     # at 100 TB (≈ 800k tasks); harmless locally.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # r11 (guide §3.1/§9): let the planner pick shuffled-hash join when its
+    # size conditions hold instead of always sort-merge — skips the
+    # both-sides sort; SMJ remains the fallback when the build side is too
+    # big, and AQE's skew splitting still applies. Same knob a cluster
+    # deployment sets; not a local-only tune.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # AQE runtime SMJ -> shuffled-hash rewrite for post-shuffle partitions
+    # under this per-partition bound (default 0 = off). 64 MB matches the
+    # broadcast threshold: a partition that could be broadcast-built can be
+    # hash-built locally. Bounded per task, so safe at any corpus scale.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(64 * 1024 * 1024),
 }
 
 

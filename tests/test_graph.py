@@ -219,3 +219,46 @@ class TestTriangleDoulion:
 
         with pytest.raises(ValueError):
             triangle_count_doulion(self._kn_edges(spark, 5), p=0.0)
+
+
+class TestTriangleStatsPackedKey:
+    """r11: the orientation key is a packed BIGINT (least(d, 2^22) * 2^40
+    + id) instead of a struct — correctness needs ids in [0, 2^40) and a
+    loud failure outside it, not a silent wrap."""
+
+    def test_census_exact_on_k5(self, spark):
+        from boxoffice_spark.operators.graph import triangle_stats
+
+        e = (
+            spark.range(5)
+            .selectExpr("id AS u")
+            .join(spark.range(5).selectExpr("id AS v"), F.expr("u < v"))
+        )
+        row = triangle_stats(e, _scope="test.packed_k5").first()
+        assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+            5, 10, 30, 10,
+        )
+
+    def test_id_past_2p40_raises(self, spark):
+        from boxoffice_spark.operators.graph import triangle_stats
+
+        big = 1 << 40
+        e = spark.createDataFrame(
+            [(1, 2), (2, big), (1, big)], "u long, v long"
+        )
+        with pytest.raises(Exception, match="packed orientation key"):
+            triangle_stats(e, _scope="test.packed_guard").first()
+
+    def test_triangle_free_graph_counts_zero(self, spark):
+        # r11 intersect tail: sum() over zero closing edges is NULL where
+        # the former wedge count(*) was 0 — the coalesce must keep a
+        # triangle-free graph at exactly 0 (and clustering at 0, not NULL)
+        from boxoffice_spark.operators.graph import triangle_stats
+
+        path = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "u long, v long"
+        )
+        row = triangle_stats(path, _scope="test.trifree").first()
+        assert row.n_triangles == 0
+        assert row.n_wedges == 2
+        assert row.global_clustering == 0.0

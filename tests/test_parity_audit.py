@@ -92,3 +92,19 @@ def test_converted_round7_reds_are_clean():
     }
     dirty = fixed & set(out["flagged"])
     assert not dirty, f"converted queries regressed to fragile: {sorted(dirty)}"
+
+
+def test_deccast_detector_flags_arithmetic_chain_without_division():
+    """VERDICT r10 item 5: the broadened detector (ADVICE r09) must flag
+    the VERBATIM r08-red construct — a '-'/'*' chain cast to a scale>=6
+    decimal grid with no division or sqrt anywhere in the cast body."""
+    from tools.parity_audit import _deccast_sites
+
+    sql = "SELECT cast((val-deq)*(val-deq) as decimal(27,12)) AS cell FROM t"
+    hits = list(_deccast_sites(sql))
+    assert hits == ["(val-deq)*(val-deq)"], hits
+    # value-preserving classes must NOT match: bare column, scale < 6
+    assert not list(_deccast_sites("SELECT cast(val as decimal(27,12)) FROM t"))
+    assert not list(
+        _deccast_sites("SELECT cast(a * b as decimal(27,2)) FROM t")
+    )

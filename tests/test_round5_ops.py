@@ -118,6 +118,17 @@ class TestLinkPrediction:
         got = self._scores(spark, star, max_center_degree=10, k=3)
         assert len(got) == 3
 
+    def test_ra_sum_past_bigint_wrap(self, spark):
+        # r11 (ADVICE r10): the RA unit-sum has one term PER SHARED CENTER,
+        # which max_center_degree does not bound. 20,000 shared deg-2
+        # centers contribute 20,000 x 5e14 units = 1e19 — past the ~9.2e18
+        # BIGINT wrap — so a long sum would go negative; the DECIMAL(38,0)
+        # accumulation must return the exact 10000.0.
+        n = 20_000
+        edges = [(-1, 10 + i) for i in range(n)] + [(-2, 10 + i) for i in range(n)]
+        got = self._scores(spark, edges, k=5)
+        assert got[(-2, -1)] == (n, 10000.0)
+
 
 class TestAnomalyZscore:
     def test_flags_consistent_with_z(self, spark, sf_dir):

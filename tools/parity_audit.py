@@ -230,10 +230,14 @@ _CAST_DEC = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 
 
 def _deccast_sites(sql: str):
-    """Yield cast arguments of ``cast(X as decimal(p,s))`` where X is a
-    COMPUTED double chain (contains a division or sqrt) — the construct
-    class CORRECTNESS_r08 proved build-sensitive. Value-preserving casts
-    (bare columns, fixed-scale money products) don't match."""
+    """Yield cast arguments of ``cast(X as decimal(p,s))``, scale >= 6,
+    where X is a COMPUTED double chain — ANY ``+ - * /`` arithmetic or a
+    sqrt/exp/ln/log call in the cast body (broadened per ADVICE r09: the
+    verbatim r08-red construct ``cast((val-deq)*(val-deq) as
+    decimal(27,12))`` has no division, just a ``-``/``*`` chain). This is
+    the construct class CORRECTNESS_r08 proved build-sensitive.
+    Value-preserving casts (bare columns, scale < 6 money/midrank cells)
+    don't match."""
     for m in _CAST_DEC.finditer(sql):
         start = m.end()
         depth, i = 1, start
