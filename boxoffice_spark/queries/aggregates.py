@@ -870,28 +870,44 @@ def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probabilistic normalization that separates real affinity from
     popularity). Top-30 by lift, ties on the pair.
 
-    Shape: one broadcast dim join (part is the small side), one distinct
-    to basket grain, then an ORDER-LOCAL self-join — pair expansion is
-    bounded by basket size (avg ~4 brands/order), never global. Item
-    counts and the basket total are broadcast one-row/25-row aggregates;
-    the min-support gate prunes the pair tail before ranking, and the
-    final top-30 plans as TakeOrderedAndProject. At 100 TB the same plan
-    holds: the only wide exchange is the (pair -> count) partial
-    aggregate, and lift math runs on |pairs| <= 25*24/2 rows."""
+    Shape: one broadcast dim join (part is the small side), then ONE
+    ``collect_set`` aggregate to basket grain — the distinct brand set
+    per order as a sorted array (bounded by |brands| = 25, order-local,
+    never global) — from which all three consumers derive: n_baskets is
+    a count of basket rows, item counts explode the array once, and the
+    ordered pairs explode MAP-SIDE from the array (r11, guide §2.4 —
+    replaces the former distinct + order-local self-join, dropping the
+    distinct-(o,b) exchange and the join; same pair multiset since
+    collect_set members are distinct and sort_array orders them, so
+    brand_a < brand_b holds by construction). The min-support gate
+    prunes the pair tail before ranking, and the final top-30 plans as
+    TakeOrderedAndProject. At 100 TB the same plan holds: the only wide
+    exchange is the basket aggregate, and lift math runs on
+    |pairs| <= 25*24/2 rows."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    basket = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("_bs"))
     )
-    n = basket.agg(F.countDistinct("o").alias("n_baskets"))
-    item = basket.groupBy("b").agg(F.count("*").alias("item_count"))
-    a = basket.select("o", F.col("b").alias("brand_a"))
-    c = basket.select("o", F.col("b").alias("brand_b"))
+    n = baskets.agg(F.count("*").alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("_bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("item_count"))
+    )
     pair = (
-        a.join(c, "o")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_bs, (x, i) -> "
+                    "transform(slice(_bs, i + 2, size(_bs) - i - 1), "
+                    "y -> struct(x as brand_a, y as brand_b))))"
+                )
+            ).alias("_pr")
+        )
+        .select("_pr.brand_a", "_pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("pair_count"))
         .filter(F.col("pair_count") >= 20)

@@ -262,3 +262,58 @@ class TestTriangleStatsPackedKey:
         assert row.n_triangles == 0
         assert row.n_wedges == 2
         assert row.global_clustering == 0.0
+
+
+# ---- co-purchase edge builder (r11: basket-array explode) --------------------
+
+
+class TestCopurchaseEdgeBuild:
+    """The r11 edge rewrite (queries/graph._copurchase_pairs) must emit the
+    exact pair multiset of the former pl-self-join form — the equivalence
+    every part-graph oracle rests on."""
+
+    def _join_form_pairs(self, spark, sf_dir):
+        from boxoffice_spark.tables import table
+
+        pl = (
+            table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a = pl.select("o", F.col("p").alias("u"))
+        b = pl.select("o", F.col("p").alias("v"))
+        return a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
+
+    def test_pair_multiset_matches_join_form(self, spark, sf_dir):
+        from boxoffice_spark.queries.graph import _copurchase_pairs
+
+        old = self._join_form_pairs(spark, sf_dir)
+        new = _copurchase_pairs(spark, sf_dir)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+    def test_edge_set_matches_and_is_canonical(self, spark, sf_dir):
+        from boxoffice_spark.queries.graph import _copurchase_edges
+
+        e = _copurchase_edges(spark, sf_dir)
+        rows = e.collect()
+        assert len(rows) == len({(r.u, r.v) for r in rows})  # distinct
+        assert all(r.u < r.v for r in rows)  # canonical orientation
+        old = self._join_form_pairs(spark, sf_dir).distinct()
+        assert old.exceptAll(e).count() == 0
+        assert e.exceptAll(old).count() == 0
+
+    def test_weighted_pair_counts_match_join_form(self, spark, sf_dir):
+        # the kcore form: per-pair co-occurrence counts (orders per pair)
+        from boxoffice_spark.queries.graph import _copurchase_pairs
+
+        old = (
+            self._join_form_pairs(spark, sf_dir)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("w"))
+        )
+        new = _copurchase_pairs(spark, sf_dir).groupBy("u", "v").agg(
+            F.count("*").alias("w")
+        )
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0

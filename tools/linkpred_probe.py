@@ -47,18 +47,11 @@ def _steal() -> int:
 
 
 def _edges(spark, sf_dir: str):
-    from pyspark.sql import functions as F
+    # Delegate to the shipped edge builder (r11: basket-array explode, 2
+    # Exchange / 0 Join) so the probe always measures the production kernel.
+    from boxoffice_spark.queries.graph import _copurchase_edges
 
-    from boxoffice_spark.tables import table
-
-    pl = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = pl.select("o", F.col("p").alias("u"))
-    b = pl.select("o", F.col("p").alias("v"))
-    return a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    return _copurchase_edges(spark, sf_dir)
 
 
 def main() -> None:
