@@ -295,13 +295,20 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is, which is what decides the orientation/cap strategies the census
     and link-prediction operators rely on. One edge-build (order-local
     pairs), one degree aggregate, one |distinct degrees| histogram;
-    totals broadcast back as a one-row aggregate."""
+    totals broadcast back as a one-row aggregate. ``deg`` feeds BOTH the
+    histogram and the totals row, so it is scope-persisted (r11 — the
+    assortativity lesson: exchange reuse needs byte-identical canonical
+    subplans and AQE routinely breaks it, so without the persist each
+    consumer re-ran the edge build); O(nodes) rows, bounded."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
     edges = _copurchase_edges(spark, sf_dir)
-    deg = (
+    deg = scoped_persist(
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
-        .agg(F.count("*").alias("d"))
+        .agg(F.count("*").alias("d")),
+        "degree_distribution.deg",
     )
     hist = deg.groupBy(F.col("d").alias("degree")).agg(
         F.count("*").alias("n_nodes")
