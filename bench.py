@@ -36,6 +36,17 @@ The headline ``value`` remains the exec total (comparable across rounds);
 ``build_total`` is printed alongside so the sum of everything any query did
 is value + build_total.
 
+Contention self-defense (r12): this box shows minute-scale hypervisor CPU
+steal storms (r10 and r11 driver artifacts both ran inside one — the r11
+artifact carries steal_delta 35,857 jiffies vs the <500 trust threshold).
+If the first warm pass accrues > 500 steal jiffies, or load average was
+> 2 before the run started, the ENTIRE warm pass re-runs once (cache
+cleared first) and the pass with the lower steal_delta is kept; both
+passes' contention markers and totals are recorded under
+``contention.passes`` so nothing is hidden. Per-pass methodology is
+byte-identical to previous rounds; on a quiet box exactly one pass runs
+and the artifact is shape-compatible with r11's (additions only).
+
 Cache semantics, stated plainly: queries that persist a shared intermediate
 (the LSH candidate set, the BM25/TF-IDF tf table, the unigram vocab) report
 WARM steady-state in ``queries`` — run 2 reuses the cache run 1 materialized
@@ -92,7 +103,10 @@ def main() -> None:
             pass
         return out
 
-    load_before = _contention()
+    def _steal_delta(before: dict, after: dict) -> int | None:
+        if "steal_jiffies" in before and "steal_jiffies" in after:
+            return after["steal_jiffies"] - before["steal_jiffies"]
+        return None
 
     spark = get_spark("boxoffice_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,22 +117,61 @@ def main() -> None:
     # warmup: trigger JVM, codegen, parquet footer reads
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    builds: dict[str, float] = {}
-    colds: dict[str, float] = {}
-    for name, spec in headline.items():
-        runs, build_runs = [], []
-        for _ in range(2):  # run 1 compiles codegen; run 2 is steady-state
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)  # plan assembly + any eager index build
-            t1 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            t2 = time.perf_counter()
-            build_runs.append(t1 - t0)
-            runs.append(t2 - t1)
-        timings[name] = round(min(runs), 3)
-        builds[name] = round(min(build_runs), 3)
-        colds[name] = round(runs[0], 3)  # codegen + cache population included
+    def _run_pass() -> tuple[dict, dict, dict]:
+        timings: dict[str, float] = {}
+        builds: dict[str, float] = {}
+        colds: dict[str, float] = {}
+        for name, spec in headline.items():
+            runs, build_runs = [], []
+            for _ in range(2):  # run 1 compiles codegen; run 2 is steady-state
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)  # plan assembly + any eager index build
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                build_runs.append(t1 - t0)
+                runs.append(t2 - t1)
+            timings[name] = round(min(runs), 3)
+            builds[name] = round(min(build_runs), 3)
+            colds[name] = round(runs[0], 3)  # codegen + cache population included
+        return timings, builds, colds
+
+    # Contention self-defense (VERDICT r11 item 1): the r10 AND r11 driver
+    # artifacts were both produced during hypervisor steal storms
+    # (steal_delta 35,857 jiffies in r11 vs the <500 trust threshold), which
+    # turned two verdict cycles into weather forensics. If the first warm
+    # pass ran contended, re-run the whole pass ONCE and keep the pass with
+    # the lower steal_delta; BOTH passes' markers are recorded so nothing is
+    # hidden. Per-pass timing methodology is unchanged (same two-run
+    # warm/cold loop, same noop sink); the Spark cache is cleared between
+    # passes so a retry's `cold` numbers still pay cache population (codegen
+    # stays JIT-warm — cold is informational, warm is the headline).
+    passes = []
+    results = []  # (timings, builds, colds) per pass
+
+    def _timed_pass() -> None:
+        before = _contention()
+        results.append(_run_pass())
+        after = _contention()
+        passes.append({"before": before, "after": after,
+                       "steal_delta": _steal_delta(before, after),
+                       "value": round(sum(results[-1][0].values()), 3)})
+
+    _timed_pass()
+    sd0 = passes[0]["steal_delta"]
+    if (sd0 is not None and sd0 > 500) or passes[0]["before"].get("loadavg_1m", 0.0) > 2.0:
+        spark.catalog.clearCache()
+        _timed_pass()
+    inf = float("inf")
+    kept = min(
+        range(len(passes)),
+        key=lambda i: (
+            passes[i]["steal_delta"] if passes[i]["steal_delta"] is not None else inf,
+            passes[i]["value"],
+        ),
+    )
+    timings, builds, colds = results[kept]
+    load_before, load_after = passes[kept]["before"], passes[kept]["after"]
 
     total = round(sum(timings.values()), 3)
     build_total = round(sum(builds.values()), 3)
@@ -176,17 +229,16 @@ def main() -> None:
     import duckdb as _duckdb
     import pyspark as _pyspark
 
-    load_after = _contention()
     contention = {
         "before": load_before,
         "after": load_after,
-        # steal jiffies accrued DURING the bench (all CPUs): > a few
-        # hundred means the hypervisor took real time from this run
-        "steal_delta": (
-            load_after.get("steal_jiffies", 0) - load_before.get("steal_jiffies", 0)
-            if "steal_jiffies" in load_before and "steal_jiffies" in load_after
-            else None
-        ),
+        # steal jiffies accrued DURING the kept warm pass (all CPUs): > a
+        # few hundred means the hypervisor took real time from this run
+        "steal_delta": _steal_delta(load_before, load_after),
+        # all passes run this invocation (>1 means the first pass was
+        # contended and the full warm loop re-ran; `kept` indexes into it)
+        "passes": passes,
+        "kept_pass": kept,
     }
 
     full = {
@@ -225,6 +277,7 @@ def main() -> None:
         "load_before": load_before.get("loadavg_1m"),
         "load_after": load_after.get("loadavg_1m"),
         "steal_delta": contention["steal_delta"],
+        "n_passes": len(passes),
     }
     compact["full_artifact"] = "BENCH_FULL.json"
     line = json.dumps(compact, separators=(",", ":"))

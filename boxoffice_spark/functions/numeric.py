@@ -195,6 +195,44 @@ def funits(col: Column, k: int) -> Column:
     ).cast("long")
 
 
+def usum(col: Column, scale: int = 2) -> Column:
+    """Integer-units twin of :func:`dsum` for doubles that sit EXACTLY on
+    the 10^-scale grid (money/quantity columns): per-row :func:`funits`
+    (three IEEE hardware ops + a primitive long cast — no double->decimal
+    cast, whose Decimal.fromDouble path string-formats every row), summed
+    as BIGINT, then ONE exact DECIMAL(38,0) rescale and ONE correctly-
+    rounded cast back to double. Bit-identical to ``dsum(col, scale)``
+    whenever (a) each input is within 0.5 grid units of its true decimal
+    value after the *10^scale (always, for values parsed from <=15
+    significant digits) and (b) the per-group unit sum stays under 2^63.
+
+    Measured (r12, steal_delta 102, min-of-7 at sf0.1): the Q1 aggregate
+    0.79 s (decimal) -> 0.35 s (this form); the decimal cast was ~2.2x of
+    the whole aggregate stage.
+
+    Wrap contract: the caller must show max|col|*10^scale * rows-per-group
+    < 9.2e18 for its grouping (e.g. flagship's (ship_dt, brand) cells);
+    past that bound Spark 4's ANSI arithmetic fails LOUDLY
+    (ARITHMETIC_OVERFLOW, regression-tested) — never a silent wrap.
+    For groups that span the corpus (Q1's 4 flag/status buckets at 100 TB)
+    use the two-level pattern instead: group by (keys,
+    spark_partition_id()) summing longs — bounded by rows per scan split —
+    then merge partials with :func:`umerge`."""
+    return (
+        F.sum(funits(col, scale)).cast("decimal(38,0)") / F.lit(10**scale)
+    ).cast("double")
+
+
+def umerge(col: Column | str, scale: int) -> Column:
+    """Merge stage of the two-level units sum: exact DECIMAL(38,0) sum of
+    per-partition BIGINT unit partials (no wrap until 38 digits), one
+    exact rescale, one correctly-rounded cast to double — the same final
+    two ops as :func:`usum`, so the result is bit-identical to the flat
+    decimal sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast("decimal(38,0)")) / F.lit(10**scale)).cast("double")
+
+
 def funits_sql(expr: str, k: int) -> str:
     """DuckDB twin of :func:`funits` (same op order)."""
     s = float(10**k)

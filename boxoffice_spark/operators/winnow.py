@@ -144,6 +144,90 @@ SELECT DISTINCT {id_alias}, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM flat
 """
 
 
+def winnow_fp_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, w: int = DEFAULT_W
+) -> DataFrame:
+    """Arrow twin of the fingerprint scan feeding :func:`winnow_dup_pairs`:
+    one row per (doc, DISTINCT fingerprint) plus the doc's distinct-
+    fingerprint count — ``(id, _sz, fp)`` — computed in a mapInPandas
+    kernel with the SAME md5 hash family as the Catalyst form (md5 of each
+    k-char gram, first 15 hex chars as int64 == first 8 digest bytes >> 4)
+    and the same rightmost-min window selection, so the output is
+    bit-identical to the exact form's ``array_distinct(transform(wins,
+    s -> s.fp))`` explode (regression-tested against it).
+
+    Why (guide §4.2, r12): the Catalyst form's per-window min is an
+    interpreted lambda scan — O(grams x w) comparisons per doc with no
+    codegen and no subexpression elimination — and each gram additionally
+    pays substring+md5+conv through the expression interpreter. Here the
+    md5 runs over NumPy-sliced byte grams (one hashlib call per gram, no
+    hex-string parse) and the window min is one strided argmin — O(chars)
+    of Python-loop overhead per doc instead of per gram x w. Scan-local:
+    zero shuffle, zero Python state; same normalization twin as
+    :func:`winnow_fast` (re.ASCII collapse, strip(' '), codepoint-aligned
+    grams for non-ASCII text)."""
+    from collections.abc import Iterator
+    from hashlib import md5
+
+    import numpy as np
+    import pandas as pd
+
+    def fp_sets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        from_bytes = int.from_bytes
+
+        for pdf in it:
+            out_id, out_sz, out_fp = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = re.sub(
+                    r"\s+", " ", (text or "").lower(), flags=re.ASCII
+                ).strip(" ")
+                n = len(norm)
+                if n < k:
+                    continue
+                m = n - k + 1
+                if norm.isascii():
+                    # ASCII: byte offsets == char offsets, slice bytes once
+                    b = norm.encode()
+                    h = np.fromiter(
+                        (
+                            from_bytes(md5(b[i : i + k]).digest()[:8], "big") >> 4
+                            for i in range(m)
+                        ),
+                        dtype=np.int64,
+                        count=m,
+                    )
+                else:
+                    # char-aligned grams (the exact form's substring() unit),
+                    # each UTF-8 encoded like Spark's md5(string)
+                    h = np.fromiter(
+                        (
+                            from_bytes(
+                                md5(norm[i : i + k].encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                            for i in range(m)
+                        ),
+                        dtype=np.int64,
+                        count=m,
+                    )
+                wp = min(w, m)
+                win = np.lib.stride_tricks.sliding_window_view(h, wp)
+                # distinct fp VALUES only — the rightmost-tie rule picks a
+                # POSITION among equal minima, so the selected value per
+                # window is simply the window min
+                fps = np.unique(win.min(axis=1))
+                out_id.extend([doc_id] * len(fps))
+                out_sz.extend([len(fps)] * len(fps))
+                out_fp.extend(fps.tolist())
+            yield pd.DataFrame({id_col: out_id, "_sz": out_sz, "fp": out_fp})
+
+    src = spread(df).select(id_col, text_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(fp_sets, schema=f"{id_col} {id_type}, _sz int, fp long")
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -17,11 +17,13 @@ from boxoffice_spark.functions.numeric import (
     dsum_sql,
     fround,
     fround_sql,
+    funits,
     funits_sql,
     ratio6,
     ratio6_sql,
     ratio6w,
     ratio6w_sql,
+    umerge,
     units_div_sql,
 )
 from boxoffice_spark.operators.dedup import md5_u60_sql as _md5_u60
@@ -49,19 +51,43 @@ from boxoffice_spark.tables import table
 )
 def a_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 generalized to the TPC-H Q1 shape: grouped multi-aggregate
-    (reference dashboard.py:249 groupby sum; :291-294 multi-agg). One
-    shuffle on the group keys, partials map-side."""
+    (reference dashboard.py:249 groupby sum; :291-294 multi-agg).
+
+    r12 (guide §2.3 narrower types): the decimal sums are replaced by the
+    TWO-LEVEL integer-units sum — per-row funits (primitive ops; the old
+    double->decimal cast string-formats every row) summed as BIGINT within
+    (keys, spark_partition_id()), then the tiny partials merged exactly in
+    DECIMAL(38,0) (numeric.umerge). The partition id bounds each partial
+    by rows-per-scan-split, so no BIGINT wrap at ANY corpus size even
+    though Q1's four flag/status groups each span ~1/4 of the corpus —
+    the flat-long form would wrap near 100 TB for the 1e-4-grid
+    disc_price. spark_partition_id is stable per parquet split (same
+    split -> same id under task retry), so the partial grouping is
+    deterministic. Bit-identical output to the decimal form (verified
+    cell-exact vs the unchanged decimal oracle); measured 0.79 s -> 0.39 s
+    min-of-7 on the aggregate. Plan: two tiny exchanges (groups x
+    partitions rows, then groups rows) replace one; both carry ~KB."""
     li = table(spark, sf_dir, "lineitem")
-    return (
+    partials = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("sum_disc_price"),
-            davg("l_quantity").alias("avg_qty"),
-            F.count("*").alias("count_order"),
+            F.sum(funits(F.col("l_quantity"), 2)).alias("_qty_u"),
+            F.sum(funits(F.col("l_extendedprice"), 2)).alias("_base_u"),
+            F.sum(
+                funits(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("_disc_u"),
+            F.sum(funits(F.col("l_quantity"), 6)).alias("_qty6_u"),
+            F.count("*").alias("_n"),
+            F.count("l_quantity").alias("_nq"),
         )
+    )
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        umerge("_qty_u", 2).alias("sum_qty"),
+        umerge("_base_u", 2).alias("sum_base_price"),
+        umerge("_disc_u", 4).alias("sum_disc_price"),
+        (umerge("_qty6_u", 6) / F.sum("_nq")).alias("avg_qty"),
+        F.sum("_n").alias("count_order"),
     )
 
 
@@ -884,12 +910,20 @@ def a_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. At 100 TB the same plan holds: the only wide
     exchange is the basket aggregate, and lift math runs on
     |pairs| <= 25*24/2 rows."""
+    from boxoffice_spark.functions.caching import scoped_persist
+
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    baskets = (
+    baskets = scoped_persist(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("l_orderkey").isNotNull())  # match join-form semantics (ADVICE r11)
         .groupBy(F.col("l_orderkey").alias("o"))
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("_bs"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("_bs")),
+        # three consumers (n, item, pair) read this aggregate; unpersisted,
+        # AQE breaks exchange reuse and the basket build runs three times
+        # (ADVICE r11 — the g_degree_distribution fix applied here).
+        # Bounded: one row per order.
+        "market_basket_lift.baskets",
     )
     n = baskets.agg(F.count("*").alias("n_baskets"))
     item = (

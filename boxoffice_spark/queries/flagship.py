@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from boxoffice_spark.functions.numeric import dsum, dsum_sql
+from boxoffice_spark.functions.numeric import dsum_sql, usum
 from boxoffice_spark.registry import register
 from boxoffice_spark.tables import table
 
@@ -59,7 +59,14 @@ def flagship_daily_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("ship_dt"),
             F.col("p_brand").alias("brand"),
         )
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+        # r12 (guide §2.3 narrower types): integer-units sum — the inputs
+        # sit on the 0.01 grid so the 1e-4-grid product units are exact,
+        # and the per-(ship_dt, brand) cell bounds the BIGINT sum (wrap
+        # needs 9.2e14 of revenue for ONE brand on ONE day — not a real
+        # regime). Bit-identical to the decimal sum (oracle keeps the
+        # decimal text); ~1.5x the aggregate stage locally, and at scale
+        # the shuffle carries 8-byte longs instead of 16-byte decimals.
+        .agg(usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
     )
 
     w_rank = W.partitionBy("ship_dt").orderBy(F.desc("revenue"), F.asc("brand"))

@@ -135,6 +135,11 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     baskets = (
         table(spark, sf_dir, "lineitem")
+        # NULL orderkeys would form one merged basket here, whereas the
+        # join form this replaced (and the DuckDB oracles, which keep it)
+        # emit nothing for NULL keys — filter them so the builder matches
+        # join semantics on ANY input, not just NOT-NULL TPC-H (ADVICE r11)
+        .filter(F.col("l_orderkey").isNotNull())
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
     )

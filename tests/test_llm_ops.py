@@ -977,3 +977,52 @@ def test_word_ngram_hashes_fast_equals_declarative(spark, sf_dir):
         ).collect()
     }
     assert fast and fast == slow
+
+
+def test_winnow_fp_sets_matches_catalyst_form(spark, sf_dir):
+    """r12: the md5 mapInPandas fingerprint-set kernel (winnow_fp_sets)
+    must emit the EXACT row multiset of the Catalyst lambda form it
+    replaces inside winnow_dup_pairs — same md5-prefix hash family, same
+    per-window min, same per-doc distinct + size — on real corpus docs AND
+    the short/empty/non-ASCII/whitespace edges."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.operators.dedup import normalized_text
+    from boxoffice_spark.operators.winnow import _fingerprint_array, winnow_fp_sets
+    from boxoffice_spark.tables import spread, table
+
+    def catalyst_post(df, id_col, text_col, k, w):
+        grams, mins, wins = _fingerprint_array(k, w)
+        return (
+            spread(df)
+            .select(F.col(id_col), F.explode(F.array(normalized_text(text_col))).alias("_norm"))
+            .select(F.col(id_col), F.explode(F.array(F.expr(grams))).alias("_h"))
+            .select(F.col(id_col), "_h", F.explode(F.array(F.expr(mins))).alias("_mins"))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.array(F.expr(f"array_distinct(transform({wins}, s -> s.fp))"))
+                ).alias("_fps"),
+            )
+            .select(F.col(id_col), F.size("_fps").alias("_sz"), F.explode("_fps").alias("fp"))
+        )
+
+    docs = table(spark, sf_dir, "documents")
+    for k, w in [(20, 10), (7, 4)]:
+        a = catalyst_post(docs, "doc_id", "text", k, w)
+        b = winnow_fp_sets(docs, "doc_id", "text", k, w)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    edge_rows = [
+        (1, ""),  # empty -> no rows
+        (2, "tiny"),  # < k -> no rows
+        (3, "abcdefghij"),  # k..k+w grams -> one shrunken window
+        (4, "  leading   and\ttrailing\nwhitespace   collapse  "),
+        (5, "café au lait café au lait café au lait résumé"),  # non-ASCII chars
+        (6, "UPPER and lower CASE mixed UPPER and lower"),
+        (7, "naïve   nbsp must survive ascii-only \\s collapse   naïve"),
+    ]
+    df = spark.createDataFrame(edge_rows, "doc_id int, text string")
+    a = catalyst_post(df, "doc_id", "text", 7, 4)
+    b = winnow_fp_sets(df, "doc_id", "text", 7, 4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -206,3 +206,51 @@ def test_round_half_up_kernel_matches_engines():
     assert np.array_equal(got, want)
     # np.round disagrees on the midpoints — that's the defect this guards
     assert not np.array_equal(np.round(x, 6), want)
+
+
+def test_usum_bit_identical_to_dsum_on_grid_doubles(spark):
+    """r12: the integer-units sum (usum) must equal the decimal-cast sum
+    (dsum) BIT-for-bit on 0.01-grid money doubles and their 1e-4-grid
+    products — the precondition for replacing dsum in flagship/Q1 without
+    touching the decimal oracle text."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.functions.numeric import dsum, usum
+
+    rows = [(900.68,), (104999.91,), (0.01,), (38000.25,), (77949.91,)]
+    df = spark.createDataFrame(rows * 201, "x double").withColumn(
+        "d", F.lit(0.07)
+    )
+    got = df.agg(
+        dsum("x").alias("a_dec"),
+        usum(F.col("x"), 2).alias("a_unit"),
+        dsum(F.col("x") * (1 - F.col("d")), scale=4).alias("b_dec"),
+        usum(F.col("x") * (1 - F.col("d")), 4).alias("b_unit"),
+    ).collect()[0]
+    assert got["a_dec"].hex() == got["a_unit"].hex()
+    assert got["b_dec"].hex() == got["b_unit"].hex()
+
+
+def test_umerge_two_level_survives_bigint_wrap(spark):
+    """r12: the two-level units sum (long partials per partition ->
+    DECIMAL(38,0) merge) must stay exact where a FLAT long sum wraps
+    2^63 — the reason a_groupby_multi_agg's corpus-spanning groups use
+    it. 2048 rows x 9e15 units = 1.8e19 > 2^63."""
+    from pyspark.sql import functions as F
+
+    from boxoffice_spark.functions.numeric import funits, umerge
+
+    df = (
+        spark.range(2048)
+        .repartition(8)
+        .select(F.lit(900_000_000_000.0).alias("x"))  # 9e15 units at scale 4
+    )
+    # the flat long sum fails LOUDLY past 2^63 (Spark 4 ANSI arithmetic) —
+    # never a silent wrap, but still a query failure the two-level avoids
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(F.sum(funits(F.col("x"), 4)).alias("s")).collect()
+    partials = df.groupBy(F.spark_partition_id().alias("_p")).agg(
+        F.sum(funits(F.col("x"), 4)).alias("u")
+    )
+    merged = partials.agg(umerge("u", 4).alias("s")).collect()[0]["s"]
+    assert merged == 2048 * 900_000_000_000.0
